@@ -1,10 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``vector_search_question_answer_api_spark.inventory`` — the declared operator
+inventory (SURVEY.md §2) with per-query DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +10,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vector_search_question_answer_api_spark import inventory
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full §3.1 search
+    pipeline (preprocess -> embed -> index -> cosine top-k -> doc join)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators.index_build import build_index
+    from vector_search_question_answer_api_spark.operators.search import (
+        attach_documents,
+        knn_exact_expr,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs)
+    qdocs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), F.col("text")
+    )
+    qindex = build_index(qdocs.select(F.col("qid").alias("doc_id"), "text")).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").cast("array<double>").alias("qvec"),
+    )
+    res = knn_exact_expr(qindex, index, k=3)
+    return attach_documents(res, docs).select(
+        "query_id", "doc_id", "score", "rank", "text"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return inventory.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return inventory.oracle_sql()

@@ -1,0 +1,104 @@
+"""Stable, engine-portable hashing primitives for dedup/fingerprint operators.
+
+Everything is built on ``md5`` (hex string) because MD5 is identical across
+Spark, DuckDB, and Python — the DuckDB-oracle correctness gate can replicate
+every hash bit-for-bit in pure SQL.  Spark's native ``xxhash64``/``hash``
+are faster but engine-specific, so they're reserved for internal-only paths
+(e.g. salting), never for results that cross the oracle boundary.
+
+MinHash background: Broder, "On the resemblance and containment of
+documents" (1997).  SimHash: Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hex(col: Column) -> Column:
+    return F.md5(col.cast("string"))
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """Hex hash of ``"{seed}:{value}"`` — a family of independent hash
+    functions indexed by seed (minhash permutations)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature: for each seed, the minimum seeded-md5 hex over the
+    shingle set.  Returns array<string> of length n_hashes (element is null
+    for an empty shingle set)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash of each contiguous ``rows_per_band`` slice of the
+    signature.  Docs sharing any band key become candidate pairs."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.concat_ws(
+                        "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def simhash_bits(tokens_col: Column, n_bits: int = 64) -> Column:
+    """SimHash fingerprint as an ``n_bits``-char '0'/'1' string.
+
+    For each distinct token, its md5 hex supplies one bit per position
+    (nibble ``b // 4``, bit ``3 - b % 4``); each bit votes +1/-1 and the
+    fingerprint takes the sign of the sum (ties -> 0).  A string-of-bits
+    representation keeps the value portable to the DuckDB oracle (no 64-bit
+    unsigned arithmetic differences).
+    """
+    assert n_bits <= 128
+    # Precompute one md5 per distinct token, then reuse it for every bit.
+    hashes = F.transform(F.array_distinct(tokens_col), lambda t: F.md5(t))
+    bit_exprs = []
+    for b in range(n_bits):
+        nibble_idx = b // 4 + 1  # 1-based substring position
+        shift = 3 - b % 4
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (
+                F.shiftright(
+                    F.conv(F.substring(h, nibble_idx, 1), 16, 10).cast("int"),
+                    shift,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ),
+        )
+        bit_exprs.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_exprs)
+
+
+def hamming_distance_bits(a: Column, b: Column, n_bits: int = 64) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.substring(a, 1, n_bits).substr(i, F.lit(1))
+            != F.substring(b, 1, n_bits).substr(i, F.lit(1)),
+        )
+    )

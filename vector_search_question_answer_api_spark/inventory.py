@@ -1,0 +1,615 @@
+"""The declared query inventory: every implemented operator from SURVEY.md §2
+as a named (spark_fn, oracle_sql) pair.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin adapters over this
+registry.  Conventions shared by BOTH sides so the driver's value-hash
+comparison holds:
+
+- every computed column is aliased identically;
+- doubles that cross the boundary are ``round(x, N) + 0`` (the ``+ 0``
+  canonicalizes IEEE ``-0.0`` to ``0.0``);
+- rankings order by the ROUNDED measure with an id tiebreak, so float noise
+  below the rounding grain cannot flip row order;
+- timestamps cross as ``unix_millis`` bigints (Spark session TZ is UTC);
+- vector math is carried in float64 on both sides (Spark HOFs cast to
+  double; DuckDB lists are cast ``::DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import text as TXT
+from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.operators.search import knn_exact_expr
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _r(col, n=6):
+    """round + normalize -0.0."""
+    return F.round(col, n) + F.lit(0.0)
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# Relational core (the generic operators the engine is built from: scans,
+# filters, hash aggs, joins, windows — SURVEY.md §2.2/2.5/2.6/2.7)
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) + 0 AS sum_qty,
+           round(sum(l_extendedprice), 2) + 0 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0 AS sum_charge,
+           round(avg(l_quantity), 6) + 0 AS avg_qty,
+           round(avg(l_extendedprice), 6) + 0 AS avg_price,
+           round(avg(l_discount), 6) + 0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+hash-agg (pushdown-audited in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(disc_price), 2).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue,
+           epoch_ms(o.o_orderdate) AS orderdate_ms,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is broadcast (small side); orders⋈lineitem shuffles on the key."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (three broadcast dims) + agg."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "top2_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) + 0 AS price, rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY round(p_retailprice, 2) DESC, p_partkey ASC
+             ) AS rn
+      FROM part
+    )
+    WHERE rn <= 2
+    ORDER BY p_brand, rn
+    """,
+)
+def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-many shape: window top-k per group (the same pattern the vector
+    search top-k uses)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.round(F.col("p_retailprice"), 2).desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "p_brand",
+            "p_partkey",
+            _r(F.col("p_retailprice"), 2).alias("price"),
+            "rn",
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT session_seq) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 batch analog: 30-minute-gap sessionization via lag + running sum
+    (the batch twin of the streaming session window)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+                > 30 * 60 * 1000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_seq").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           count(*) AS n, round(sum(value), 2) + 0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch form (the streaming twin uses
+    F.window over readStream — see streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _r(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour_ms", "event_type")
+    )
+
+
+@register(
+    "user_last5_events",
+    """
+    SELECT user_id, event_id, rn
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn <= 5
+    ORDER BY user_id, rn
+    """,
+)
+def user_last5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: last-N-per-key (reference keeps the last 5 conversation exchanges
+    per session, utils/session_manager.py:43-44)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector operators (SURVEY.md §2.4, §3.1)
+
+_NORM_SQL = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+
+
+@register(
+    "vector_norms",
+    f"""
+    SELECT vec_id, round({_NORM_SQL}, 6) + 0 AS norm, label
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 support: L2 norms (normalization audit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", _r(V.l2_norm(F.col("embedding")), 6).alias("norm"), "label"
+    ).orderBy("vec_id")
+
+
+@register(
+    "knn_topk",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(1.0 - list_dot_product(q.nv, c.nv), 6) + 0 AS distance
+      FROM normed q, normed c
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, distance, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4-exact: brute-force cosine top-k, query side = first 10 vectors.
+    Rounds distance BEFORE ranking so rank order is float-noise-proof."""
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id", V.l2_normalize(F.col("embedding")).alias("nv")
+    )
+    q = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    scored = normed.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        _r(F.lit(1.0) - V.dot(F.col("qvec"), F.col("nv")), 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "distance", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "knn_threshold_gate",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id,
+           count(*) FILTER (WHERE round(1.0 - list_dot_product(q.nv, c.nv), 6) < 0.4) AS n_accepted
+    FROM normed q, normed c
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    GROUP BY q.vec_id
+    ORDER BY query_id
+    """,
+)
+def knn_threshold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the dist<0.4 retrieval accept gate (reference
+    services/qa_service.py:157, strict '<') as a per-query acceptance count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    scored = normed.join(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.count(
+                F.when(
+                    F.round(F.lit(1.0) - V.dot(F.col("qvec"), F.col("nv")), 6)
+                    < 0.4,
+                    1,
+                )
+            ).alias("n_accepted")
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "topic_gate_pairs",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.nv, b.nv), 6) + 0 AS sim,
+           round(list_dot_product(a.nv, b.nv), 6) < 0.75 AS is_new_topic
+    FROM normed a JOIN normed b ON b.vec_id = a.vec_id + 1
+    ORDER BY vec_a
+    """,
+)
+def topic_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6+P7: pairwise cosine similarity with the 0.75 topic-switch gate
+    (reference services/qa_service.py:8, 168-196 — implementing the evident
+    intent; the reference's call is buggy and always returns False,
+    SURVEY.md §1.3)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("nv_a"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("nv_b"))
+    sim = _r(V.dot(F.col("nv_a"), F.col("nv_b")), 6)
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            sim.alias("sim"),
+            (sim < 0.75).alias("is_new_topic"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text preprocessing + fingerprinting (SURVEY.md §2.3)
+
+_PREPROC_SQL = r"""
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(coalesce(text, '')),
+                    'thc:?\s*(\d+\.?\d*)%?', 'thc \1%', 'g'),
+                  'cbd:?\s*(\d+\.?\d*)%?', 'cbd \1%', 'g'),
+                'hybrid[ -]?dominant', 'hybrid', 'g'),
+              'indica[ -]?dominant', 'indica', 'g'),
+            'sativa[ -]?dominant', 'sativa', 'g'),
+          '[^\w\s%]', ' ', 'g'),
+        '\s+', ' ', 'g'))
+"""
+
+
+@register(
+    "preprocess_docs",
+    f"""
+    SELECT doc_id, {_PREPROC_SQL} AS proc_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4: the full preprocess pipeline (reference
+    services/index_service.py:14-47) as native Catalyst expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TXT.preprocess_text(F.col("text")).alias("proc_text")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT md5({_PREPROC_SQL}) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of canonicalized text, grouped — the
+    exact-dedup building block (engine extension; portable hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(TXT.preprocess_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("fp")
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           count(DISTINCT md5({_PREPROC_SQL})) AS n_distinct_texts
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup profile per language partition: docs vs distinct
+    canonical texts (hash-groupBy dedup; survivors = min doc_id per hash,
+    see doc_fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang", F.md5(TXT.preprocess_text(F.col("text"))).alias("fp")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_texts"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end pipeline (SURVEY.md §3.1) — no SQL oracle (embedder is
+# a UDF seam); correctness is covered by pytest goldens + determinism tests.
+
+@register("search_pipeline_e2e", None)
+def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> preprocess -> embed -> index -> self-query top-3.
+    Queries are the first 5 documents' own texts (deterministic; rank-1 hit
+    must be the document itself, asserted in tests)."""
+    from vector_search_question_answer_api_spark.operators.index_build import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs)
+    qdocs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text")
+    )
+    qindex = build_index(
+        qdocs.select(F.col("query_id").alias("doc_id"), "text")
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").cast("array<double>").alias("qvec"),
+    )
+    res = knn_exact_expr(qindex, index, k=3)
+    return res.select(
+        "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"), "rank"
+    ).orderBy("query_id", "rank")

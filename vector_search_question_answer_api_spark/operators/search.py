@@ -1,0 +1,167 @@
+"""Batch vector search — the /search pipeline (SURVEY.md §3.1; V4/V5, J1-J3,
+A1-A3, P6).
+
+Reference: per-request ``knn_query`` against an in-memory HNSW graph
+(services/index_service.py:98-104), positional-label lookup
+(services/index_service.py:106-110), score ``1 - distance``
+(controllers/search_controller.py:37), results ascending by distance.
+
+Spark-first design — two physical strategies for the same logical op:
+
+1. ``knn_exact_expr`` — pure Catalyst: broadcast nested-loop join of the
+   (small) query side against the corpus, cosine via higher-order functions,
+   per-query top-k window.  Whole plan is JVM-side/codegen; this is the
+   oracle path and wins when n_queries is small.
+
+2. ``knn_exact_partitioned`` — the 100 TB path: corpus partitions stay put;
+   the normalized query matrix is broadcast as numpy; each partition does one
+   BLAS matmul + partial top-k inside ``mapInPandas`` (Arrow-batched), so the
+   only shuffled data is ``<= n_partitions * n_queries * k`` candidate rows,
+   reduced by a final per-query window.  No O(n_corpus) shuffle ever happens.
+
+Determinism: ties break (distance ASC, id ASC) — the reference inherits
+HNSW's arbitrary tie order; we define it (SURVEY.md §7 known-hard list).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k,
+    query_col: str = "query_id",
+    dist_col: str = "distance",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A1-many: deterministic per-query top-k.  ``k`` may be an int or the
+    name of a per-row column (per-request k, clamped upstream).  Spark
+    compiles the window + filter into a ranked shuffle-and-prune; for the
+    single-query case Catalyst would use TakeOrderedAndProject via
+    orderBy/limit, but the window form handles both uniformly."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    limit = F.col(k) if isinstance(k, str) else F.lit(int(k))
+    return ranked.filter(F.col("rank") <= limit)
+
+
+def knn_exact_expr(
+    queries: DataFrame,
+    index: DataFrame,
+    k=3,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+    max_distance: float | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k, pure Catalyst (V4-exact oracle).
+
+    Expects the query vectors ALREADY L2-normalized (normalize once with
+    V.l2_normalize) and the index side pre-normalized at build time, so the
+    score is a plain dot product.  The query side is broadcast: the join is a
+    BroadcastNestedLoopJoin — corpus never moves.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    scored = index.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(index_id_col).alias("doc_id"),
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col(index_vec_col))).alias("distance"),
+    )
+    if max_distance is not None:
+        # P6 gate (reference services/qa_service.py:157, strict '<').
+        scored = scored.filter(F.col("distance") < F.lit(max_distance))
+    top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
+def knn_exact_partitioned(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+    max_distance: float | None = None,
+) -> DataFrame:
+    """Exact cosine top-k at scale: per-partition numpy matmul + partial
+    top-k, then a global per-query merge of the tiny candidate set.
+
+    The query matrix is collected to the driver and closure-broadcast (it is
+    the SMALL side by contract — same asymmetry the reference exploits:
+    one query vs the whole corpus).
+    """
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        return knn_exact_expr(
+            queries, index, k, query_vec_col, index_vec_col, query_id_col,
+            index_id_col, max_distance,
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (m, d)
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Partition-local top-k per query: one matmul per Arrow batch, then
+        # an argpartition prune — emits <= m*k rows per batch.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[index_id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[index_vec_col]), dtype=np.float64)  # (n, d)
+            dists = 1.0 - q_mat @ mat.T  # (m, n)
+            take = min(k, dists.shape[1])
+            # argpartition then stable refine with (dist, id) tiebreak
+            part = np.argpartition(dists, take - 1, axis=1)[:, :take]
+            out_q, out_id, out_d = [], [], []
+            for qi in range(dists.shape[0]):
+                cand = part[qi]
+                order = np.lexsort((ids[cand], dists[qi, cand]))
+                sel = cand[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_id.extend(ids[sel].tolist())
+                out_d.extend(dists[qi, sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_id, "distance": out_d}
+            )
+
+    candidates = index.select(index_id_col, index_vec_col).mapInPandas(
+        score_partition, schema="query_id long, doc_id long, distance double"
+    )
+    if max_distance is not None:
+        candidates = candidates.filter(F.col("distance") < F.lit(max_distance))
+    top = topk_per_query(candidates, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
+def attach_documents(results: DataFrame, documents: DataFrame) -> DataFrame:
+    """J3: key->document join (reference's O(n) ``next()`` scan at
+    services/index_service.py:106-110 becomes a broadcast hash join; at 100 TB
+    a plain equi-join — Catalyst/AQE picks)."""
+    return results.join(
+        documents.select("doc_id", "text"), "doc_id", "left"
+    )

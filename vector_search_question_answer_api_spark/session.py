@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Local-mode settings tuned for the driver harness (local[N], single JVM);
+the same builder flags are what we would set on a real cluster: AQE on,
+Arrow on, UTC session timezone (duckdb oracle comparability), shuffle
+partitions sized to parallelism instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vector_search_question_answer_api_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Driver testdata stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in the table loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # In local mode shuffles still serialize; keep broadcast threshold
+        # generous so dimension tables (region/nation/documents) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,66 @@
+"""Parquet table readers (SURVEY.md §2.1 S1-S5).
+
+The reference scans a MongoDB collection with an explicit projection and a
+scan timeout (services/index_service.py:53-55); here every source is a
+columnar parquet scan with a fixed schema, so Catalyst's column pruning and
+predicate pushdown reach the scan automatically.  In production the same
+loader would point at ``spark.read.format("mongodb")`` / object-store
+parquet — the downstream operators are source-agnostic DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_search_question_answer_api_spark.schemas import TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table by name with its fixed schema.
+
+    Passing an explicit schema (rather than relying on parquet footer
+    inference) pins column types across scale factors and keeps the scan
+    prunable; reference analog: the Mongo projection doc at
+    services/index_service.py:54.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw = spark.read.parquet(path)
+    physical = {f.name: f.dataType for f in raw.schema.fields}
+    cols = []
+    for field in TABLE_SCHEMAS[name].fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.TimestampType) and isinstance(
+            physical.get(field.name), T.LongType
+        ):
+            # TIMESTAMP(NANOS) parquet read as long nanos via
+            # spark.sql.legacy.parquet.nanosAsLong: floor-convert to micros.
+            c = F.timestamp_micros(F.floor(c / 1000).cast("long"))
+        else:
+            c = c.cast(field.dataType)
+        cols.append(c.alias(field.name))
+    return raw.select(*cols)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or tuple(TABLE_SCHEMAS)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def liveness_check(spark: SparkSession) -> bool:
+    """Reference S2/S3: connection ping + point read
+    (services/database_service.py:24, controllers/health_controller.py:13)."""
+    return spark.range(1).count() == 1
+
+
+def corpus_nonempty(documents: DataFrame) -> bool:
+    """Reference guard: empty corpus -> ValueError
+    (services/index_service.py:57-58)."""
+    return not documents.isEmpty()
