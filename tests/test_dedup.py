@@ -1,0 +1,95 @@
+"""Dedup family tests (SURVEY.md §7 step 8; BASELINE.json north star)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import hashing as H
+from vector_search_question_answer_api_spark.operators.dedup import (
+    canonical_docs,
+    dedup_exact_survivors,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_survivors_count(spark, docs):
+    survivors = dedup_exact_survivors(docs)
+    n_fp = canonical_docs(docs).select("fp").distinct().count()
+    assert survivors.count() == n_fp
+    # survivor is the min doc_id of its group
+    joined = survivors.alias("s").join(
+        canonical_docs(docs).alias("c"), "fp"
+    ).groupBy("s.doc_id", "fp").agg(F.min("c.doc_id").alias("min_id"))
+    bad = joined.filter(F.col("doc_id") != F.col("min_id"))
+    assert bad.count() == 0
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(docs):
+    """LSH candidates verified at t are a subset of the exact >= t relation
+    (LSH can miss, never invent)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact
+    # and on planted near-dups (j ~ 0.99) recall should be total
+    assert len(lsh) > 0
+    assert len(lsh) >= int(0.9 * len(exact))
+
+
+def test_ngram_jaccard_bounds(docs):
+    rows = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    for r in rows:
+        assert 0.8 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_simhash_banding_is_lossless(spark, docs):
+    """Pigeonhole: segment banding at hamming<=3 over 4 segments finds
+    exactly the brute-force hamming<=3 relation."""
+    sample = docs.filter(F.col("doc_id") < 150)
+    via_op = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(sample, max_hamming=3).collect()
+    }
+    fps = simhash_fingerprints(sample)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", H.hamming_distance_bits(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 3)
+    )
+    via_brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()
+    }
+    assert via_op == via_brute
+
+
+def test_simhash_deterministic(docs):
+    sample = docs.filter(F.col("doc_id") < 50)
+    a = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(sample).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(sample).collect()}
+    assert a == b
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in a.values())
+
+
+def test_embedding_near_dups(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, min_sim=0.45).collect()
+    assert all(r["sim"] >= 0.45 and r["vec_a"] < r["vec_b"] for r in pairs)

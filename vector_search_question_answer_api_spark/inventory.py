@@ -613,3 +613,285 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"), "rank"
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (operators/dedup.py) + text analytics (operators/text_analysis.py)
+
+_TOKS_SQL = (
+    r"list_filter(string_split_regex(" + _PREPROC_SQL + r", '\s+'), t -> t <> '')"
+)
+
+_SHINGLES_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks)-1)]) AS shingles
+      FROM toks WHERE len(toks) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    {_SHINGLES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) + 0 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard near-dup pairs (threshold 0.8) via the shingle
+    inverted index — the oracle cross-joins; the engine never does."""
+    from vector_search_question_answer_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    return pairs.select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+_SIG_SQL = f"""
+    {_SHINGLES_SQL},
+    sig AS (
+      SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x -> md5(concat(s, ':', x))))
+              FOR s IN range(0, 16)] AS sig
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, shingles,
+             unnest([md5(concat(b, '|', array_to_string(sig[b*4+1:b*4+4], '|')))
+                     FOR b IN range(0, 4)]) AS band
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    {_SIG_SQL}
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) + 0
+             AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidates verified at jaccard>=0.8 — every hash
+    bit replicated in the oracle (seeded md5 minima, banded)."""
+    from vector_search_question_answer_api_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n_hashes=16, n_bands=4, k=3, threshold=0.8)
+    return pairs.select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_sql_expr() -> str:
+    """Generate the 64-bit simhash expression over `hs` (list of md5 hex of
+    distinct tokens) — one CASE per bit, matching functions/hashing.simhash_bits."""
+    bits = []
+    for b in range(64):
+        nib = b // 4 + 1
+        shift = 3 - b % 4
+        vote = (
+            f"list_sum(list_transform(hs, h -> "
+            f"(((strpos('0123456789abcdef', h[{nib}:{nib}]) - 1) >> {shift}) & 1) * 2 - 1))"
+        )
+        bits.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ",\n        ".join(bits) + ")"
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS dtoks FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, list_transform(dtoks, t -> md5(t)) AS hs FROM toks
+    ),
+    fp AS (
+      SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM hs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(range(1, 65),
+               i -> substr(a.simhash, i::INT, 1) <> substr(b.simhash, i::INT, 1)))
+             AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, 65),
+              i -> substr(a.simhash, i::INT, 1) <> substr(b.simhash, i::INT, 1))) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming<=3) via segment banding; pigeonhole
+    over 4 segments makes banding lossless at this radius, so the oracle's
+    brute-force pair scan is the exact same relation."""
+    from vector_search_question_answer_api_spark.operators.dedup import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_embedding",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.nv, b.nv), 6) + 0 AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.nv, b.nv) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim>=0.45 — tuned to the synthetic
+    corpus's top pair band so the check is non-trivial at sf0.01)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, min_sim=0.45)
+    return pairs.select(
+        "vec_a", "vec_b", _r(F.col("sim"), 6).alias("sim")
+    ).orderBy("vec_a", "vec_b")
+
+
+_STOPLIST_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in {
+        "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+        "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+        "fr": ["le", "les", "des", "et", "de", "un", "une", "est", "dans", "pour"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    }.items()
+}
+
+
+@register(
+    "token_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(coalesce(text, '')) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           len(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS est_bpe_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+                 ELSE 0.0 END, 6) + 0 AS mean_token_len
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_question_answer_api_spark.operators.text_analysis import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_stats(d).orderBy("doc_id")
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct({_TOKS_SQL}) AS dtoks FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_intersect(dtoks, {_STOPLIST_SQL['en']})) AS en_hits,
+             len(list_intersect(dtoks, {_STOPLIST_SQL['es']})) AS es_hits,
+             len(list_intersect(dtoks, {_STOPLIST_SQL['fr']})) AS fr_hits,
+             len(list_intersect(dtoks, {_STOPLIST_SQL['de']})) AS de_hits
+      FROM toks
+    )
+    SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits
+                     AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS guessed_lang,
+           lang AS declared_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_question_answer_api_spark.operators.text_analysis import lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return lang_scores(d).orderBy("doc_id")
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_intersect(list_distinct(toks), {_STOPLIST_SQL['en']}))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS uniq_ratio
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_len, 6) + 0 AS mean_token_len,
+           round(stop_ratio, 6) + 0 AS stop_ratio,
+           round(uniq_ratio, 6) + 0 AS uniq_ratio,
+           round(CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+                 + 0.25 * uniq_ratio, 6) + 0 AS quality_score
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_search_question_answer_api_spark.operators.text_analysis import quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_scores(d).orderBy("doc_id")

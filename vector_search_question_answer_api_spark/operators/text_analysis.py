@@ -1,0 +1,113 @@
+"""Corpus text analytics — the training-data-pipeline extension family
+(BASELINE.json north star): token counting, language-ID heuristic, quality
+scoring.  All pure Catalyst expressions (higher-order functions over token
+arrays) — JVM-side, codegen'd, no UDFs — and all replicable in ANSI-ish SQL
+for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import text as TXT
+
+# Tiny per-language stopword lists (fixed; shared verbatim with the oracle
+# SQL).  A real pipeline would swap in fastText lang-id via the U1-style UDF
+# seam; the heuristic is the deterministic, SQL-checkable tier.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "les", "des", "et", "de", "un", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+}
+
+# BPE-ish token estimate: word chars runs + single non-space specials
+# (a standard cheap proxy for subword token counts).
+BPE_ISH_PATTERN = r"(?U)\w+|[^\w\s]"
+
+
+def _toks(col: Column) -> Column:
+    return TXT.tokens(col)
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_uniq_tokens, est_bpe_tokens,
+    mean_token_len)."""
+    proc = TXT.preprocess_text(F.col("text"))
+    toks = _toks(proc)
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return documents.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "est_bpe_tokens"
+        ),
+        (F.round(
+            F.when(n_tokens > 0, sum_len.cast("double") / n_tokens).otherwise(0.0), 6
+        ) + F.lit(0.0)).alias("mean_token_len"),
+    )
+
+
+def lang_scores(documents: DataFrame) -> DataFrame:
+    """Per-language stopword-hit counts + deterministic argmax guess.
+    Tie order: en > es > fr > de; all-zero -> 'unknown'."""
+    proc = TXT.preprocess_text(F.col("text"))
+    toks = _toks(proc)
+    en, es, fr, de = (_stop_hits(toks, L) for L in ("en", "es", "fr", "de"))
+    guess = (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return documents.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        guess.alias("guessed_lang"),
+        F.col("lang").alias("declared_lang"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Composite document-quality heuristic in [0,1]:
+    0.25*(10<=n_tokens<=2000) + 0.25*(3<=mean_tok_len<=10)
+    + 0.25*(stopword_ratio>=0.01) + 0.25*uniq_ratio.
+    (Gopher/C4-style length & repetition filters, reduced to a
+    deterministic, SQL-checkable formula.)"""
+    proc = TXT.preprocess_text(F.col("text"))
+    toks = _toks(proc)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    stop_ratio = F.when(
+        n > 0, _stop_hits(toks, "en").cast("double") / n
+    ).otherwise(0.0)
+    uniq_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+    score = (
+        F.when((n >= 10) & (n <= 2000), 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + 0.25 * uniq_ratio
+    )
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.round(mean_len, 6) + F.lit(0.0)).alias("mean_token_len"),
+        (F.round(stop_ratio, 6) + F.lit(0.0)).alias("stop_ratio"),
+        (F.round(uniq_ratio, 6) + F.lit(0.0)).alias("uniq_ratio"),
+        (F.round(score, 6) + F.lit(0.0)).alias("quality_score"),
+    )
