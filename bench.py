@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the no-op sink (full execution, no driver
+collect/serialization overhead) after a short JVM/codegen warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_question_answer_api_spark import inventory
+from vector_search_question_answer_api_spark.session import get_spark
+
+# The headline set: relational core, vector search, dedup, text analytics —
+# one per operator family from SURVEY.md §2 (rest of the inventory is
+# covered by the driver's correctness harness, not timed here).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "top2_parts_per_brand",
+    "events_sessionization",
+    "events_hourly_rollup",
+    "knn_topk",
+    "search_pipeline_e2e",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "token_stats",
+    "quality_scores",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    qs = inventory.queries()
+    # Warmup: JVM JIT + codegen + parquet footer caches on a tiny query.
+    _force(qs["q1_pricing_summary"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

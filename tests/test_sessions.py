@@ -1,0 +1,109 @@
+"""Stateful-semantics scenario tests (FIXTURES.md §4 scenarios a-g;
+SURVEY.md §5.5) over the batch replay operator."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators.index_build import build_index
+from vector_search_question_answer_api_spark.operators.sessions import replay_sessions
+
+DOC_A = "alpha strain with thc 20% relaxing indica profile for evening use"
+DOC_B = "citrus sativa energizing bright flavor daytime focus boost blend"
+DOC_C = "balanced hybrid gentle body effect mild aroma smooth finish mix"
+GIBBERISH = "zzz qqq xxx yyy www vvv uuu"
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, DOC_A, "en", "s", len(DOC_A)), (1, DOC_B, "en", "s", len(DOC_B)), (2, DOC_C, "en", "s", len(DOC_C))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return build_index(docs).cache()
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + timedelta(minutes=m), sid, q) for i, (m, sid, q) in enumerate(rows)],
+        "event_id long, ts timestamp, session_id string, question string",
+    )
+
+
+def _replay(spark, corpus, rows):
+    out = replay_sessions(_events(spark, rows), corpus)
+    return {r["event_id"]: r for r in out.collect()}
+
+
+def test_cold_session_acquires_context(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A)])
+    r = got[0]
+    assert r["context_doc_id"] == 0
+    assert r["context_changed"] is True
+    assert r["used_fallback"] is False
+    assert r["expired_before"] is False
+
+
+def test_no_hit_cold_session_fallback(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", GIBBERISH)])
+    r = got[0]
+    assert r["context_doc_id"] is None
+    assert r["used_fallback"] is True
+    assert "No specific product information" in r["answer"]
+
+
+def test_followup_same_topic_keeps_context(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (1, "s1", DOC_A)])
+    r = got[1]
+    assert r["context_doc_id"] == 0
+    assert r["is_new_topic"] is False
+    assert r["context_changed"] is False
+
+
+def test_topic_switch_on_strong_new_hit(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (1, "s1", DOC_B)])
+    r = got[1]
+    assert r["is_new_topic"] is True
+    assert r["context_doc_id"] == 1
+    assert r["context_changed"] is True
+
+
+def test_weak_hit_keeps_old_context(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (1, "s1", GIBBERISH)])
+    r = got[1]
+    assert r["is_new_topic"] is True  # gibberish is dissimilar to context
+    assert r["context_doc_id"] == 0  # but weak hit -> keep (qa_service.py:62-64)
+    assert r["context_changed"] is False
+
+
+def test_history_truncated_to_last5(spark, corpus):
+    rows = [(i, "s1", DOC_A) for i in range(8)]
+    got = _replay(spark, corpus, rows)
+    assert got[2]["history_len"] == 3
+    assert got[7]["history_len"] == 5
+
+
+def test_ttl_expiry_resets_state(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (31, "s1", GIBBERISH)])
+    r = got[1]
+    assert r["expired_before"] is True
+    assert r["context_doc_id"] is None  # cold again, gibberish finds nothing
+    assert r["used_fallback"] is True
+    assert r["history_len"] == 1
+
+
+def test_boundary_exactly_30min_not_expired(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (30, "s1", DOC_A)])
+    assert got[1]["expired_before"] is False  # strict '>' gap
+
+
+def test_sessions_isolated(spark, corpus):
+    got = _replay(spark, corpus, [(0, "s1", DOC_A), (1, "s2", DOC_B)])
+    assert got[0]["context_doc_id"] == 0
+    assert got[1]["context_doc_id"] == 1
+    assert got[1]["history_len"] == 1

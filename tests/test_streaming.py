@@ -1,0 +1,168 @@
+"""Structured Streaming twins: windowed rollup == batch rollup; stateful
+session stream == batch replay (incl. state carry across micro-batches)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.inventory import events_hourly_rollup
+from vector_search_question_answer_api_spark.operators.index_build import build_index
+from vector_search_question_answer_api_spark.operators.sessions import (
+    prepare_qa_events,
+    replay_sessions,
+)
+from vector_search_question_answer_api_spark.sources.tables import load_table
+from vector_search_question_answer_api_spark.streaming.session_stream import attach_session_state
+from vector_search_question_answer_api_spark.streaming.windowed import hourly_rollup_stream
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+DOC_A = "alpha strain with thc 20% relaxing indica profile for evening use"
+DOC_B = "citrus sativa energizing bright flavor daytime focus boost blend"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, tmpdir):
+    events = load_table(spark, sf_dir, "events")
+    src = f"{tmpdir}/events"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = hourly_rollup_stream(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["hour_ms"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r["hour_ms"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def _run_available_now(spark, out, dest: str, checkpoint: str):
+    """Run the stateful stream to completion with Trigger.AvailableNow and a
+    parquet sink, returning the accumulated output rows.
+
+    processAllAvailable() canNOT be used for the stateful stage: with
+    ProcessingTimeTimeout Spark schedules timeout-check micro-batches
+    forever (FlatMapGroupsWithStateExec.shouldRunAnotherBatch == true), so
+    the stream never goes idle; EventTimeTimeout + AvailableNow drains and
+    stops.  The parquet sink (not memory) supports checkpoint recovery, so
+    consecutive runs over the same checkpoint resume keyed state."""
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in 120s"
+    return spark.read.parquet(dest).collect()
+
+
+def test_session_stream_matches_batch_replay(spark, tmpdir):
+    docs = spark.createDataFrame(
+        [
+            (0, DOC_A, "en", "s", len(DOC_A)),
+            (1, DOC_B, "en", "s", len(DOC_B)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = build_index(docs).cache()
+    rows = [
+        (0, T0, "s1", DOC_A),
+        (1, T0 + timedelta(minutes=1), "s1", DOC_A),
+        (2, T0 + timedelta(minutes=2), "s1", DOC_B),
+        (3, T0, "s2", DOC_B),
+        (4, T0 + timedelta(minutes=40), "s2", DOC_A),  # event-time TTL expiry
+    ]
+    qa = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, session_id string, question string"
+    )
+    batch_out = {r["event_id"]: r for r in replay_sessions(qa, index).collect()}
+
+    prepared, doc_vecs = prepare_qa_events(qa, index)
+    src = f"{tmpdir}/prepared"
+    prepared.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = attach_session_state(stream, doc_vecs)
+    rows_out = _run_available_now(spark, out, f"{tmpdir}/out", f"{tmpdir}/ckpt")
+    stream_out = {r["event_id"]: r for r in rows_out}
+
+    assert set(stream_out) == set(batch_out)
+    for eid in batch_out:
+        b, s = batch_out[eid], stream_out[eid]
+        for col in (
+            "session_id",
+            "context_doc_id",
+            "context_changed",
+            "is_new_topic",
+            "used_fallback",
+            "answer",
+            "history_len",
+            "expired_before",
+        ):
+            assert s[col] == b[col], f"event {eid} col {col}: {s[col]} != {b[col]}"
+
+
+def test_session_state_carries_across_microbatches(spark, tmpdir):
+    docs = spark.createDataFrame(
+        [(0, DOC_A, "en", "s", len(DOC_A))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = build_index(docs).cache()
+    qa1 = spark.createDataFrame(
+        [(0, T0, "s1", DOC_A)],
+        "event_id long, ts timestamp, session_id string, question string",
+    )
+    qa2 = spark.createDataFrame(
+        [(1, T0 + timedelta(minutes=1), "s1", DOC_A)],
+        "event_id long, ts timestamp, session_id string, question string",
+    )
+    p1, dv1 = prepare_qa_events(qa1, index)
+    p2, dv2 = prepare_qa_events(qa2, index)
+    doc_vecs = {**dv1, **dv2}
+    src = f"{tmpdir}/multi"
+    ckpt = f"{tmpdir}/ckpt_multi"
+    schema = None
+
+    got = {}
+    # Two separate AvailableNow runs over the SAME checkpoint: run 2 must
+    # resume run 1's keyed state from the state store (the durability
+    # property the reference's in-memory dict lacks).
+    for batch in (p1, p2):
+        batch.write.mode("append").parquet(src)
+        schema = schema or spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = attach_session_state(stream, doc_vecs)
+        for r in _run_available_now(spark, out, f"{tmpdir}/mout", ckpt):
+            got[r["event_id"]] = r
+
+    # second run continued the session from checkpointed state
+    assert got[0]["history_len"] == 1
+    assert got[1]["history_len"] == 2
+    assert got[1]["context_changed"] is False  # same topic, kept context

@@ -500,6 +500,93 @@ def topic_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_oracle_sql(n_planes: int, n_tables: int, k: int, dim: int = 64) -> str:
+    """Build the DuckDB twin of ann_lsh_topk: the +/-1 hyperplanes are
+    deterministic (md5-parity), so they embed as literals and both engines
+    compute the exact same buckets."""
+    from vector_search_question_answer_api_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, n_tables)
+    sig_exprs = []
+    for t in range(n_tables):
+        cases = " || ".join(
+            "CASE WHEN list_dot_product(nv, ["
+            + ",".join(f"{float(x):.1f}" for x in planes[t][p])
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for p in range(n_planes)
+        )
+        sig_exprs.append(f"concat('t{t}:', {cases})")
+    sig_array = "[" + ", ".join(sig_exprs) + "]"
+    return f"""
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    exploded AS (
+      SELECT vec_id, nv, unnest({sig_array}) AS sig FROM normed
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS doc_id
+      FROM exploded q JOIN exploded c USING (sig)
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.doc_id,
+             round(1.0 - list_dot_product(qn.nv, cn.nv), 6) + 0 AS distance
+      FROM cand
+      JOIN normed qn ON qn.vec_id = cand.query_id
+      JOIN normed cn ON cn.vec_id = cand.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, distance, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register("ann_lsh_topk", _ann_oracle_sql(n_planes=3, n_tables=16, k=5))
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4-approx: signed-random-projection LSH (Charikar 2002) bucket join +
+    exact re-rank — the 100 TB substitute for the reference's single-node
+    HNSW graph (services/index_service.py:87-96).  Params recall-tuned to
+    the synthetic corpus geometry (see tests/test_ann.py)."""
+    from vector_search_question_answer_api_spark.operators.ann import lsh_candidates
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    cand = lsh_candidates(q, idx, dim=64, n_planes=3, n_tables=16)
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        _r(F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec")), 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "distance", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text preprocessing + fingerprinting (SURVEY.md §2.3)
 
@@ -613,6 +700,169 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"), "rank"
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# QA pipeline (SURVEY.md §3.2): stateless half with a full SQL oracle;
+# stateful replay as rows-only (embedder UDF + keyed fold are not
+# SQL-expressible).
+
+_FALLBACK_CTX = "No specific product information is available."
+
+_QA_PROMPT_SQL = f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    base AS (
+      SELECT e.event_id, e.user_id AS session_id, e.ts,
+             dq.text AS question,
+             CASE WHEN e.event_id % 10 = 0 THEN NULL ELSE dc.text END AS context_text
+      FROM events e, n
+      JOIN documents dq ON dq.doc_id = e.event_id % n.n_docs
+      JOIN documents dc ON dc.doc_id = (e.event_id * 7 + 3) % n.n_docs
+      WHERE e.event_id < 300
+    ),
+    answered AS (
+      SELECT *,
+             concat('Answer about [',
+                    substr(coalesce(context_text, '{_FALLBACK_CTX}'), 1, 60),
+                    ']: ', substr(question, 1, 60)) AS answer
+      FROM base
+    ),
+    hist AS (
+      SELECT *,
+             coalesce(array_to_string(
+               list(concat('Q: ', question, chr(10), 'A: ', answer, chr(10)))
+                 OVER (PARTITION BY session_id ORDER BY ts, event_id
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), ''), '')
+               AS history_text
+      FROM answered
+    )
+    SELECT event_id, session_id, question, answer,
+           concat('You are a helpful product assistant.', chr(10),
+                  'Context: ', coalesce(context_text, '{_FALLBACK_CTX}'), chr(10),
+                  'Conversation so far:', chr(10), history_text,
+                  'Question: ', question, chr(10), 'Answer:') AS prompt
+    FROM hist
+    ORDER BY event_id
+"""
+
+
+@register("qa_prompt_pipeline", _QA_PROMPT_SQL)
+def qa_prompt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateless /qa half (SURVEY.md §3.2 steps f-h): P8 fallback
+    context, F10 history fold (last-5 window), F9 prompt assembly, U2 stub
+    answer — all native Catalyst exprs (reference services/qa_service.py:
+    67-94).  Questions/contexts derive deterministically from events x
+    documents."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    dq = d.select(F.col("doc_id").alias("q_doc"), F.col("text").alias("question"))
+    dc = d.select(F.col("doc_id").alias("c_doc"), F.col("text").alias("ctx_raw"))
+    base = (
+        e.select(
+            "event_id",
+            F.col("user_id").alias("session_id"),
+            "ts",
+            (F.col("event_id") % n_docs).alias("q_doc"),
+            ((F.col("event_id") * 7 + 3) % n_docs).alias("c_doc"),
+        )
+        .join(F.broadcast(dq), "q_doc")
+        .join(F.broadcast(dc), "c_doc")
+        .withColumn(
+            "context_text",
+            F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+                F.col("ctx_raw")
+            ),
+        )
+    )
+    ctx = F.coalesce(F.col("context_text"), F.lit(_FALLBACK_CTX))
+    answered = base.withColumn(
+        "answer",
+        F.format_string(
+            "Answer about [%s]: %s",
+            F.substring(ctx, 1, 60),
+            F.substring(F.col("question"), 1, 60),
+        ),
+    )
+    w = (
+        Window.partitionBy("session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    hist = answered.withColumn(
+        "history_text",
+        F.coalesce(
+            F.array_join(
+                F.collect_list(
+                    F.format_string(
+                        "Q: %s\nA: %s\n", F.col("question"), F.col("answer")
+                    )
+                ).over(w),
+                "",
+            ),
+            F.lit(""),
+        ),
+    )
+    return (
+        hist.withColumn(
+            "prompt",
+            F.format_string(
+                "You are a helpful product assistant.\n"
+                "Context: %s\n"
+                "Conversation so far:\n%s"
+                "Question: %s\n"
+                "Answer:",
+                ctx,
+                F.col("history_text"),
+                F.col("question"),
+            ),
+        )
+        .select("event_id", "session_id", "question", "answer", "prompt")
+        .orderBy("event_id")
+    )
+
+
+@register("qa_sessions_replay", None)
+def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL stateful /qa pipeline (SURVEY.md §3.2): embed -> retrieve
+    (k=1, dist<0.4 gate) -> topic-switch fold -> stub answer, replayed per
+    session via applyInPandas.  Rows-only check: the embedder UDF seam and
+    the keyed fold are not SQL-expressible (correctness is covered by
+    tests/test_sessions.py + tests/test_streaming.py equivalence)."""
+    from vector_search_question_answer_api_spark.operators.index_build import build_index
+    from vector_search_question_answer_api_spark.operators.sessions import replay_sessions
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs)
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    n_docs = docs.count()
+    qa_events = (
+        e.select(
+            "event_id",
+            "ts",
+            F.col("user_id").cast("string").alias("session_id"),
+            ((F.col("event_id") * 13 + 1) % n_docs).alias("q_doc"),
+        )
+        .join(
+            F.broadcast(
+                docs.select(F.col("doc_id").alias("q_doc"), F.col("text").alias("question"))
+            ),
+            "q_doc",
+        )
+        .select("event_id", "ts", "session_id", "question")
+    )
+    out = replay_sessions(qa_events, index)
+    return out.select(
+        "session_id",
+        "event_id",
+        "context_doc_id",
+        "context_changed",
+        "is_new_topic",
+        "used_fallback",
+        "answer",
+        "history_len",
+        "expired_before",
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,176 @@
+"""Approximate nearest neighbors — the scale tier of the V4 kNN operator
+(SURVEY.md §2.4 V3/V4 "Approx tier").
+
+The reference's HNSW graph (services/index_service.py:87-96, hnswlib,
+M=16/ef_construction=200/ef=50) is a single-machine in-memory structure; it
+does not shard.  The Spark-native equivalent implemented here is
+**signed-random-projection LSH** (Charikar 2002, SimHash for cosine space):
+
+- ``n_tables`` independent hash tables, each hashing a vector to an
+  ``n_planes``-bit signature: bit p = sign(v · h_p) with h_p a fixed
+  Rademacher (+/-1) hyperplane.
+- P[bit equal] = 1 - angle/pi, so near vectors collide; multiple tables
+  boost recall (miss probability decays exponentially in n_tables).
+- Candidates = equi-join on (table, signature) — a plain shuffled hash
+  join, the bread-and-butter Spark operation; no graph, no driver state.
+- Candidates are re-ranked EXACTLY (dot product on normalized vectors),
+  so precision is 1.0 by construction; only recall is approximate.
+
+Scale shape: corpus side materializes n_tables rows per vector (signature
+build is map-only, codegen'd); the join shuffles on signature values whose
+cardinality (2^n_planes * n_tables) is tunable to the cluster; queries are
+broadcast.  Nothing is ever O(n_corpus^2) and nothing lives on the driver.
+
+Hyperplanes are DETERMINISTIC: component j of plane p in table t is
++1/-1 by the parity of one md5 nibble of "t:p:j" — reproducible in any
+engine (the DuckDB oracle embeds the same planes as literals).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.operators.search import topk_per_query
+
+DEFAULT_N_PLANES = 8
+DEFAULT_N_TABLES = 8
+
+
+@lru_cache(maxsize=None)
+def hyperplanes(
+    dim: int, n_planes: int = DEFAULT_N_PLANES, n_tables: int = DEFAULT_N_TABLES
+) -> tuple[tuple[tuple[int, ...], ...], ...]:
+    """planes[t][p] = length-``dim`` tuple of +/-1 (md5-parity seeded)."""
+    out = []
+    for t in range(n_tables):
+        table = []
+        for p in range(n_planes):
+            h = [
+                1
+                if int(
+                    hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[0], 16
+                )
+                % 2
+                == 0
+                else -1
+                for j in range(dim)
+            ]
+            table.append(tuple(h))
+        out.append(tuple(table))
+    return tuple(out)
+
+
+def _sig_expr(vec: Column, table_planes) -> Column:
+    """The n_planes-bit signature of ``vec`` for one table, as a string
+    column — pure Catalyst (zip_with/aggregate), no UDF."""
+    bits = []
+    for plane in table_planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dp = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def with_lsh_signatures(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = DEFAULT_N_PLANES,
+    n_tables: int = DEFAULT_N_TABLES,
+    out_col: str = "lsh_sigs",
+) -> DataFrame:
+    """Append ``out_col``: array of n_tables signature strings, each
+    prefixed with its table id ("t0:010110...")."""
+    planes = hyperplanes(dim, n_planes, n_tables)
+    sigs = [
+        F.concat(F.lit(f"t{t}:"), _sig_expr(F.col(vec_col), planes[t]))
+        for t in range(n_tables)
+    ]
+    return df.withColumn(out_col, F.array(*sigs))
+
+
+def lsh_candidates(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int = 64,
+    n_planes: int = DEFAULT_N_PLANES,
+    n_tables: int = DEFAULT_N_TABLES,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (query_id, doc_id, qvec, cvec) pairs that collide in at
+    least one hash table — the bucket equi-join, deduplicated."""
+    c = with_lsh_signatures(
+        index.select(
+            F.col(index_id_col).alias("doc_id"),
+            F.col(index_vec_col).alias("cvec"),
+        ),
+        "cvec",
+        dim,
+        n_planes,
+        n_tables,
+    ).select("doc_id", "cvec", F.explode("lsh_sigs").alias("sig"))
+    q = with_lsh_signatures(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        "qvec",
+        dim,
+        n_planes,
+        n_tables,
+    ).select("query_id", "qvec", F.explode("lsh_sigs").alias("sig"))
+    # Bucket join on (table, signature); queries are the small side.
+    return (
+        c.join(F.broadcast(q), "sig")
+        .select("query_id", "doc_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = DEFAULT_N_PLANES,
+    n_tables: int = DEFAULT_N_TABLES,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate cosine top-k: LSH bucket join -> exact re-rank.
+
+    Both vector columns must be L2-normalized.  Returns the same shape as
+    ``knn_exact_expr`` (query_id, doc_id, distance, score, rank) minus any
+    neighbor missed by every hash table.
+    """
+    cand = lsh_candidates(
+        queries, index, dim, n_planes, n_tables,
+        query_vec_col, index_vec_col, query_id_col, index_id_col,
+    )
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )

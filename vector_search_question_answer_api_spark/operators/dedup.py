@@ -115,11 +115,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     documents: DataFrame, n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingles, sig): MinHash signature per doc."""
+    """(doc_id, shingles, sig): MinHash signature per doc.
+
+    Computed RELATIONALLY: explode shingles -> n_hashes seeded-md5 columns
+    -> one hash-agg with n_hashes ``min`` columns.  The whole plan is
+    whole-stage-codegen'd; the equivalent nested higher-order-function form
+    (array of array_min(transform(...))) evaluates its lambdas interpreted
+    per element and was ~10x slower at sf0.1.  Values are identical
+    (min over md5("{seed}:{shingle}"))."""
     sets = shingle_sets(documents, k)
-    return sets.withColumn(
-        "sig", H.minhash_signature(F.col("shingles"), n_hashes)
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
+    sig = mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    return sets.join(sig, "doc_id")
 
 
 def minhash_lsh_pairs(
@@ -136,26 +151,31 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(documents, n_hashes, k)
+    # Candidate generation shuffles IDS ONLY (band key + doc_id); the heavy
+    # shingle arrays are joined back just for the surviving distinct pairs.
     banded = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(H.band_keys(F.col("sig"), n_bands, rows_per_band)).alias("band"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band"
-    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band")
     cand = (
         a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = sigs.select("doc_id", "shingles")
+    pairs = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    verified = cand.withColumn(
+    verified = pairs.withColumn(
         "jaccard", inter.cast("double") / union.cast("double")
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
@@ -164,11 +184,54 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(documents: DataFrame, n_bits: int = 64) -> DataFrame:
-    """(doc_id, simhash): 64-bit sign fingerprint as a '0'/'1' string."""
+    """(doc_id, simhash): 64-bit sign fingerprint as a '0'/'1' string.
+
+    Computed RELATIONALLY: explode distinct tokens -> one md5 per token ->
+    hash-agg with n_bits codegen'd ``sum`` vote columns -> sign bits.  The
+    nested HOF form (functions/hashing.simhash_bits, 64 interpreted
+    aggregate-lambdas per row) computes identical values but was ~10x
+    slower at sf0.1; it remains the per-value/oracle reference.
+    Empty-token docs keep an all-'0' fingerprint (vote 0 -> '0')."""
     c = canonical_docs(documents)
-    return c.select(
+    toks = c.select(
         "doc_id",
-        H.simhash_bits(TXT.tokens(F.col("proc_text")), n_bits).alias("simhash"),
+        F.explode_outer(F.array_distinct(TXT.tokens(F.col("proc_text")))).alias("tok"),
+    )
+    h = toks.withColumn("h", F.md5(F.col("tok")))
+    # One narrow row per (doc, bit): vote +/-1 from the bit of the token's
+    # md5 (nibble b//4, bit 3-b%4).  Narrow rows keep every operator inside
+    # whole-stage codegen (a 64-column wide-agg variant tripped
+    # spark.sql.codegen.maxFields and fell back to interpreted eval, ~10x
+    # slower); partial map-side aggregation collapses the x64 row blowup
+    # to n_docs*64 before the shuffle.  explode_outer keeps empty docs
+    # (null token -> vote 0 -> all-'0' fingerprint).
+    votes = h.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "CASE WHEN h IS NULL THEN 0 ELSE "
+            "(shiftright(cast(conv(substring(h, cast(pos / 4 AS int) + 1, 1), 16, 10) AS int),"
+            " 3 - pos % 4) & 1) * 2 - 1 END"
+        ).alias("vote"),
+    )
+    bit_votes = votes.groupBy("doc_id", "pos").agg(F.sum("vote").alias("v"))
+    bits = bit_votes.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")).alias("c"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("simhash")
     )
 
 
@@ -200,21 +263,24 @@ def simhash_near_pairs(
             )
         ).alias("segment"),
     )
-    a = segmented.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "segment"
-    )
-    b = segmented.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "segment"
-    )
+    a = segmented.select(F.col("doc_id").alias("doc_a"), "segment")
+    b = segmented.select(F.col("doc_id").alias("doc_b"), "segment")
     cand = (
         a.join(b, "segment")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
     )
     ham = H.hamming_distance_bits(F.col("sh_a"), F.col("sh_b"), n_bits)
     return (
-        cand.withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -226,16 +292,47 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-dup pairs on the vector table (brute-force tier — the
-    exact oracle; use operators/ann.py buckets at scale)."""
+    """Cosine near-dup pairs on the vector table (exact all-pairs tier).
+
+    Physical plan: one side of the n x n comparison is broadcast as a dense
+    numpy matrix; each partition of the other side does a single BLAS
+    matmul against it inside ``mapInPandas`` and emits only pairs above
+    the threshold (vec_a < vec_b).  Compared to the theta-join +
+    higher-order-function dot form (interpreted lambda per element), this
+    is ~50x faster at sf0.1 and emits the identical relation.
+
+    Scale: exact all-pairs is inherently O(n^2) compute; this operator is
+    for corpora whose vector side fits a broadcast (~1M x 64 floats =
+    256 MB).  Beyond that, use operators/ann.py LSH buckets (near-linear)
+    — the standard blocked-cross-product refinement.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     n = embeddings.select(
-        F.col(id_col).alias("id"), V.l2_normalize(F.col(vec_col)).alias("nv")
+        F.col(id_col).alias("id"),
+        V.l2_normalize(F.col(vec_col)).cast("array<double>").alias("nv"),
     )
-    a = n.select(F.col("id").alias("vec_a"), F.col("nv").alias("nv_a"))
-    b = n.select(F.col("id").alias("vec_b"), F.col("nv").alias("nv_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", V.dot(F.col("nv_a"), F.col("nv_b")))
-        .filter(F.col("sim") >= min_sim)
-        .select("vec_a", "vec_b", "sim")
-    )
+    rows = n.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["nv"] for r in rows], dtype=np.float64)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["nv"]), dtype=np.float64)
+            sims = a_mat @ mat.T
+            ai, bi = np.nonzero((sims >= min_sim) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return n.mapInPandas(block, schema="vec_a long, vec_b long, sim double")

@@ -1,0 +1,208 @@
+"""Stateful session semantics — batch replay form (SURVEY.md §2.9 T1-T4).
+
+Reference semantics (utils/session_manager.py + services/qa_service.py:28-73):
+
+- key = session_id; state = {last_updated, product_context,
+  conversation_history (last 5)}
+- 30-min idle TTL (expiry checked lazily on next access)
+- per question: no context -> retrieve (k=1, accept iff dist < 0.4);
+  context present -> topic check (cos sim vs context text < 0.75 -> re-
+  retrieve; a WEAK new hit (dist >= 0.4) KEEPS the old context,
+  services/qa_service.py:62-64)
+- answer generated from (context|fallback, folded history, question);
+  history appends and truncates to last 5
+
+Spark-first decomposition: everything batch-precomputable is precomputed
+set-at-a-time OUTSIDE the fold — question embeddings (U1 pandas_udf) and
+each question's best corpus hit (the kNN operator) — so the per-session fold
+is a tiny O(session_len) decision loop over precomputed columns, run in
+parallel across sessions via ``applyInPandas``.  Topic similarity needs
+sim(question, CURRENT context) where the context depends on the fold state,
+so context-doc vectors ride along in a broadcast dict (contexts are always
+retrieval hits, a small set).
+
+The same fold (``_fold_session_rows``) is reused verbatim by the streaming
+twin (streaming/session_stream.py, applyInPandasWithState) — single source
+of truth for the semantics, batch-replay == streaming by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG, EngineConfig
+from vector_search_question_answer_api_spark.operators.qa import stub_answer_py
+
+OUTPUT_SCHEMA = (
+    "session_id string, event_id long, ts timestamp, question string, "
+    "context_doc_id long, context_changed boolean, is_new_topic boolean, "
+    "used_fallback boolean, answer string, history_len int, expired_before boolean"
+)
+
+
+@dataclass
+class _SessionState:
+    context_doc_id: int | None = None
+    history: list[tuple[str, str]] | None = None
+    last_updated: datetime | None = None
+
+    def __post_init__(self):
+        if self.history is None:
+            self.history = []
+
+
+def _fold_session_rows(
+    rows: Iterable[dict[str, Any]],
+    doc_vecs: dict[int, np.ndarray],
+    cfg: EngineConfig,
+    state: _SessionState | None = None,
+) -> tuple[list[dict[str, Any]], _SessionState]:
+    """The per-session decision loop.  ``rows`` must be time-ordered dicts
+    with: event_id, ts, question, q_vec (normalized), cand_doc_id,
+    cand_dist.  Returns (output rows, final state)."""
+    state = state or _SessionState()
+    ttl = timedelta(minutes=cfg.session_ttl_minutes)
+    out = []
+    for r in rows:
+        ts = r["ts"]
+        expired = (
+            state.last_updated is not None and ts - state.last_updated > ttl
+        )
+        if expired:
+            state = _SessionState()
+
+        q_vec = r["q_vec"]
+        cand_id, cand_dist = r["cand_doc_id"], r["cand_dist"]
+        hit_ok = cand_id is not None and cand_dist is not None and cand_dist < cfg.retrieval_max_distance
+
+        is_new_topic = False
+        context_changed = False
+        if state.context_doc_id is None:
+            # cold: retrieve (qa_service.py:48-52)
+            if hit_ok:
+                state.context_doc_id = int(cand_id)
+                context_changed = True
+        else:
+            # topic check vs current context (qa_service.py:53-65, intent
+            # semantics — the reference call is buggy, SURVEY.md §1.3)
+            ctx_vec = doc_vecs.get(state.context_doc_id)
+            sim = float(np.dot(q_vec, ctx_vec)) if ctx_vec is not None and q_vec is not None else 0.0
+            if math.isnan(sim):
+                sim = 0.0
+            is_new_topic = sim < cfg.topic_similarity_threshold
+            if is_new_topic and hit_ok:
+                # context_changed mirrors the reference's
+                # new_product_detected: a retrieval ran and was accepted
+                state.context_doc_id = int(cand_id)
+                context_changed = True
+            # weak hit (dist >= 0.4): keep old context (qa_service.py:62-64)
+
+        used_fallback = state.context_doc_id is None
+        question = r["question"] or ""
+        # answer from the stub generator (deterministic); context text is
+        # resolvable from doc_id by a downstream join — the fold keys on id.
+        answer = stub_answer_py(
+            f"doc:{state.context_doc_id}" if state.context_doc_id is not None else None,
+            question,
+        )
+        state.history = (state.history + [(question, answer)])[
+            -cfg.history_max_exchanges :
+        ]
+        state.last_updated = ts
+        out.append(
+            {
+                "event_id": r["event_id"],
+                "ts": ts,
+                "question": question,
+                "context_doc_id": state.context_doc_id,
+                "context_changed": context_changed,
+                "is_new_topic": is_new_topic,
+                "used_fallback": used_fallback,
+                "answer": answer,
+                "history_len": len(state.history),
+                "expired_before": expired,
+            }
+        )
+    return out, state
+
+
+def prepare_qa_events(
+    qa_events: DataFrame,
+    index: DataFrame,
+    embedder=None,
+) -> tuple[DataFrame, dict[int, np.ndarray]]:
+    """Batch-precompute per-event retrieval: embed every question (U1), take
+    each question's best index hit (kNN k=1 — the reference's
+    qa_service.py:147-166 retrieval), and return (events+candidates,
+    candidate doc-vector dict for broadcast)."""
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.functions import text as TXT
+    from vector_search_question_answer_api_spark.operators.embed import HashingEmbedder
+    from vector_search_question_answer_api_spark.operators.search import knn_exact_partitioned
+
+    embedder = embedder or HashingEmbedder()
+    # Two-step: materialize the UDF output, THEN normalize — Spark forbids a
+    # Python UDF inside higher-order-function lambdas (l2_normalize uses
+    # transform/aggregate).
+    with_emb = qa_events.select(
+        "*", embedder(TXT.preprocess_text(F.col("question"))).alias("q_emb")
+    )
+    with_vec = with_emb.select(
+        "event_id",
+        "ts",
+        "session_id",
+        "question",
+        V.l2_normalize(F.col("q_emb")).cast("array<double>").alias("q_vec"),
+    )
+    q = with_vec.select(F.col("event_id").alias("query_id"), F.col("q_vec").alias("qvec"))
+    hits = knn_exact_partitioned(q, index, k=1).select(
+        F.col("query_id").alias("event_id"),
+        F.col("doc_id").alias("cand_doc_id"),
+        F.col("distance").alias("cand_dist"),
+    )
+    events = with_vec.join(hits, "event_id", "left")
+    # candidate context docs only (small set) — semi-join, then collect for
+    # closure broadcast into the fold
+    vec_rows = (
+        index.join(
+            events.select(F.col("cand_doc_id").alias("doc_id")).dropna().distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", "norm_embedding")
+        .collect()
+    )
+    doc_vecs = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in vec_rows}
+    return events, doc_vecs
+
+
+def replay_sessions(
+    qa_events: DataFrame,
+    index: DataFrame,
+    embedder=None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Batch replay of the stateful /qa pipeline: precompute retrieval
+    set-at-a-time, then fold each session in parallel (applyInPandas).
+    Scale: one shuffle on session_id; fold is O(events_per_session)."""
+    events, doc_vecs = prepare_qa_events(qa_events, index, embedder)
+    cfg_ = cfg
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sid = pdf["session_id"].iloc[0]
+        rows = pdf.to_dict("records")
+        out, _ = _fold_session_rows(rows, doc_vecs, cfg_)
+        res = pd.DataFrame(out)
+        res.insert(0, "session_id", sid)
+        return res
+
+    return events.groupBy("session_id").applyInPandas(fold, OUTPUT_SCHEMA)

@@ -1,0 +1,120 @@
+"""Streaming stateful sessions — the /qa session store as Structured
+Streaming keyed state (SURVEY.md §2.9 T1-T4).
+
+Reference: in-memory ``active_sessions`` dict keyed by session_id with
+30-min idle TTL and last-5 history (utils/session_manager.py).  Here the
+state lives in Spark's state store via ``applyInPandasWithState`` —
+checkpointable, partitioned by key, survives across micro-batches and
+across query restarts.
+
+The per-session decision logic is ``operators.sessions._fold_session_rows``
+— the SAME function the batch replay uses, so streaming == batch by
+construction (tested in tests/test_streaming.py).
+
+TTL design (two layers, both event-time):
+
+- INSIDE the fold, the reference's lazy-expiry semantics: a gap > 30 min
+  between consecutive events of a session resets its state
+  (utils/session_manager.py:46-57 checks on next access — identical
+  observable behavior).
+- AT THE STATE STORE, ``EventTimeTimeout`` + watermark evicts state for
+  sessions that never come back, bounding state size.  EventTimeTimeout
+  (not ProcessingTimeTimeout) is deliberate: with processing-time timeouts
+  Spark must run timeout-check micro-batches forever
+  (FlatMapGroupsWithStateExec.shouldRunAnotherBatch == true), so a
+  Trigger.AvailableNow run never terminates; with event-time timeouts the
+  stream drains and stops, and expiry is replay-deterministic.
+
+Retrieval inside a stream: each micro-batch's questions are embedded and
+scored against the (static, broadcastable) index snapshot BEFORE the
+stateful stage — same precompute-then-fold decomposition as the batch form.
+In this module the prepared columns (q_vec, cand_doc_id, cand_dist) are
+expected on the input stream; use ``operators.sessions.prepare_qa_events``
+logic in foreachBatch for a live pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG
+from vector_search_question_answer_api_spark.operators.sessions import (
+    OUTPUT_SCHEMA,
+    _fold_session_rows,
+    _SessionState,
+)
+
+# state: context doc, (question, answer) history as parallel arrays, last ts
+STATE_SCHEMA = (
+    "context_doc_id long, hist_questions array<string>, "
+    "hist_answers array<string>, last_updated timestamp"
+)
+
+
+def make_session_stateful_fn(doc_vecs: dict[int, np.ndarray], cfg=DEFAULT_CONFIG):
+    """Build the applyInPandasWithState function closure."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (session_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prior = _SessionState()
+        if state.exists:
+            ctx_id, hq, ha, last = state.get
+            prior = _SessionState(
+                context_doc_id=ctx_id,
+                history=list(zip(hq or [], ha or [])),
+                last_updated=last,
+            )
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        out, final = _fold_session_rows(rows, doc_vecs, cfg, prior)
+        state.update(
+            (
+                final.context_doc_id,
+                [q for q, _ in final.history],
+                [a for _, a in final.history],
+                final.last_updated,
+            )
+        )
+        # Evict state TTL minutes (event time) after the session's last
+        # event; must stay strictly above the current watermark.
+        ttl_ms = cfg.session_ttl_minutes * 60 * 1000
+        last_ms = int(final.last_updated.timestamp() * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
+        res = pd.DataFrame(out)
+        res.insert(0, "session_id", session_id)
+        yield res
+
+    return fn
+
+
+def attach_session_state(
+    prepared_stream: DataFrame, doc_vecs, cfg=DEFAULT_CONFIG
+) -> DataFrame:
+    """Wire the stateful stage onto a prepared (q_vec/cand columns) stream.
+    Applies the TTL watermark on ``ts`` — late events beyond the TTL may be
+    dropped, matching the reference's 30-min session horizon."""
+    watermarked = prepared_stream.withWatermark(
+        "ts", f"{cfg.session_ttl_minutes} minutes"
+    )
+    return watermarked.groupBy("session_id").applyInPandasWithState(
+        make_session_stateful_fn(doc_vecs, cfg),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
