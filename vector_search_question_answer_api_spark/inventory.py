@@ -866,6 +866,107 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py): binary payload + typed
+# metadata; deterministic featurizer so the oracle verifies the
+# binary->features plumbing bit-for-bit.
+
+_HEX_TO_INT = (
+    "list_sum(list_transform(range(1, 9), j -> "
+    "(strpos('0123456789abcdef', substr({h}, j::INT, 1)) - 1) * 16 ** (8 - j)))"
+)
+
+
+def _media_feature_sql(i: int) -> str:
+    inner = f"md5(concat('{i}:', md5(text)))"
+    return (
+        "round(" + _HEX_TO_INT.format(h=inner) + " / 4294967296.0, 6) + 0"
+    )
+
+
+@register(
+    "media_features",
+    f"""
+    SELECT doc_id,
+           {_media_feature_sql(0)} AS f0,
+           {_media_feature_sql(1)} AS f1,
+           {_media_feature_sql(2)} AS f2,
+           {_media_feature_sql(3)} AS f3
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> feature vector via Arrow-batched mapInPandas (the CNN/CLIP
+    featurizer shape); deterministic md5 features so DuckDB replays the
+    whole binary pipeline."""
+    from vector_search_question_answer_api_spark.operators.multimodal import (
+        attach_media,
+        media_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = media_features(attach_media(d))
+    return feats.select(
+        "doc_id",
+        *[
+            _r(F.element_at(F.col("features"), i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    ).orderBy("doc_id")
+
+
+@register(
+    "media_frame_plan",
+    """
+    SELECT doc_id, unnest(range(0, 5 + doc_id % 55, 5)) AS frame_ts_s
+    FROM documents
+    WHERE doc_id % 3 = 2
+    ORDER BY doc_id, frame_ts_s
+    """,
+)
+def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan from metadata only (pure Catalyst sequence
+    + explode) — frames are chosen BEFORE any decode so the decode stage
+    reads only sampled offsets."""
+    from vector_search_question_answer_api_spark.operators.multimodal import (
+        attach_media,
+        frame_sample_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_media(d), every_s=5).orderBy(
+        "doc_id", "frame_ts_s"
+    )
+
+
+@register(
+    "media_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             (320 + (doc_id % 5) * 160)::INT AS width,
+             (240 + (doc_id % 3) * 120)::INT AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, width, height,
+           floor(width * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_width,
+           floor(height * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_height
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def media_resize_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry (metadata math, no bytes)."""
+    from vector_search_question_answer_api_spark.operators.multimodal import (
+        attach_media,
+        resize_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_plan(attach_media(d), max_side=512).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Dedup family (operators/dedup.py) + text analytics (operators/text_analysis.py)
 
 _TOKS_SQL = (
