@@ -1,0 +1,94 @@
+"""Physical-plan audits: the scale-critical plan properties (filter
+pushdown, column pruning, broadcast join selection, no stray cross joins)
+asserted against the executed plans, so a refactor that silently loses one
+fails CI rather than a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark import inventory
+from vector_search_question_answer_api_spark.operators.index_build import build_index
+from vector_search_question_answer_api_spark.operators.search import knn_exact_expr
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = inventory.queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    # the shipdate predicate must reach the scan (DataFilters), not sit
+    # above the exchange introduced by ensure_parallelism
+    assert any("l_shipdate" in l and "Filters" in l for l in scan_lines), (
+        scan_lines
+    )
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = inventory.queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    # lineitem has 16 columns; the scan must read only the 7 the query uses
+    assert scan_lines and "l_orderkey" not in scan_lines[0], scan_lines
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = inventory.queries()["q3_top_revenue_orders"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs)
+    q = index.limit(3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").cast("array<double>").alias("qvec"),
+    )
+    plan = _plan(knn_exact_expr(q, index, k=3))
+    # the query side is broadcast; the corpus is never shuffled wholesale
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_no_cartesian_in_dedup_pairs(spark, sf_dir):
+    """Every near-dup pair generator must join on a derived key (shingle /
+    band / segment), never a cross join of the corpus with itself."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        df = inventory.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_in_text_path(spark, sf_dir):
+    """The preprocess pipeline (regex chain) must run inside whole-stage
+    codegen — no Python, no interpreted projection."""
+    df = inventory.queries()["preprocess_docs"](spark, sf_dir)
+    # Execute THIS DataFrame's own query execution (count() would build a
+    # different one): AQE only shows the final plan, with its codegen
+    # spans, after the plan actually ran.
+    df.collect()
+    plan = _plan(df)
+    # '*(N) Project' asterisks mark whole-stage-codegen spans in the
+    # compact plan string; the regex projection must sit inside one
+    assert "*(" in plan and ") Project" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_is_arrow_batched(spark, sf_dir):
+    """The embedder UDF seam must evaluate via Arrow (vectorized), not
+    row-at-a-time Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(build_index(docs))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -21,7 +21,29 @@ from vector_search_question_answer_api_spark.schemas import TABLE_SCHEMAS
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a scan that cannot be split by the source.
+
+    Parquet splits at row-group granularity; the driver testdata is written
+    as ONE row group per table, so every scan otherwise runs as a single
+    task and all per-row CPU work (regex preprocessing, shingling,
+    embedding) serializes on one core.  The repartition costs one exchange
+    of the (small, by construction) table and unlocks full parallelism.
+
+    At production scale inputs arrive as many files/row groups and this is
+    a NO-OP (gated on the scan's actual partition count), so no gratuitous
+    shuffle is introduced where the source already parallelizes.  Catalyst
+    still pushes filters/pruning into the scan below the exchange.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
     """Load one driver table by name with its fixed schema.
 
     Passing an explicit schema (rather than relying on parquet footer
@@ -33,6 +55,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     raw = spark.read.parquet(path)
+    if parallelize:
+        raw = ensure_parallelism(raw, spark)
     physical = {f.name: f.dataType for f in raw.schema.fields}
     cols = []
     for field in TABLE_SCHEMAS[name].fields:
