@@ -131,14 +131,33 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """k-word shingles (n-grams joined by single spaces) of a token array —
-    built from sequence+transform+slice higher-order fns, no UDF."""
-    toks = tokens(col)
-    n = F.size(toks)
-    return F.when(n < k, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    ``zip_with`` over shifted slices, no UDF.
+
+    Deliberately NOT ``transform(sequence(...), i -> slice(toks, i, k))``:
+    Catalyst re-evaluates a lambda's captured child expression on every
+    element, so with an inlined tokenizer that form re-splits the text once
+    per shingle position — O(positions x tokenize) per row (measured 6-20x
+    slower at sf0.1).  zip_with evaluates each child ONCE per row and zips
+    linearly; the trailing positions (padded with null by zip_with) are
+    filtered out, which also yields [] for docs with fewer than k tokens.
+    """
+    out = toks
+    for i in range(1, k):
+        shifted = F.slice(
+            toks, i + 1, F.greatest(F.size(toks) - F.lit(i), F.lit(0))
         )
-    )
+        out = F.zip_with(
+            out,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    return F.filter(out, lambda s: s.isNotNull())
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of raw text (tokenize + shingle in one expression)."""
+    return word_shingles_from_tokens(tokens(col), k)

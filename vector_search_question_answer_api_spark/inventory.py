@@ -285,6 +285,53 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS start_ms,
+           epoch_ms(max(ts)) + 30*60*1000 AS end_ms,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, start_ms
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 via the NATIVE session-window operator: F.session_window merges
+    gap<=30min events in one grouped agg (streaming twin:
+    streaming/windowed.session_window_stream shares the expression).
+    Window end = last event + gap, matching the oracle's max(ts)+30min."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("start_ms"),
+            F.unix_millis(F.col("w.end")).alias("end_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_ms")
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
@@ -672,6 +719,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_PREPROC_SQL}) AS fp FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, fp FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor set: min doc_id per canonical-text fingerprint
+    (the deterministic keep rule; the complement is the delete set)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        dedup_exact_survivors,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact_survivors(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -56,12 +56,21 @@ def dedup_exact_survivors(documents: DataFrame) -> DataFrame:
 
 def shingle_sets(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingles): DISTINCT k-word shingle set of canonical text.
-    Docs with fewer than k tokens have empty sets and drop out."""
+    Docs with fewer than k tokens get empty sets.
+
+    No ``size(shingles) > 0`` filter on purpose: a deterministic filter
+    gets pushed below the parallelizing exchange into the (single-task)
+    scan stage, dragging the whole shingle expression with it — the
+    downstream explodes and inner joins already drop empty-set docs from
+    every pair relation."""
     c = canonical_docs(documents)
-    return c.select(
+    toks = c.select("doc_id", TXT.tokens(F.col("proc_text")).alias("toks"))
+    return toks.select(
         "doc_id",
-        F.array_distinct(TXT.word_shingles(F.col("proc_text"), k)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+        F.array_distinct(
+            TXT.word_shingles_from_tokens(F.col("toks"), k)
+        ).alias("shingles"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -76,8 +85,13 @@ def ngram_jaccard_pairs(
     per pair -> jaccard = inter / (|A| + |B| - inter).  Only pairs sharing a
     shingle are ever created; with a df-cut this is near-linear in corpus
     size for natural text.
+
+    The shingle-set subplan feeds both sides of the self-join; persisted so
+    the regex/shingling pipeline runs once.
     """
-    sets = shingle_sets(documents, k).withColumn("set_size", F.size("shingles"))
+    sets = shingle_sets(documents, k).withColumn(
+        "set_size", F.size("shingles")
+    ).persist()
     inv = sets.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
@@ -150,7 +164,11 @@ def minhash_lsh_pairs(
     governed by (bands, rows) — 4 bands x 4 rows catches j>=0.8 w.p. ~0.98).
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(documents, n_hashes, k)
+    # The signature subplan (regex preprocess + shingling + 16 min-aggs) is
+    # consumed three times (banding + two verify join-backs); persist it so
+    # the expensive text pipeline runs once.  At 100 TB this materialization
+    # is the "signature table" any LSH pipeline checkpoints anyway.
+    sigs = minhash_signatures(documents, n_hashes, k).persist()
     # Candidate generation shuffles IDS ONLY (band key + doc_id); the heavy
     # shingle arrays are joined back just for the surviving distinct pairs.
     banded = sigs.select(
@@ -247,7 +265,9 @@ def simhash_near_pairs(
     Linear shuffle, no cross join.
     """
     seg_len = n_bits // n_segments
-    fps = simhash_fingerprints(documents, n_bits)
+    # consumed by banding + two verify join-backs; compute the vote
+    # pipeline once
+    fps = simhash_fingerprints(documents, n_bits).persist()
     segmented = fps.select(
         "doc_id",
         "simhash",

@@ -66,7 +66,10 @@ def load_table(
         ):
             # TIMESTAMP(NANOS) parquet read as long nanos via
             # spark.sql.legacy.parquet.nanosAsLong: floor-convert to micros.
-            c = F.timestamp_micros(F.floor(c / 1000).cast("long"))
+            # MUST be integer division ("div"): `/` promotes the ~1.7e18
+            # nanos long to double, whose 53-bit mantissa rounds the
+            # quotient and shifted some timestamps by 1ms vs the oracle.
+            c = F.timestamp_micros(F.expr(f"{field.name} div 1000"))
         else:
             c = c.cast(field.dataType)
         cols.append(c.alias(field.name))
