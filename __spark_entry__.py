@@ -27,11 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     docs = load_table(spark, sf_dir, "documents")
-    index = build_index(docs)
-    qdocs = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("qid"), F.col("text")
-    )
-    qindex = build_index(qdocs.select(F.col("qid").alias("doc_id"), "text")).select(
+    index = build_index(docs).persist()
+    # queries are docs 0-4: reuse their index vectors instead of re-embedding
+    qindex = index.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").cast("array<double>").alias("qvec"),
     )

@@ -547,6 +547,47 @@ def topic_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "query_validation",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN '   '
+                  WHEN doc_id % 11 = 0 THEN rpad(text, 600, 'x')
+                  ELSE text END AS q,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 30 END AS k_raw
+      FROM documents
+    )
+    SELECT doc_id,
+           length(trim(q)) > 0 AND length(trim(q)) <= 500 AS is_valid,
+           least(coalesce(k_raw::INT, 3), 20) AS k_clamped
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def query_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P5: the /search input gates — non-empty trimmed query, 500-char
+    cap, k default-3/clamp-20 (reference controllers/search_controller.py:
+    11-24) — exercised over derived query variants (blank / overlong /
+    null-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("   "))
+        .when(F.col("doc_id") % 11 == 0, F.rpad(F.col("text"), 600, "x"))
+        .otherwise(F.col("text"))
+        .alias("q"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("doc_id") % 30)
+        .alias("k_raw"),
+    )
+    return q.select(
+        "doc_id",
+        TXT.valid_query(F.col("q")).alias("is_valid"),
+        TXT.clamp_k(F.col("k_raw")).alias("k_clamped"),
+    ).orderBy("doc_id")
+
+
 def _ann_oracle_sql(n_planes: int, n_tables: int, k: int, dim: int = 64) -> str:
     """Build the DuckDB twin of ann_lsh_topk: the +/-1 hyperplanes are
     deterministic (md5-parity), so they embed as literals and both engines
@@ -759,13 +800,10 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_question_answer_api_spark.operators.index_build import build_index
 
     docs = load_table(spark, sf_dir, "documents")
-    index = build_index(docs)
-    qdocs = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), F.col("text")
-    )
-    qindex = build_index(
-        qdocs.select(F.col("query_id").alias("doc_id"), "text")
-    ).select(
+    index = build_index(docs).persist()
+    # queries ARE docs 0-4, so their vectors already exist in the index —
+    # filter instead of re-running the embed stage on the query side
+    qindex = index.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").cast("array<double>").alias("qvec"),
     )
