@@ -109,3 +109,21 @@ def test_lsh_precision_exact_rerank(spark, normed):
         key = (r["query_id"], r["doc_id"])
         assert key in exact
         assert abs(r["distance"] - exact[key]) < 1e-12
+
+
+def test_hnsw_tier_gated_or_correct(spark, normed):
+    """Tier B: skipped unless hnswlib is present; when present, per-partition
+    graphs + global merge must agree with exact top-1 on recall>=0.9."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    q, idx = _qi(normed, 10)
+    if not ann_hnsw.HNSW_AVAILABLE:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            ann_hnsw.build_partitioned_hnsw(idx, dim=64)
+        return
+    graphs = ann_hnsw.build_partitioned_hnsw(idx, dim=64)
+    got = _topk_sets(ann_hnsw.hnsw_topk(spark, graphs, q, k=1))
+    exact = _topk_sets(knn_exact_expr(q, idx, k=1))
+    assert _recall(exact, got) >= 0.9

@@ -97,3 +97,10 @@ def test_resize_plan_geometry(media):
 def test_decode_seam_is_gated(media):
     with pytest.raises(NotImplementedError):
         decode_media(media)
+
+
+def test_mongo_source_gated(spark):
+    from vector_search_question_answer_api_spark.sources.mongo import read_documents_mongo
+
+    with pytest.raises(NotImplementedError):
+        read_documents_mongo(spark, "mongodb://localhost:27017/x")

@@ -107,3 +107,18 @@ def test_sessions_isolated(spark, corpus):
     assert got[0]["context_doc_id"] == 0
     assert got[1]["context_doc_id"] == 1
     assert got[1]["history_len"] == 1
+
+
+def test_usage_counters(spark, corpus):
+    from vector_search_question_answer_api_spark.operators.sessions import UsageCounters, replay_sessions
+
+    usage = UsageCounters(spark)
+    out = replay_sessions(
+        _events(spark, [(0, "s1", DOC_A), (1, "s1", DOC_A), (2, "s2", DOC_B)]),
+        corpus,
+        usage=usage,
+    )
+    assert out.count() == 3
+    stats = usage.stats()
+    assert stats["events_processed"] == 3
+    assert stats["sessions_folded"] == 2

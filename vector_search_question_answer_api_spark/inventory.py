@@ -548,6 +548,83 @@ def topic_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_preview",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 100
+                THEN substr(text, 1, 100) || '...'
+                ELSE text END AS preview
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: truncate + ellipsis at 100 chars (reference
+    controllers/qa_controller.py:58's product-description preview)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TXT.truncate_ellipsis(F.col("text"), 100).alias("preview")
+    ).orderBy("doc_id")
+
+
+@register(
+    "events_user_span",
+    """
+    SELECT user_id,
+           epoch_ms(min(ts)) AS first_ms,
+           epoch_ms(max(ts)) AS last_ms,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
+           round(max(value), 2) + 0 AS peak_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+G3: running-peak max and start-to-end duration per key (the
+    reference's resource-monitor aggregations, utils/ollama_monitor.py:
+    58-82, generalized to a grouped table)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.unix_millis(F.min("ts")).alias("first_ms"),
+            F.unix_millis(F.max("ts")).alias("last_ms"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+                "span_ms"
+            ),
+            _r(F.max("value"), 2).alias("peak_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("index_refresh_roundtrip", None)
+def index_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/V8 + §1.3 refresh semantics: build -> overwrite-save -> load ->
+    freshness check, returning the loaded index keys/norms.  Rows-only (the
+    artifact write path has no SQL twin)."""
+    import tempfile
+
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        is_fresh,
+        load_index,
+        refresh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_idx_") + "/index"
+    refresh_index(spark, docs, path)
+    index = load_index(spark, path)
+    assert is_fresh(index, docs)
+    return index.select(
+        "vec_id", "doc_id", _r(F.col("norm"), 6).alias("norm")
+    ).orderBy("doc_id")
+
+
+@register(
     "query_validation",
     """
     WITH q AS (

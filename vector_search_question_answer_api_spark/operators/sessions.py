@@ -189,20 +189,50 @@ def replay_sessions(
     index: DataFrame,
     embedder=None,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    usage: "UsageCounters | None" = None,
 ) -> DataFrame:
     """Batch replay of the stateful /qa pipeline: precompute retrieval
     set-at-a-time, then fold each session in parallel (applyInPandas).
-    Scale: one shuffle on session_id; fold is O(events_per_session)."""
+    Scale: one shuffle on session_id; fold is O(events_per_session).
+
+    ``usage`` (optional) collects executor-side work counters — the engine
+    analog of the reference's generation resource monitor (U3,
+    utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
+    polls, readable on the driver after an action."""
     events, doc_vecs = prepare_qa_events(qa_events, index, embedder)
     cfg_ = cfg
+    ev_acc = usage.events if usage is not None else None
+    sess_acc = usage.sessions if usage is not None else None
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         sid = pdf["session_id"].iloc[0]
         rows = pdf.to_dict("records")
         out, _ = _fold_session_rows(rows, doc_vecs, cfg_)
+        if ev_acc is not None:
+            ev_acc.add(len(out))
+            sess_acc.add(1)
         res = pd.DataFrame(out)
         res.insert(0, "session_id", sid)
         return res
 
     return events.groupBy("session_id").applyInPandas(fold, OUTPUT_SCHEMA)
+
+
+class UsageCounters:
+    """U3: executor-side usage accounting via Spark accumulators
+    (the reference polls the generator process's RSS/CPU with psutil,
+    utils/ollama_monitor.py:30-88; in a distributed engine the equivalent
+    observable is accumulated per-task work, plus the metrics Spark already
+    exposes per stage)."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.events = sc.accumulator(0)
+        self.sessions = sc.accumulator(0)
+
+    def stats(self) -> dict[str, int]:
+        return {
+            "events_processed": self.events.value,
+            "sessions_folded": self.sessions.value,
+        }
