@@ -166,3 +166,54 @@ def test_session_state_carries_across_microbatches(spark, tmpdir):
     assert got[0]["history_len"] == 1
     assert got[1]["history_len"] == 2
     assert got[1]["context_changed"] is False  # same topic, kept context
+
+
+def test_search_stream_matches_batch(spark, tmpdir):
+    """The streaming /search loop must produce exactly the batch kNN results
+    for the same queries."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.functions import text as TXT
+    from vector_search_question_answer_api_spark.operators.embed import HashingEmbedder
+    from vector_search_question_answer_api_spark.operators.search import knn_exact_expr
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming.search_stream import (
+        search_stream_writer,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    index = build_index(docs).cache()
+    queries = spark.createDataFrame(
+        [(i, docs.filter(F.col("doc_id") == i).first()["text"]) for i in range(4)]
+        + [(99, "   ")],  # invalid: blank -> dropped by the P2 gate
+        "query_id long, text string",
+    )
+    src = f"{tmpdir}/qsrc"
+    queries.write.parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    q = search_stream_writer(
+        stream, index, f"{tmpdir}/qout", f"{tmpdir}/qckpt", k=3
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(f"{tmpdir}/qout")
+    emb = HashingEmbedder()
+    # two-step: materialize the UDF column, THEN normalize (Spark forbids a
+    # Python UDF inside higher-order-function lambdas)
+    batch_q = (
+        queries.filter(F.col("query_id") != 99)
+        .select("query_id", emb(TXT.preprocess_text(F.col("text"))).alias("e"))
+        .select(
+            "query_id",
+            V.l2_normalize(F.col("e")).cast("array<double>").alias("qvec"),
+        )
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in knn_exact_expr(batch_q, index, k=3).collect()
+    }
+    got_map = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in got.collect()
+    }
+    assert got_map == want
+    assert not any(k[0] == 99 for k in got_map)  # invalid query filtered

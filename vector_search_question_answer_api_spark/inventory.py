@@ -190,6 +190,39 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inactive_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    AND EXISTS (
+      SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join shapes (SURVEY.md §2.5 notes the engine gets these
+    free from Spark — e.g. anti join is the dedup delete-set primitive):
+    customers with SOME order but NONE since 1998."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "top2_parts_per_brand",
     """
     SELECT p_brand, p_partkey, round(p_retailprice, 2) + 0 AS price, rn
