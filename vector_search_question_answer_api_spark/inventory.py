@@ -389,6 +389,40 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           count(*) AS n,
+           round(sum(value), 2) + 0 AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                            (event_type), (date_trunc('day', ts)), ())
+    ORDER BY event_type, day
+    """,
+)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via CUBE (grouping sets) — beyond the
+    reference's surface (it has only keyed aggs); Spark plans one pass with
+    grouping-id expansion instead of four scans."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    return (
+        e.cube("event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), _r(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "user_last5_events",
     """
     SELECT user_id, event_id, rn

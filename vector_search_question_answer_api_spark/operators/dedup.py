@@ -137,7 +137,9 @@ def minhash_signatures(
     (array of array_min(transform(...))) evaluates its lambdas interpreted
     per element and was ~10x slower at sf0.1.  Values are identical
     (min over md5("{seed}:{shingle}"))."""
-    sets = shingle_sets(documents, k)
+    # sets feeds both the signature agg and the output join: persist so the
+    # regex+shingling pipeline runs once even on first materialization
+    sets = shingle_sets(documents, k).persist()
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     mins = exploded.groupBy("doc_id").agg(
         *[
