@@ -111,6 +111,66 @@ def test_lsh_precision_exact_rerank(spark, normed):
         assert abs(r["distance"] - exact[key]) < 1e-12
 
 
+def test_ivf_full_probe_equals_exact(spark, normed):
+    """nprobe == n_cells probes every cell, so IVF must reproduce the exact
+    brute-force top-k bit-for-bit (pruning is the ONLY approximation)."""
+    from vector_search_question_answer_api_spark.operators.ivf import ivf_topk
+
+    q, idx = _qi(normed, 10)
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["distance"])
+        for r in knn_exact_expr(q, idx, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["distance"])
+        for r in ivf_topk(q, idx, k=5, n_cells=16, nprobe=16).collect()
+    }
+    assert set(full) == set(exact)
+    for key, (doc, dist) in exact.items():
+        assert full[key][0] == doc
+        assert abs(full[key][1] - dist) < 1e-12
+
+
+def test_ivf_recall_uniform_corpus(spark, normed):
+    from vector_search_question_answer_api_spark.operators.ivf import ivf_topk
+
+    q, idx = _qi(normed, 20)
+    exact = _topk_sets(knn_exact_expr(q, idx, k=5))
+    approx = _topk_sets(ivf_topk(q, idx, k=5, n_cells=16, nprobe=8))
+    r = _recall(exact, approx)
+    assert r >= 0.7, f"uniform recall@5 (nprobe=8/16) = {r:.3f}"
+
+
+def test_ivf_kmeans_recall_and_pruning_clustered(spark, clustered):
+    """Trained centroids on clustered data: recall holds at nprobe=4/16
+    while each query scans well under half the corpus (real pruning)."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        ivf_topk,
+        train_centroids,
+    )
+
+    q, idx = _qi(clustered, 25)
+    cents = train_centroids(idx, dim=64, n_cells=16, n_iters=4)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    exact = _topk_sets(knn_exact_expr(q, idx, k=10))
+    approx = _topk_sets(
+        ivf_topk(q, idx, centroids=cents, k=10, n_cells=16, nprobe=4)
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.95, f"clustered kmeans recall@10 (nprobe=4/16) = {r:.3f}"
+    # pruning: the 4 probed cells hold well under half the corpus
+    sizes = {
+        r["cell"]: r["n"]
+        for r in idx.withColumn("cell", assign_cell(F.col("norm_embedding"), cents))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    worst4 = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert worst4 < 0.5 * 500, f"4 largest cells hold {worst4}/500 vectors"
+
+
 def test_hnsw_tier_gated_or_correct(spark, normed):
     """Tier B: skipped unless hnswlib is present; when present, per-partition
     graphs + global merge must agree with exact top-1 on recall>=0.9."""

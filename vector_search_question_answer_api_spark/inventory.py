@@ -1465,6 +1465,109 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_scores(d).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# ANN tier B: IVF cell-partitioned search (SURVEY.md §2.4 V3/V4 approx)
+
+
+def _ivf_oracle_sql(n_cells: int, nprobe: int, k: int, dim: int = 64) -> str:
+    """DuckDB twin of ann_ivf_topk: the coarse centroids are deterministic
+    integer-valued vectors (md5-seeded, operators/ivf.centroid_grid), so both
+    engines embed bit-identical literals and compute the same cell argmax /
+    probe ranking / exact re-rank."""
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+
+    cents = centroid_grid(dim, n_cells)
+    score_exprs = []
+    for comp in cents:
+        lit = "[" + ",".join(f"{x:.1f}" for x in comp) + "]"
+        norm = repr(sum(x * x for x in comp) ** 0.5)
+        score_exprs.append(f"list_dot_product(nv, {lit}) / {norm}")
+    cs = "[" + ",\n             ".join(score_exprs) + "]"
+    return f"""
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    cellscores AS (
+      SELECT vec_id, nv, {cs} AS cs FROM normed
+    ),
+    docs AS (
+      SELECT vec_id AS doc_id, nv AS dv,
+             list_indexof(cs, list_aggregate(cs, 'max')) - 1 AS cell
+      FROM cellscores
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, nv AS qv, r.cell_id AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs[r.cell_id + 1] DESC, r.cell_id ASC) AS rn
+      FROM cellscores CROSS JOIN range({n_cells}) r(cell_id)
+      WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT p.query_id, d.doc_id,
+             round(1.0 - list_dot_product(p.qv, d.dv), 6) + 0 AS distance
+      FROM qprobe p JOIN docs d USING (cell)
+      WHERE p.rn <= {nprobe}
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, distance, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register("ann_ivf_topk", _ivf_oracle_sql(n_cells=16, nprobe=4, k=5))
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4-approx tier B: IVF (Sivic & Zisserman 2003 / FAISS IVFFlat shape)
+    — nearest-centroid cell assignment partitions the corpus, queries probe
+    their nprobe best cells, exact re-rank inside.  The Spark-native
+    complement to the LSH tier: same pruning idea as the reference's HNSW
+    (services/index_service.py:87-96) but expressed as data partitioning, so
+    it scales as a plain equi-join and the cell layout can be made physical
+    (repartition/bucket by cell) for repeated query batches."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+        probe_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    cents = centroid_grid(64, 16)
+    docs = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("cvec")
+    ).withColumn("cell", assign_cell(F.col("cvec"), cents))
+    q = (
+        normed.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qvec"), cents, 4)))
+    )
+    scored = docs.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "doc_id",
+        _r(F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec")), 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "distance", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "quality_scores",
     f"""

@@ -1,0 +1,199 @@
+"""IVF (inverted-file) approximate nearest neighbors — the cell-partitioned
+scale tier of the V4 kNN operator (SURVEY.md §2.4 V3/V4 "Approx tier B'").
+
+The reference's HNSW graph (services/index_service.py:87-96) is a
+single-machine pointer structure.  The second classic ANN family — IVF
+(Sivic & Zisserman 2003 "Video Google"; FAISS IVFFlat) — maps onto Spark
+natively because it is *pure data partitioning*:
+
+- a small set of ``n_cells`` coarse centroids partitions the corpus: every
+  vector is assigned to its nearest centroid (one map-only pass, the
+  centroid table rides in the closure as literals — no shuffle, no UDF);
+- a query probes only its ``nprobe`` nearest cells, so the candidate
+  equi-join on ``cell`` touches ~nprobe/n_cells of the corpus instead of
+  all of it;
+- candidates are re-ranked EXACTLY (dot product on normalized vectors), so
+  precision is 1.0 by construction; only recall is approximate, governed by
+  nprobe/n_cells.
+
+Scale shape: cell assignment is embarrassingly parallel; the probe join is
+a broadcast (queries small) or shuffled hash join on ``cell`` whose key
+cardinality (n_cells) is chosen to match the cluster (e.g. 4-16x executor
+count at 100 TB, giving both pruning and parallelism).  The corpus can be
+physically ``repartition("cell")``-ed / bucketed once so repeated query
+batches join co-located — the on-disk layout IS the inverted file.
+
+Two centroid sources:
+
+- :func:`centroid_grid` — DETERMINISTIC data-independent pseudo-random
+  centroids (md5-seeded integer components, exactly representable in any
+  engine) — the oracle-twinnable default; equivalent to a random-projection
+  space partition.
+- :func:`train_centroids` — distributed Lloyd k-means on the corpus itself
+  (assignment map-side against centroid literals, per-cell mean via one
+  hash-agg of ``dim`` avg columns, centroids — a few KB — collected per
+  iteration).  Better-balanced cells on clustered data; used by the recall
+  harness, not the hash-match oracle (distributed float summation order is
+  not bit-reproducible across engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.operators.search import topk_per_query
+
+DEFAULT_N_CELLS = 16
+DEFAULT_NPROBE = 4
+
+
+@lru_cache(maxsize=None)
+def centroid_grid(dim: int, n_cells: int = DEFAULT_N_CELLS) -> tuple[tuple[float, ...], ...]:
+    """centroids[c] = length-``dim`` tuple of small-integer-valued floats in
+    [-8, 7], seeded by md5("c:{c}:{j}") — exactly representable doubles, so
+    Spark and the DuckDB oracle embed bit-identical literals.  Cosine
+    scoring against them normalizes by ||c|| *inside the expression* (both
+    engines compute the same sqrt on the same exact inputs)."""
+    out = []
+    for c in range(n_cells):
+        comp = [
+            float(int(hashlib.md5(f"c:{c}:{j}".encode()).hexdigest()[0], 16) - 8)
+            for j in range(dim)
+        ]
+        out.append(tuple(comp))
+    return tuple(out)
+
+
+def _cell_scores(vec: Column, centroids) -> list[Column]:
+    """Cosine score of ``vec`` (assumed L2-normalized) against each
+    centroid: dot(vec, c) / ||c|| — pure Catalyst, no UDF."""
+    scores = []
+    for comp in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        norm = sum(x * x for x in comp) ** 0.5
+        scores.append(V.dot(vec.cast("array<double>"), lit) / F.lit(float(norm)))
+    return scores
+
+
+def assign_cell(vec: Column, centroids) -> Column:
+    """0-based id of the best-scoring cell (ties -> lowest cell id, matching
+    DuckDB ``list_indexof(scores, list_aggregate(scores, 'max'))``).
+    Map-only: evaluates n_cells dot products per row, no shuffle."""
+    scores = F.array(*_cell_scores(vec, centroids))
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def probe_cells(vec: Column, centroids, nprobe: int = DEFAULT_NPROBE) -> Column:
+    """Array of the ``nprobe`` best cell ids for a query vector, best first
+    (ties -> lowest cell id).  Struct-sort on (-score, cell): map-only."""
+    scores = _cell_scores(vec, centroids)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-s).alias("nd"), F.lit(c).alias("cell"))
+                for c, s in enumerate(scores)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids=None,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = DEFAULT_N_CELLS,
+    nprobe: int = DEFAULT_NPROBE,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate cosine top-k: probe-cell equi-join -> exact re-rank.
+
+    Both vector columns must be L2-normalized.  Returns the same shape as
+    ``knn_exact_expr`` (query_id, doc_id, distance, score, rank) minus any
+    neighbor whose cell the query did not probe.
+    """
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    c = index.select(
+        F.col(index_id_col).alias("doc_id"),
+        F.col(index_vec_col).alias("cvec"),
+    ).withColumn("cell", assign_cell(F.col("cvec"), centroids))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        .withColumn("cells", probe_cells(F.col("qvec"), centroids, nprobe))
+        .select("query_id", "qvec", F.explode("cells").alias("cell"))
+    )
+    cand = c.join(F.broadcast(q), "cell")
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
+def train_centroids(
+    index: DataFrame,
+    dim: int = 64,
+    n_cells: int = DEFAULT_N_CELLS,
+    n_iters: int = 5,
+    vec_col: str = "norm_embedding",
+    init: str = "sample",
+):
+    """Distributed Lloyd k-means over the (normalized) corpus vectors.
+
+    Each iteration is one map-only assignment pass (argmax against the
+    current centroid literals) plus one hash-agg of ``dim`` ``avg`` columns
+    grouped by cell — a single linear shuffle of n_cells x dim partials; the
+    collected centroid table is a few KB.  Empty cells keep their previous
+    centroid.  Means are re-normalized onto the unit sphere (spherical
+    k-means; cells stay cosine-Voronoi).
+
+    ``init='sample'`` seeds from the first ``n_cells`` corpus vectors
+    (padded with the deterministic grid if the corpus is smaller) — on
+    clustered data this covers the real modes and converges to balanced
+    cells; ``init='grid'`` uses the data-independent md5 grid.
+    """
+    cents = [list(c) for c in centroid_grid(dim, n_cells)]
+    vecs = index.select(F.col(vec_col).cast("array<double>").alias("nv")).persist()
+    if init == "sample":
+        seeds = [list(r["nv"]) for r in vecs.limit(n_cells).collect()]
+        cents[: len(seeds)] = seeds
+    try:
+        for _ in range(n_iters):
+            assigned = vecs.withColumn(
+                "cell", assign_cell(F.col("nv"), tuple(tuple(c) for c in cents))
+            )
+            means = (
+                assigned.groupBy("cell")
+                .agg(*[F.avg(F.col("nv")[j]).alias(f"m{j}") for j in range(dim)])
+                .collect()
+            )
+            for row in means:
+                m = [row[f"m{j}"] for j in range(dim)]
+                norm = sum(x * x for x in m) ** 0.5
+                if norm > 0:
+                    cents[row["cell"]] = [x / norm for x in m]
+    finally:
+        vecs.unpersist()
+    return tuple(tuple(c) for c in cents)
