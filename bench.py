@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
     "token_stats",

@@ -93,3 +93,46 @@ def test_embedding_near_dups(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(e, min_sim=0.45).collect()
     assert all(r["sim"] >= 0.45 and r["vec_a"] < r["vec_b"] for r in pairs)
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Chain a-b-c-d-e needs multi-round propagation; triangle and isolated
+    pair close in one; cluster_id = min member; sizes correct."""
+    from vector_search_question_answer_api_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        10: (10, 5), 11: (10, 5), 12: (10, 5), 13: (10, 5), 14: (10, 5),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+        30: (30, 2), 31: (30, 2),
+    }
+
+
+def test_dup_clusters_on_corpus_pairs(spark, docs):
+    """Every clustered doc appears in some pair; cluster_id is a member of
+    the cluster and is its minimum; components are edge-consistent (both
+    endpoints of every pair share a cluster)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8).persist()
+    clusters = dup_clusters(pairs).persist()
+    lbl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    for r in pairs.collect():
+        assert lbl[r["doc_a"]] == lbl[r["doc_b"]]
+    for doc, cid in lbl.items():
+        assert cid <= doc and cid in lbl
+    pairs.unpersist()
+    clusters.unpersist()

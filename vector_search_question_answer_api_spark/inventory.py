@@ -1268,6 +1268,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# The jaccard-pair predicate reused by dedup_clusters below.
+_JACCARD_PAIRS_SQL = """
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    # WITH RECURSIVE must lead the statement; the shingle CTEs are unchanged.
+    _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + _JACCARD_PAIRS_SQL
+    + """,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) n
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the 3-gram
+    jaccard>=0.8 pair graph (min-label propagation; oracle = recursive-CTE
+    transitive closure).  cluster_id is the canonical survivor doc_id —
+    the group-then-canonicalize step every dedup pipeline ends with."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
 _SIG_SQL = f"""
     {_SHINGLES_SQL},
     sig AS (

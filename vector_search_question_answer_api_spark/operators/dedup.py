@@ -308,6 +308,66 @@ def simhash_near_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): connected components of the
+    near-dup pair graph; cluster_id = minimum doc_id in the component —
+    the canonical survivor, so ``cluster_id != doc_id`` marks removable
+    duplicates.  Completes the dedup pipeline: pair generators (jaccard /
+    minhash / simhash / embedding) find edges, this groups them into
+    transitive duplicate sets.
+
+    Algorithm: iterative min-label propagation ("hash-to-min") — each round
+    every node takes the minimum label among itself and its neighbors, one
+    shuffled equi-join + hash-agg per round, converging in graph-diameter
+    rounds.  Near-dup components are shallow (stars/short chains), so the
+    fixpoint lands in a handful of rounds; ``localCheckpoint`` truncates
+    lineage each round so the plan stays flat.  Convergence is detected by
+    the label-sum, which strictly decreases until fixpoint (labels only
+    ever decrease).  At 100 TB the same loop runs with checkpoint() to
+    durable storage; alternating large-star/small-star (Kiveris et al.
+    2014) is the O(log d) escalation if deep components ever appear.
+    """
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(nmin, labels["node"] == nmin["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return comp.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_sim: float = 0.95,
