@@ -67,17 +67,28 @@ def hyperplanes(
 
 def _sig_expr(vec: Column, table_planes) -> Column:
     """The n_planes-bit signature of ``vec`` for one table, as a string
-    column — pure Catalyst (zip_with/aggregate), no UDF."""
-    bits = []
-    for plane in table_planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dp = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    column — pure Catalyst (zip_with/aggregate), no UDF.
+
+    The table's planes ride as ONE nested-array literal and the bits are a
+    ``transform`` over it, keeping the expression tree O(1) in
+    n_planes x dim (the per-plane unrolled form cost seconds of
+    analyzer/codegen per query; values are bit-identical — same
+    left-to-right float64 summation)."""
+    planes_lit = V.nested_array_lit(table_planes)
+    v = vec.cast("array<double>")
+    bits = F.transform(
+        planes_lit,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(v, plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def with_lsh_signatures(
