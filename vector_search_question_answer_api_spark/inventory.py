@@ -528,6 +528,68 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_topk_partitioned",
+    # Identical oracle to knn_topk: the partitioned physical strategy must
+    # produce the same relation as the pure-Catalyst broadcast form.
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(1.0 - list_dot_product(q.nv, c.nv), 6) + 0 AS distance
+      FROM normed q, normed c
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, distance, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4-exact, scale strategy: per-partition BLAS matmul + partial top-k
+    in mapInPandas, global merge of the candidate set (operators/search.
+    knn_exact_partitioned — the 100 TB path, where the corpus never
+    broadcasts and only partitions x queries x k candidate rows shuffle).
+    Gate-checked against the same oracle as knn_topk: both physical
+    strategies must produce the identical relation."""
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_partitioned,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    res = knn_exact_partitioned(q, idx, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        res.select("query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "doc_id", "distance", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "knn_threshold_gate",
     """
     WITH normed AS (
