@@ -81,6 +81,21 @@ def test_simhash_banding_is_lossless(spark, docs):
     assert via_op == via_brute
 
 
+def test_simhash_arrow_equals_relational(docs):
+    """The Arrow map-side fingerprint and the relational vote pipeline
+    must be bit-identical (same md5 -> vote -> sign semantics)."""
+    sample = docs.filter(F.col("doc_id") < 150)
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(sample, strategy="arrow").collect()
+    }
+    rel = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(sample, strategy="relational").collect()
+    }
+    assert arrow == rel
+
+
 def test_simhash_deterministic(docs):
     sample = docs.filter(F.col("doc_id") < 50)
     a = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(sample).collect()}

@@ -93,6 +93,55 @@ def simhash_bits(tokens_col: Column, n_bits: int = 64) -> Column:
     return F.concat(*bit_exprs)
 
 
+def simhash_bits_arrow(tokens_col: Column, n_bits: int = 64) -> Column:
+    """Arrow-batched SimHash fingerprint — value-identical to
+    ``simhash_bits`` / the relational vote pipeline, computed map-side.
+
+    Per input row: distinct tokens -> one md5 digest each -> unpack to a
+    (tokens x n_bits) bit matrix -> column sums are the votes -> sign
+    string.  Python's ``hashlib.md5`` over the UTF-8 token equals Spark's
+    ``F.md5`` and DuckDB's ``md5`` bit-for-bit, so the value stays inside
+    the oracle contract.
+
+    Scale rationale: fingerprinting is embarrassingly parallel per doc.
+    The relational form materializes |tokens| x n_bits vote rows and
+    shuffles twice (vote agg + bit collect) — linear but with a 64x row
+    blowup ahead of the first exchange.  This form is one Arrow-batched
+    projection: zero shuffle, zero row blowup, and the per-batch numpy
+    work (unpackbits + column sum) is vectorized.  At 100 TB the cluster
+    cost is a pure map pass over the corpus.
+    """
+    assert n_bits <= 128  # md5 supplies 128 bits
+
+    @F.pandas_udf("string")
+    def _fp(toks):  # pd.Series[list[str]] -> pd.Series[str]
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        zero = "0" * n_bits
+        out = []
+        for t in toks:
+            if t is None or len(t) == 0:
+                out.append(zero)
+                continue
+            uniq = list(set(t))
+            digests = b"".join(
+                hashlib.md5(s.encode("utf-8")).digest() for s in uniq
+            )
+            bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8).reshape(len(uniq), 16),
+                axis=1,
+            )[:, :n_bits]
+            # votes = (+1 per set bit) + (-1 per clear bit); tie -> '0'
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(uniq)
+            out.append("".join("1" if v > 0 else "0" for v in votes))
+        return pd.Series(out)
+
+    return _fp(tokens_col)
+
+
 def hamming_distance_bits(a: Column, b: Column, n_bits: int = 64) -> Column:
     """Hamming distance between two equal-length '0'/'1' strings.
 

@@ -203,16 +203,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(documents: DataFrame, n_bits: int = 64) -> DataFrame:
+def simhash_fingerprints(
+    documents: DataFrame, n_bits: int = 64, strategy: str = "arrow"
+) -> DataFrame:
     """(doc_id, simhash): 64-bit sign fingerprint as a '0'/'1' string.
 
-    Computed RELATIONALLY: explode distinct tokens -> one md5 per token ->
-    hash-agg with n_bits codegen'd ``sum`` vote columns -> sign bits.  The
-    nested HOF form (functions/hashing.simhash_bits, 64 interpreted
-    aggregate-lambdas per row) computes identical values but was ~10x
-    slower at sf0.1; it remains the per-value/oracle reference.
+    Three value-identical strategies, fastest first:
+
+    - ``arrow`` (default): one Arrow-batched projection per doc
+      (functions/hashing.simhash_bits_arrow) — zero shuffle, numpy-
+      vectorized votes; the 100 TB plan is a pure map pass over the
+      corpus.
+    - ``relational``: explode distinct tokens -> one md5 per token ->
+      per-(doc,bit) vote rows -> hash-agg -> sign bits.  All-codegen but
+      a 64x row blowup and two shuffles ahead of banding; kept as the
+      engine-only cross-check (test_dedup asserts arrow == relational).
+    - the nested HOF form (functions/hashing.simhash_bits, 64
+      interpreted aggregate-lambdas per row) computes identical values
+      ~10x slower again; it remains the per-value/oracle reference.
+
     Empty-token docs keep an all-'0' fingerprint (vote 0 -> '0')."""
     c = canonical_docs(documents)
+    if strategy == "arrow":
+        return c.select(
+            "doc_id",
+            H.simhash_bits_arrow(TXT.tokens(F.col("proc_text")), n_bits).alias(
+                "simhash"
+            ),
+        )
     toks = c.select(
         "doc_id",
         F.explode_outer(F.array_distinct(TXT.tokens(F.col("proc_text")))).alias("tok"),
