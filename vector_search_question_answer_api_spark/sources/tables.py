@@ -54,6 +54,11 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The events table is written with TIMESTAMP(NANOS), which Spark rejects
+    # unless this legacy conf is on.  It is runtime-settable, so set it here
+    # (idempotently) rather than at session-build time — load_table must work
+    # on ANY SparkSession, including a vanilla one built without get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
     if parallelize:
         raw = ensure_parallelism(raw, spark)
