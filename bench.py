@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_question_answer_api_spark import inventory
+from vector_search_question_answer_api_spark.operators import dedup
 from vector_search_question_answer_api_spark.session import get_spark
 
 # The headline set: relational core, vector search, dedup, text analytics —
@@ -66,6 +67,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release dedup intermediate caches so successive queries don't
+        # accumulate executor storage across the suite
+        dedup.unpersist_all()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -120,3 +120,23 @@ def test_embedder_matches_numpy_reference(spark, sf_dir):
     got = {r["doc_id"]: np.array(r["norm_embedding"]) for r in build_index(docs).collect()}
     for (doc_id, _), exp in zip(proc, expected_norm):
         assert np.allclose(got[doc_id], exp, atol=1e-6)
+
+
+def test_partitioned_tie_contract(spark):
+    """Duplicate vectors straddling the k boundary: the partition-local prune
+    must keep the LOWER doc_id (the (distance ASC, doc_id ASC) contract), not
+    whichever argpartition happened to emit (ADVICE r1, medium)."""
+    dup = [1.0, 0.0, 0.0]
+    # 6 identical corpus vectors with shuffled ids + one distant decoy; with
+    # k=3 the tie set (size 6) straddles the boundary in every partition.
+    corpus = spark.createDataFrame(
+        [(i, dup) for i in (42, 7, 99, 3, 55, 18)] + [(1000, [0.0, 1.0, 0.0])],
+        "doc_id long, norm_embedding array<double>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(0, dup)], "query_id long, qvec array<double>"
+    )
+    a = _rows(knn_exact_expr(queries, corpus, k=3))
+    b = _rows(knn_exact_partitioned(queries, corpus, k=3))
+    assert a == b
+    assert [r[1] for r in b] == [3, 7, 18]

@@ -105,11 +105,11 @@ def test_session_stream_matches_batch_replay(spark, tmpdir):
     )
     batch_out = {r["event_id"]: r for r in replay_sessions(qa, index).collect()}
 
-    prepared, doc_vecs = prepare_qa_events(qa, index)
+    prepared = prepare_qa_events(qa, index)
     src = f"{tmpdir}/prepared"
     prepared.write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    out = attach_session_state(stream, doc_vecs)
+    out = attach_session_state(stream)
     rows_out = _run_available_now(spark, out, f"{tmpdir}/out", f"{tmpdir}/ckpt")
     stream_out = {r["event_id"]: r for r in rows_out}
 
@@ -143,9 +143,8 @@ def test_session_state_carries_across_microbatches(spark, tmpdir):
         [(1, T0 + timedelta(minutes=1), "s1", DOC_A)],
         "event_id long, ts timestamp, session_id string, question string",
     )
-    p1, dv1 = prepare_qa_events(qa1, index)
-    p2, dv2 = prepare_qa_events(qa2, index)
-    doc_vecs = {**dv1, **dv2}
+    p1 = prepare_qa_events(qa1, index)
+    p2 = prepare_qa_events(qa2, index)
     src = f"{tmpdir}/multi"
     ckpt = f"{tmpdir}/ckpt_multi"
     schema = None
@@ -158,7 +157,7 @@ def test_session_state_carries_across_microbatches(spark, tmpdir):
         batch.write.mode("append").parquet(src)
         schema = schema or spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
-        out = attach_session_state(stream, doc_vecs)
+        out = attach_session_state(stream)
         for r in _run_available_now(spark, out, f"{tmpdir}/mout", ckpt):
             got[r["event_id"]] = r
 

@@ -60,6 +60,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from vector_search_question_answer_api_spark.operators import dedup
     from vector_search_question_answer_api_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
@@ -80,6 +81,7 @@ def main() -> int:
         df = fn(spark, sf_dir)
         spark_cols = df.columns
         spark_rows = [tuple(r) for r in df.collect()]
+        dedup.unpersist_all()
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:32s} rows={len(spark_rows):6d} (rows-only, no oracle) "

@@ -262,7 +262,7 @@ def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
                   THEN 1 ELSE 0 END AS is_new
@@ -271,7 +271,7 @@ def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
@@ -302,7 +302,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn(
         "session_seq",
         F.sum("is_new").over(
-            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+            # (ts, event_id) — the same total order as the is_new flag
+            # window; ts alone leaves the prefix sum tie-order-dependent
+            # when a user has duplicate timestamps.
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
                 Window.unboundedPreceding, 0
             )
         ),
@@ -321,7 +324,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
                   THEN 1 ELSE 0 END AS is_new
@@ -330,7 +333,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )

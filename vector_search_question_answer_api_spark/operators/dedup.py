@@ -34,6 +34,26 @@ from vector_search_question_answer_api_spark.functions import text as TXT
 from vector_search_question_answer_api_spark.functions import vector as V
 
 
+# The pair generators persist expensive text-pipeline intermediates that
+# feed multiple branches of their plan, but they return LAZY DataFrames, so
+# they cannot unpersist those intermediates themselves.  Each persist is
+# tracked here; long-lived sessions (bench loops, multi-query harnesses)
+# call ``unpersist_all`` after materializing a result (ADVICE r1 low).
+_live_caches: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _live_caches.append(df)
+    return df
+
+
+def unpersist_all() -> None:
+    """Release every intermediate cache created by the dedup operators."""
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
+
 def canonical_docs(documents: DataFrame) -> DataFrame:
     """(doc_id, proc_text, fp): canonicalized text + md5 fingerprint."""
     return documents.select(
@@ -89,9 +109,9 @@ def ngram_jaccard_pairs(
     The shingle-set subplan feeds both sides of the self-join; persisted so
     the regex/shingling pipeline runs once.
     """
-    sets = shingle_sets(documents, k).withColumn(
-        "set_size", F.size("shingles")
-    ).persist()
+    sets = _persist(
+        shingle_sets(documents, k).withColumn("set_size", F.size("shingles"))
+    )
     inv = sets.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
@@ -139,7 +159,7 @@ def minhash_signatures(
     (min over md5("{seed}:{shingle}"))."""
     # sets feeds both the signature agg and the output join: persist so the
     # regex+shingling pipeline runs once even on first materialization
-    sets = shingle_sets(documents, k).persist()
+    sets = _persist(shingle_sets(documents, k))
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     mins = exploded.groupBy("doc_id").agg(
         *[
@@ -170,7 +190,7 @@ def minhash_lsh_pairs(
     # consumed three times (banding + two verify join-backs); persist it so
     # the expensive text pipeline runs once.  At 100 TB this materialization
     # is the "signature table" any LSH pipeline checkpoints anyway.
-    sigs = minhash_signatures(documents, n_hashes, k).persist()
+    sigs = _persist(minhash_signatures(documents, n_hashes, k))
     # Candidate generation shuffles IDS ONLY (band key + doc_id); the heavy
     # shingle arrays are joined back just for the surviving distinct pairs.
     banded = sigs.select(
@@ -287,7 +307,7 @@ def simhash_near_pairs(
     seg_len = n_bits // n_segments
     # consumed by banding + two verify join-backs; compute the vote
     # pipeline once
-    fps = simhash_fingerprints(documents, n_bits).persist()
+    fps = _persist(simhash_fingerprints(documents, n_bits))
     segmented = fps.select(
         "doc_id",
         "simhash",

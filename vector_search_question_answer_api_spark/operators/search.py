@@ -129,12 +129,15 @@ def knn_exact_partitioned(
             mat = np.array(list(pdf[index_vec_col]), dtype=np.float64)  # (n, d)
             dists = 1.0 - q_mat @ mat.T  # (m, n)
             take = min(k, dists.shape[1])
-            # argpartition then stable refine with (dist, id) tiebreak
-            part = np.argpartition(dists, take - 1, axis=1)[:, :take]
+            # Tie-aware prune: everything <= the k-th smallest distance is a
+            # candidate (argpartition alone breaks boundary ties arbitrarily
+            # and could drop the lower doc_id the (dist, id) contract keeps),
+            # then a (dist, id) lexsort picks the deterministic first k.
+            kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
             out_q, out_id, out_d = [], [], []
             for qi in range(dists.shape[0]):
-                cand = part[qi]
-                order = np.lexsort((ids[cand], dists[qi, cand]))
+                cand = np.nonzero(dists[qi] <= kth[qi])[0]
+                order = np.lexsort((ids[cand], dists[qi, cand]))[:take]
                 sel = cand[order]
                 out_q.extend([q_ids[qi]] * len(sel))
                 out_id.extend(ids[sel].tolist())

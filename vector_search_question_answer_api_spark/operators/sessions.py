@@ -17,9 +17,12 @@ set-at-a-time OUTSIDE the fold — question embeddings (U1 pandas_udf) and
 each question's best corpus hit (the kNN operator) — so the per-session fold
 is a tiny O(session_len) decision loop over precomputed columns, run in
 parallel across sessions via ``applyInPandas``.  Topic similarity needs
-sim(question, CURRENT context) where the context depends on the fold state,
-so context-doc vectors ride along in a broadcast dict (contexts are always
-retrieval hits, a small set).
+sim(question, CURRENT context) where the context depends on the fold state;
+since a context is always some earlier event's retrieval hit, each event's
+candidate VECTOR is attached by a distributed join (``cand_vec``) and the
+fold carries the current context's vector in its state — no driver-side
+collect of context vectors anywhere, so the replay scales to any number of
+distinct contexts.
 
 The same fold (``_fold_session_rows``) is reused verbatim by the streaming
 twin (streaming/session_stream.py, applyInPandasWithState) — single source
@@ -53,21 +56,30 @@ class _SessionState:
     context_doc_id: int | None = None
     history: list[tuple[str, str]] | None = None
     last_updated: datetime | None = None
+    context_vec: np.ndarray | None = None
 
     def __post_init__(self):
         if self.history is None:
             self.history = []
 
 
+def _as_vec(v) -> np.ndarray | None:
+    """Arrow hands list columns to pandas as numpy arrays or lists; nulls
+    arrive as None or NaN."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return np.asarray(v, dtype=np.float64)
+
+
 def _fold_session_rows(
     rows: Iterable[dict[str, Any]],
-    doc_vecs: dict[int, np.ndarray],
     cfg: EngineConfig,
     state: _SessionState | None = None,
 ) -> tuple[list[dict[str, Any]], _SessionState]:
     """The per-session decision loop.  ``rows`` must be time-ordered dicts
     with: event_id, ts, question, q_vec (normalized), cand_doc_id,
-    cand_dist.  Returns (output rows, final state)."""
+    cand_dist, cand_vec (the candidate doc's normalized vector, attached by
+    join in prepare_qa_events).  Returns (output rows, final state)."""
     state = state or _SessionState()
     ttl = timedelta(minutes=cfg.session_ttl_minutes)
     out = []
@@ -89,19 +101,27 @@ def _fold_session_rows(
             # cold: retrieve (qa_service.py:48-52)
             if hit_ok:
                 state.context_doc_id = int(cand_id)
+                state.context_vec = _as_vec(r.get("cand_vec"))
                 context_changed = True
         else:
             # topic check vs current context (qa_service.py:53-65, intent
             # semantics — the reference call is buggy, SURVEY.md §1.3)
-            ctx_vec = doc_vecs.get(state.context_doc_id)
-            sim = float(np.dot(q_vec, ctx_vec)) if ctx_vec is not None and q_vec is not None else 0.0
-            if math.isnan(sim):
-                sim = 0.0
-            is_new_topic = sim < cfg.topic_similarity_threshold
+            ctx_vec = state.context_vec
+            if ctx_vec is None or q_vec is None:
+                # topic check cannot run -> keep current context, matching
+                # the reference's detect_topic_change error path (returns
+                # False on failure, qa_service.py:124-129)
+                sim = None
+            else:
+                sim = float(np.dot(q_vec, ctx_vec))
+                if math.isnan(sim):
+                    sim = None
+            is_new_topic = sim is not None and sim < cfg.topic_similarity_threshold
             if is_new_topic and hit_ok:
                 # context_changed mirrors the reference's
                 # new_product_detected: a retrieval ran and was accepted
                 state.context_doc_id = int(cand_id)
+                state.context_vec = _as_vec(r.get("cand_vec"))
                 context_changed = True
             # weak hit (dist >= 0.4): keep old context (qa_service.py:62-64)
 
@@ -138,11 +158,12 @@ def prepare_qa_events(
     qa_events: DataFrame,
     index: DataFrame,
     embedder=None,
-) -> tuple[DataFrame, dict[int, np.ndarray]]:
+) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
-    qa_service.py:147-166 retrieval), and return (events+candidates,
-    candidate doc-vector dict for broadcast)."""
+    qa_service.py:147-166 retrieval), and attach the candidate doc's vector
+    (``cand_vec``) by a distributed join so the fold never needs a
+    driver-side vector lookup."""
     from vector_search_question_answer_api_spark.functions import vector as V
     from vector_search_question_answer_api_spark.functions import text as TXT
     from vector_search_question_answer_api_spark.operators.embed import HashingEmbedder
@@ -168,20 +189,19 @@ def prepare_qa_events(
         F.col("doc_id").alias("cand_doc_id"),
         F.col("distance").alias("cand_dist"),
     )
-    events = with_vec.join(hits, "event_id", "left")
-    # candidate context docs only (small set) — semi-join, then collect for
-    # closure broadcast into the fold
-    vec_rows = (
-        index.join(
-            events.select(F.col("cand_doc_id").alias("doc_id")).dropna().distinct(),
-            "doc_id",
-            "left_semi",
-        )
-        .select("doc_id", "norm_embedding")
-        .collect()
+    # Attach the candidate doc's vector to its (single) hit row — an
+    # equi-join Catalyst/AQE can broadcast or shuffle as sizes dictate, in
+    # place of the r1 driver-side collect of all distinct context vectors
+    # (VERDICT r1, What's wrong #3).
+    hits_with_vec = hits.join(
+        index.select(
+            F.col("doc_id").alias("cand_doc_id"),
+            F.col("norm_embedding").cast("array<double>").alias("cand_vec"),
+        ),
+        "cand_doc_id",
+        "left",
     )
-    doc_vecs = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in vec_rows}
-    return events, doc_vecs
+    return with_vec.join(hits_with_vec, "event_id", "left")
 
 
 def replay_sessions(
@@ -199,7 +219,7 @@ def replay_sessions(
     analog of the reference's generation resource monitor (U3,
     utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
     polls, readable on the driver after an action."""
-    events, doc_vecs = prepare_qa_events(qa_events, index, embedder)
+    events = prepare_qa_events(qa_events, index, embedder)
     cfg_ = cfg
     ev_acc = usage.events if usage is not None else None
     sess_acc = usage.sessions if usage is not None else None
@@ -208,7 +228,7 @@ def replay_sessions(
         pdf = pdf.sort_values(["ts", "event_id"])
         sid = pdf["session_id"].iloc[0]
         rows = pdf.to_dict("records")
-        out, _ = _fold_session_rows(rows, doc_vecs, cfg_)
+        out, _ = _fold_session_rows(rows, cfg_)
         if ev_acc is not None:
             ev_acc.add(len(out))
             sess_acc.add(1)

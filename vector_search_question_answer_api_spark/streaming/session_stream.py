@@ -49,14 +49,17 @@ from vector_search_question_answer_api_spark.operators.sessions import (
     _SessionState,
 )
 
-# state: context doc, (question, answer) history as parallel arrays, last ts
+# state: context doc + its vector (so a restored session can run the topic
+# check without any side-channel vector lookup — ADVICE r1 low), (question,
+# answer) history as parallel arrays, last ts
 STATE_SCHEMA = (
-    "context_doc_id long, hist_questions array<string>, "
+    "context_doc_id long, context_vec array<double>, "
+    "hist_questions array<string>, "
     "hist_answers array<string>, last_updated timestamp"
 )
 
 
-def make_session_stateful_fn(doc_vecs: dict[int, np.ndarray], cfg=DEFAULT_CONFIG):
+def make_session_stateful_fn(cfg=DEFAULT_CONFIG):
     """Build the applyInPandasWithState function closure."""
 
     def fn(
@@ -70,9 +73,14 @@ def make_session_stateful_fn(doc_vecs: dict[int, np.ndarray], cfg=DEFAULT_CONFIG
             return
         prior = _SessionState()
         if state.exists:
-            ctx_id, hq, ha, last = state.get
+            ctx_id, ctx_vec, hq, ha, last = state.get
             prior = _SessionState(
                 context_doc_id=ctx_id,
+                context_vec=(
+                    np.asarray(ctx_vec, dtype=np.float64)
+                    if ctx_vec is not None
+                    else None
+                ),
                 history=list(zip(hq or [], ha or [])),
                 last_updated=last,
             )
@@ -80,10 +88,15 @@ def make_session_stateful_fn(doc_vecs: dict[int, np.ndarray], cfg=DEFAULT_CONFIG
         for pdf in pdfs:
             rows.extend(pdf.to_dict("records"))
         rows.sort(key=lambda r: (r["ts"], r["event_id"]))
-        out, final = _fold_session_rows(rows, doc_vecs, cfg, prior)
+        out, final = _fold_session_rows(rows, cfg, prior)
         state.update(
             (
                 final.context_doc_id,
+                (
+                    [float(x) for x in final.context_vec]
+                    if final.context_vec is not None
+                    else None
+                ),
                 [q for q, _ in final.history],
                 [a for _, a in final.history],
                 final.last_updated,
@@ -103,16 +116,16 @@ def make_session_stateful_fn(doc_vecs: dict[int, np.ndarray], cfg=DEFAULT_CONFIG
 
 
 def attach_session_state(
-    prepared_stream: DataFrame, doc_vecs, cfg=DEFAULT_CONFIG
+    prepared_stream: DataFrame, cfg=DEFAULT_CONFIG
 ) -> DataFrame:
-    """Wire the stateful stage onto a prepared (q_vec/cand columns) stream.
-    Applies the TTL watermark on ``ts`` — late events beyond the TTL may be
-    dropped, matching the reference's 30-min session horizon."""
+    """Wire the stateful stage onto a prepared (q_vec/cand/cand_vec columns)
+    stream.  Applies the TTL watermark on ``ts`` — late events beyond the TTL
+    may be dropped, matching the reference's 30-min session horizon."""
     watermarked = prepared_stream.withWatermark(
         "ts", f"{cfg.session_ttl_minutes} minutes"
     )
     return watermarked.groupBy("session_id").applyInPandasWithState(
-        make_session_stateful_fn(doc_vecs, cfg),
+        make_session_stateful_fn(cfg),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
