@@ -216,3 +216,68 @@ def test_search_stream_matches_batch(spark, tmpdir):
     }
     assert got_map == want
     assert not any(k[0] == 99 for k in got_map)  # invalid query filtered
+
+
+def test_session_window_stream_matches_batch_sf001(spark, tmpdir):
+    """Batch == stream for the gap-session operator over the sf0.01 events
+    table (VERDICT r1 next-round #6: equivalence at real gate scale, not
+    toy size)."""
+    from vector_search_question_answer_api_spark.inventory import events_session_windows
+    from vector_search_question_answer_api_spark.streaming.windowed import (
+        session_window_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    events = load_table(spark, sf, "events")
+    src = f"{tmpdir}/events001"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = session_window_stream(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_win_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in events_session_windows(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_hourly_rollup_stream_matches_batch_sf001(spark, tmpdir):
+    """Batch == stream for the hourly rollup over the sf0.01 events table."""
+    sf = "/root/testdata/sf0.01"
+    events = load_table(spark, sf, "events")
+    src = f"{tmpdir}/events001_hr"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = hourly_rollup_stream(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out_001")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["hour_ms"], r["event_type"], r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_out_001").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["hour_ms"], r["event_type"], r["n"], r["total_value"])
+        for r in events_hourly_rollup(spark, sf).collect()
+    }
+    assert got == want

