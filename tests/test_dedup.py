@@ -175,3 +175,21 @@ def test_embedding_near_dup_auto_routes_above_cap(spark, sf_dir):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()
     assert routed.count() >= 0  # executes without collecting vectors
+
+
+def test_dup_clusters_strategies_agree(spark, docs):
+    """Driver union-find and distributed label propagation must emit the
+    identical clustering over the corpus pair graph."""
+    from vector_search_question_answer_api_spark.operators.dedup import dup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8).persist()
+    try:
+        def rel(strategy):
+            return {
+                (r["doc_id"], r["cluster_id"], r["cluster_size"])
+                for r in dup_clusters(pairs, strategy=strategy).collect()
+            }
+
+        assert rel("driver") == rel("distributed")
+    finally:
+        pairs.unpersist()

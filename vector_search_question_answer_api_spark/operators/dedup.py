@@ -344,7 +344,12 @@ def simhash_near_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    max_driver_edges: int = 5_000_000,
+    strategy: str | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size): connected components of the
     near-dup pair graph; cluster_id = minimum doc_id in the component —
     the canonical survivor, so ``cluster_id != doc_id`` marks removable
@@ -352,18 +357,71 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     minhash / simhash / embedding) find edges, this groups them into
     transitive duplicate sets.
 
-    Algorithm: iterative min-label propagation ("hash-to-min") — each round
-    every node takes the minimum label among itself and its neighbors, one
-    shuffled equi-join + hash-agg per round, converging in graph-diameter
-    rounds.  Near-dup components are shallow (stars/short chains), so the
-    fixpoint lands in a handful of rounds; ``localCheckpoint`` truncates
-    lineage each round so the plan stays flat.  Convergence is detected by
-    the label-sum, which strictly decreases until fixpoint (labels only
-    ever decrease).  At 100 TB the same loop runs with checkpoint() to
-    durable storage; alternating large-star/small-star (Kiveris et al.
-    2014) is the O(log d) escalation if deep components ever appear.
+    Auto-routed by edge count (tests assert both tiers emit the identical
+    relation):
+
+    - ``driver`` (edges <= max_driver_edges): union-find with path
+      compression over the collected edge list.  Near-dup EDGE sets are
+      tiny relative to the corpus (only similar pairs become edges), so
+      this is the common case even at large corpus scale — and it replaces
+      a multi-round join loop (seconds of per-round job overhead) with
+      microseconds of driver CPU.  5M edges x 16 B ~= 80 MB driver memory.
+    - ``distributed`` (above the cap): iterative min-label propagation
+      ("hash-to-min") — each round every node takes the minimum label
+      among itself and its neighbors, one shuffled equi-join + hash-agg
+      per round, converging in graph-diameter rounds.  ``localCheckpoint``
+      truncates lineage each round; convergence is detected by the
+      label-sum, which strictly decreases until fixpoint.  At 100 TB the
+      same loop runs with checkpoint() to durable storage; alternating
+      large-star/small-star (Kiveris et al. 2014) is the O(log d)
+      escalation if deep components ever appear.
     """
-    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Persist at the PAIR level (before the direction-doubling union), so
+    # the expensive pair-generation subplan runs exactly once; the union
+    # branches then both read the cache.
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
+    if strategy is None:
+        strategy = (
+            "driver" if und.count() <= max_driver_edges else "distributed"
+        )
+    if strategy == "driver":
+        spark = pairs.sparkSession
+        edge_rows = und.collect()
+        und.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                # union by min: smaller id becomes the root, so the final
+                # root IS the component minimum (the canonical survivor)
+                if a > b:
+                    a, b = b, a
+                parent[b] = a
+        members: dict[int, list[int]] = {}
+        nodes = set()
+        for r in edge_rows:
+            nodes.update((r[0], r[1]))
+        for n in nodes:
+            members.setdefault(find(n), []).append(n)
+        out = [
+            (n, root, len(ms))
+            for root, ms in members.items()
+            for n in ms
+        ]
+        return spark.createDataFrame(
+            out, "doc_id long, cluster_id long, cluster_size long"
+        )
     edges = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -397,6 +455,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    und.unpersist()
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     return comp.withColumn(
         "cluster_size",
