@@ -1382,9 +1382,8 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-@register(
-    "dedup_clusters",
-    # WITH RECURSIVE must lead the statement; the shingle CTEs are unchanged.
+# WITH RECURSIVE must lead the statement; the shingle CTEs are unchanged.
+_CLUSTERS_SQL = (
     _SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + ","
     + _JACCARD_PAIRS_SQL
@@ -1406,13 +1405,17 @@ _JACCARD_PAIRS_SQL = """
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp
     ORDER BY doc_id
-    """,
+    """
 )
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the 3-gram
-    jaccard>=0.8 pair graph (min-label propagation; oracle = recursive-CTE
-    transitive closure).  cluster_id is the canonical survivor doc_id —
-    the group-then-canonicalize step every dedup pipeline ends with."""
+    jaccard>=0.8 pair graph (auto-tiered: driver union-find below the edge
+    cap, min-label propagation above; oracle = recursive-CTE transitive
+    closure).  cluster_id is the canonical survivor doc_id — the
+    group-then-canonicalize step every dedup pipeline ends with."""
     from vector_search_question_answer_api_spark.operators.dedup import (
         dup_clusters,
         ngram_jaccard_pairs,
@@ -1421,6 +1424,22 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
     return dup_clusters(pairs).orderBy("doc_id")
+
+
+@register("dedup_clusters_distributed", _CLUSTERS_SQL)
+def dedup_clusters_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering tier, oracle-gated on its own: the iterative
+    min-label-propagation loop (the path taken above the driver edge cap),
+    forced here regardless of graph size so the distributed algorithm keeps
+    an always-on correctness row next to the auto-routed gate."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    return dup_clusters(pairs, strategy="distributed").orderBy("doc_id")
 
 
 _SIG_SQL = f"""
