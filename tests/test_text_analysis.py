@@ -59,3 +59,82 @@ def test_quality_scores(synth_docs):
     assert got[4]["quality_score"] == 0.0
     # 20x repeated word: low uniq_ratio drags the score
     assert got[6]["uniq_ratio"] == 0.05
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> tuple[int, list[int]]:
+    """Pure-python reference of the winnowing fingerprint."""
+    import hashlib
+    import re
+
+    # mirror functions/text.preprocess_text via the operator's own canon
+    grams = [text[i : i + k] for i in range(max(len(text) - k + 1, 0))]
+    hs = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+    ]
+    if len(hs) >= w:
+        sel = sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+    elif hs:
+        sel = [min(hs)]
+    else:
+        sel = []
+    return len(hs), sel
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    from vector_search_question_answer_api_spark.functions import text as TXT
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {
+        r["doc_id"]: (r["n_grams"], list(r["fp"]))
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    canon = {
+        r["doc_id"]: r["pt"]
+        for r in docs.select(
+            "doc_id", TXT.preprocess_text(F.col("text")).alias("pt")
+        ).collect()
+    }
+    for did, pt in canon.items():
+        assert got[did] == _winnow_py(pt or ""), f"doc {did}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + w - 1 (= 11) must share a
+    selected fingerprint (the winnowing guarantee)."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    shared = "identical fragment here"
+    docs = spark.createDataFrame(
+        [
+            (0, f"left padding text then {shared} and tail one"),
+            (1, f"other prefix material {shared} closing words two"),
+            (2, "completely different content with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fp"]) for r in winnowing_fingerprints(docs).collect()}
+    assert fps[0] & fps[1], "shared substring produced no shared fingerprint"
+
+
+def test_winnowing_edge_cases(spark):
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "tiny"), (2, "ninechars"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(docs).collect()}
+    assert got[0]["n_grams"] == 0 and got[0]["fp"] == []
+    assert got[3]["n_grams"] == 0 and got[3]["fp"] == []
+    # "tiny" < 8 chars -> no grams
+    assert got[1]["n_grams"] == 0
+    # "ninechars" -> 2 grams (<w) -> single global-min selection
+    assert got[2]["n_grams"] == 2 and got[2]["n_selected"] == 1

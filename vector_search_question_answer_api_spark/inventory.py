@@ -1606,6 +1606,53 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(d).orderBy("doc_id")
 
 
+_WINNOW_HASH = "CAST(" + _HEX_TO_INT.format(
+    h="md5(substr(proc, i::INT, 8))"
+) + " AS BIGINT)"
+
+
+@register(
+    "doc_winnow_fp",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_PREPROC_SQL} AS proc FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(proc) - 7, 0) + 1),
+                            i -> {_WINNOW_HASH}) AS hs
+      FROM p
+    ),
+    sel AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= 4 THEN
+                    list_sort(list_distinct(
+                      [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]))
+                  WHEN len(hs) > 0 THEN [list_min(hs)]
+                  ELSE []::BIGINT[] END AS fp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(fp) AS BIGINT) AS n_selected,
+           fp
+    FROM sel
+    ORDER BY doc_id
+    """,
+)
+def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (MOSS; Schleimer
+    et al. 2003): char-8-gram rolling hashes, window-4 minima, distinct
+    selected set.  The training-pipeline fingerprint tier between whole-doc
+    md5 (doc_fingerprint) and shingle-set similarity (dedup_ngram_jaccard)."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d).orderBy("doc_id")
+
+
 @register(
     "lang_id_heuristic",
     f"""

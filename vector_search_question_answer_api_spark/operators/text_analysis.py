@@ -80,6 +80,67 @@ def lang_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """(doc_id, n_grams, n_selected, fp): rolling-hash document fingerprints
+    by winnowing (Schleimer et al. 2003 — the MOSS algorithm).
+
+    Character k-grams of the canonical text are hashed to 32-bit ints
+    (first 8 md5 hex chars — engine-portable, the oracle replicates the
+    arithmetic), then each sliding window of ``w`` consecutive gram hashes
+    selects its minimum; the fingerprint is the sorted distinct set of
+    selected values.  Winnowing guarantees any shared substring of length
+    >= k + w - 1 contributes a shared fingerprint, making ``fp`` overlap a
+    plagiarism/near-dup signal with bounded density (~2/(w+1)).
+
+    All higher-order functions, zero UDFs, map-only — the gram-hash array
+    is materialized as a real column between the two transforms so the
+    window pass never re-evaluates the md5 chain (the lambda-capture trap
+    in SCALE.md "Planner lessons").  Docs shorter than k get an empty
+    fingerprint; shorter than k+w-1 grams collapse to one global-min
+    selection (the standard boundary rule).
+    """
+    proc = TXT.preprocess_text(F.col("text"))
+    base = documents.select("doc_id", proc.alias("proc"))
+    n_grams = F.greatest(F.length("proc") - (k - 1), F.lit(0))
+    hashes = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(F.col("proc"), i, F.lit(k))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    hs = base.select("doc_id", hashes.alias("hs"))
+    n = F.size("hs")
+    sel = (
+        F.when(
+            n >= w,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n - (w - 1)),
+                        lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+                    )
+                )
+            ),
+        )
+        .when(n > 0, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    staged = hs.select("doc_id", n.cast("long").alias("n_grams"), sel.alias("fp"))
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        F.size("fp").cast("long").alias("n_selected"),
+        "fp",
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Composite document-quality heuristic in [0,1]:
     0.25*(10<=n_tokens<=2000) + 0.25*(3<=mean_tok_len<=10)
