@@ -122,3 +122,35 @@ def test_usage_counters(spark, corpus):
     stats = usage.stats()
     assert stats["events_processed"] == 3
     assert stats["sessions_folded"] == 2
+
+
+def test_replay_lsh_retrieval_matches_exact(spark, corpus):
+    """The fully-distributed LSH retrieval tier (no driver collect of the
+    event-side query matrix) must reproduce the exact replay on the corpus
+    fixture — identical vectors always share every LSH signature, so the
+    self-hit candidates survive bucketing."""
+    rows = [
+        (0, "s1", DOC_A),
+        (1, "s1", DOC_A),
+        (2, "s1", DOC_B),
+        (3, "s2", GIBBERISH),
+        (31 + 3, "s2", DOC_C),
+    ]
+    exact = _replay(spark, corpus, rows)
+    ev = _events(spark, rows)
+    lsh = {
+        r["event_id"]: r
+        for r in replay_sessions(ev, corpus, retrieval="lsh").collect()
+    }
+    assert set(exact) == set(lsh)
+    for eid in exact:
+        for col in (
+            "context_doc_id",
+            "context_changed",
+            "is_new_topic",
+            "used_fallback",
+            "answer",
+            "history_len",
+            "expired_before",
+        ):
+            assert lsh[eid][col] == exact[eid][col], f"event {eid} col {col}"

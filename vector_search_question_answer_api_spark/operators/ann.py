@@ -119,9 +119,16 @@ def lsh_candidates(
     index_vec_col: str = "norm_embedding",
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Candidate (query_id, doc_id, qvec, cvec) pairs that collide in at
-    least one hash table — the bucket equi-join, deduplicated."""
+    least one hash table — the bucket equi-join, deduplicated.
+
+    ``broadcast_queries=False`` switches the bucket join to a plain shuffled
+    equi-join on the signature: neither side is ever collected or broadcast,
+    so the query side may be arbitrarily large (e.g. a full event-log replay
+    where every event is a query).  Leave True when queries genuinely fit a
+    broadcast — it saves the corpus-side shuffle."""
     c = with_lsh_signatures(
         index.select(
             F.col(index_id_col).alias("doc_id"),
@@ -142,9 +149,10 @@ def lsh_candidates(
         n_planes,
         n_tables,
     ).select("query_id", "qvec", F.explode("lsh_sigs").alias("sig"))
-    # Bucket join on (table, signature); queries are the small side.
+    # Bucket join on (table, signature); queries broadcast when small.
+    q_side = F.broadcast(q) if broadcast_queries else q
     return (
-        c.join(F.broadcast(q), "sig")
+        c.join(q_side, "sig")
         .select("query_id", "doc_id", "qvec", "cvec")
         .dropDuplicates(["query_id", "doc_id"])
     )

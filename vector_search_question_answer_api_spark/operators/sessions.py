@@ -158,16 +158,33 @@ def prepare_qa_events(
     qa_events: DataFrame,
     index: DataFrame,
     embedder=None,
+    retrieval: str = "exact",
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
     qa_service.py:147-166 retrieval), and attach the candidate doc's vector
     (``cand_vec``) by a distributed join so the fold never needs a
-    driver-side vector lookup."""
+    driver-side vector lookup.
+
+    ``retrieval`` picks the k=1 strategy:
+
+    - ``"exact"`` (default): ``knn_exact_partitioned`` — exact, but collects
+      the query matrix driver-side, so it requires the EVENT side to be
+      driver-sized (the reference's regime: one query per request).
+    - ``"lsh"``: SRP-LSH bucket join with ``broadcast_queries=False`` +
+      exact re-rank — approximate recall, but fully distributed: neither
+      events nor corpus is ever collected or broadcast, so a 100 TB replay
+      (every event a query) runs with only linear shuffles.  An event whose
+      question misses every hash bucket gets a null candidate, which the
+      fold treats exactly like a no-hit retrieval (fallback path).
+    """
     from vector_search_question_answer_api_spark.functions import vector as V
     from vector_search_question_answer_api_spark.functions import text as TXT
     from vector_search_question_answer_api_spark.operators.embed import HashingEmbedder
-    from vector_search_question_answer_api_spark.operators.search import knn_exact_partitioned
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_partitioned,
+        topk_per_query,
+    )
 
     embedder = embedder or HashingEmbedder()
     # Two-step: materialize the UDF output, THEN normalize — Spark forbids a
@@ -184,7 +201,19 @@ def prepare_qa_events(
         V.l2_normalize(F.col("q_emb")).cast("array<double>").alias("q_vec"),
     )
     q = with_vec.select(F.col("event_id").alias("query_id"), F.col("q_vec").alias("qvec"))
-    hits = knn_exact_partitioned(q, index, k=1).select(
+    if retrieval == "lsh":
+        from vector_search_question_answer_api_spark.operators.ann import lsh_candidates
+
+        cand = lsh_candidates(q, index, broadcast_queries=False)
+        scored = cand.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+        )
+        top1 = topk_per_query(scored, 1)
+    else:
+        top1 = knn_exact_partitioned(q, index, k=1)
+    hits = top1.select(
         F.col("query_id").alias("event_id"),
         F.col("doc_id").alias("cand_doc_id"),
         F.col("distance").alias("cand_dist"),
@@ -210,6 +239,7 @@ def replay_sessions(
     embedder=None,
     cfg: EngineConfig = DEFAULT_CONFIG,
     usage: "UsageCounters | None" = None,
+    retrieval: str = "exact",
 ) -> DataFrame:
     """Batch replay of the stateful /qa pipeline: precompute retrieval
     set-at-a-time, then fold each session in parallel (applyInPandas).
@@ -219,7 +249,7 @@ def replay_sessions(
     analog of the reference's generation resource monitor (U3,
     utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
     polls, readable on the driver after an action."""
-    events = prepare_qa_events(qa_events, index, embedder)
+    events = prepare_qa_events(qa_events, index, embedder, retrieval=retrieval)
     cfg_ = cfg
     ev_acc = usage.events if usage is not None else None
     sess_acc = usage.sessions if usage is not None else None
