@@ -281,3 +281,46 @@ def test_hourly_rollup_stream_matches_batch_sf001(spark, tmpdir):
         for r in events_hourly_rollup(spark, sf).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_matches_batch_survivors(spark, sf_dir, tmpdir):
+    """Streaming first-occurrence dedup == batch min-doc_id survivors when
+    arrival order is doc_id order (documents get synthetic increasing ts)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        dedup_exact_survivors,
+    )
+    from vector_search_question_answer_api_spark.streaming.dedup_stream import (
+        dedup_stream_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_millis(
+            F.lit(1704067200000) + F.col("doc_id") * 1000
+        ).alias("ts"),
+        "text",
+    )
+    src = f"{tmpdir}/docstream"
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = dedup_stream_exact(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{tmpdir}/dedup_out")
+        .option("checkpointLocation", f"{tmpdir}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "dedup stream did not finish"
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(f"{tmpdir}/dedup_out").collect()
+    }
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in dedup_exact_survivors(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert got == want
