@@ -193,3 +193,35 @@ def test_dup_clusters_strategies_agree(spark, docs):
         assert rel("driver") == rel("distributed")
     finally:
         pairs.unpersist()
+
+
+def test_winnow_overlap_catches_copied_passage(spark):
+    """A long copied passage inside otherwise-different docs must produce a
+    high overlap pair even though global shingle jaccard is low."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the dusty courtyard of the old station"
+    )
+    filler_a = "completely unrelated opening about maritime navigation charts"
+    filler_b = "finance report discussing quarterly revenue and cost centers"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{filler_a} {passage}"),
+            (1, f"{filler_b} {passage} plus an extra closing line"),
+            (2, "nothing shared with the others in any fragment at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in winnow_overlap_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.3
+    assert not any(2 in p for p in pairs)
+    # but 3-gram jaccard stays below the usual 0.8 dedup threshold
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    assert jac == []

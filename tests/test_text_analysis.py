@@ -138,3 +138,25 @@ def test_winnowing_edge_cases(spark):
     assert got[1]["n_grams"] == 0
     # "ninechars" -> 2 grams (<w) -> single global-min selection
     assert got[2]["n_grams"] == 2 and got[2]["n_selected"] == 1
+
+
+def test_repetition_scores_flags_degenerate_text(spark):
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),
+            (1, "every token in this sentence differs from the others fully"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[0]["top_token_frac"] == 1.0
+    assert got[0]["top_bigram_frac"] == 1.0
+    assert got[0]["uniq_bigram_frac"] < 0.5
+    assert got[1]["top_token_frac"] < 0.2
+    assert got[1]["uniq_bigram_frac"] == 1.0
+    assert got[2]["n_tokens"] == 0 and got[2]["top_token_frac"] == 0.0

@@ -1611,10 +1611,8 @@ _WINNOW_HASH = "CAST(" + _HEX_TO_INT.format(
 ) + " AS BIGINT)"
 
 
-@register(
-    "doc_winnow_fp",
-    f"""
-    WITH p AS (
+_WINNOW_SEL_SQL = f"""
+    p AS (
       SELECT doc_id, {_PREPROC_SQL} AS proc FROM documents
     ),
     g AS (
@@ -1632,6 +1630,13 @@ _WINNOW_HASH = "CAST(" + _HEX_TO_INT.format(
                   ELSE []::BIGINT[] END AS fp
       FROM g
     )
+"""
+
+
+@register(
+    "doc_winnow_fp",
+    f"""
+    WITH {_WINNOW_SEL_SQL}
     SELECT doc_id,
            CAST(len(hs) AS BIGINT) AS n_grams,
            CAST(len(fp) AS BIGINT) AS n_selected,
@@ -1651,6 +1656,80 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d).orderBy("doc_id")
+
+
+@register(
+    "dedup_winnow_overlap",
+    f"""
+    WITH {_WINNOW_SEL_SQL},
+    inv AS (
+      SELECT doc_id, len(fp) AS n_sel, unnest(fp) AS h FROM sel
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(count(*)::DOUBLE / least(any_value(a.n_sel), any_value(b.n_sel)), 6) + 0
+             AS overlap
+    FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*)::DOUBLE / least(any_value(a.n_sel), any_value(b.n_sel)) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth dedup pair tier: winnowing-fingerprint overlap coefficient
+    (MOSS similarity) — flags shared verbatim passages even at low global
+    jaccard.  Inverted-index join on the selected hashes, ids-only shuffle."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(d, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", (_r(F.col("overlap"), 6) + F.lit(0.0)).alias("overlap")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "repetition_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                                   i -> toks[i::INT] || ' ' || toks[i::INT + 1])
+                  ELSE []::VARCHAR[] END AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN len(toks) > 0 THEN
+                   list_max(list_transform(list_distinct(toks),
+                     d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
+                 ELSE 0.0 END, 6) + 0 AS top_token_frac,
+           round(CASE WHEN len(bg) > 0 THEN
+                   list_max(list_transform(list_distinct(bg),
+                     d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg)
+                 ELSE 0.0 END, 6) + 0 AS top_bigram_frac,
+           round(CASE WHEN len(bg) > 0 THEN
+                   len(list_distinct(bg))::DOUBLE / len(bg)
+                 ELSE 0.0 END, 6) + 0 AS uniq_bigram_frac
+    FROM bg
+    ORDER BY doc_id
+    """,
+)
+def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition diagnostics: top-token / top-bigram mass
+    fractions + bigram diversity, map-only HOFs."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_scores(d).orderBy("doc_id")
 
 
 @register(

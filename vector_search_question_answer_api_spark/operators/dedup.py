@@ -344,6 +344,61 @@ def simhash_near_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (the MOSS similarity
+    rule): overlap = |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) over the selected
+    rolling-hash sets from ``text_analysis.winnowing_fingerprints``.
+
+    Sixth pair tier — catches documents sharing long verbatim PASSAGES
+    (winnowing guarantees every shared substring >= k+w-1 chars lands a
+    shared fingerprint) even when global jaccard is low, the
+    copied-paragraph case the whole-doc tiers under-weigh.  Same inverted-
+    index shape as the shingle tiers: explode fingerprints, equi-join on
+    the hash, count co-occurrences — ids only in the shuffle, never a
+    cross join; ``max_doc_freq`` df-cuts boilerplate fingerprints.
+    """
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    fps = _persist(
+        winnowing_fingerprints(documents, k, w).select(
+            "doc_id", F.col("n_selected").alias("n_sel"), "fp"
+        )
+    )
+    inv = fps.select("doc_id", "n_sel", F.explode("fp").alias("h"))
+    if max_doc_freq is not None:
+        df_counts = inv.groupBy("h").agg(F.count("*").alias("df"))
+        n_docs = fps.count()
+        keep = df_counts.filter(F.col("df") <= max_doc_freq * n_docs)
+        inv = inv.join(F.broadcast(keep.select("h")), "h")
+    a = inv.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sel").alias("n_a"), "h"
+    )
+    b = inv.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sel").alias("n_b"), "h"
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "overlap",
+            F.col("inter").cast("double") / F.least("n_a", "n_b").cast("double"),
+        )
+    )
+    return pairs.filter(F.col("overlap") >= threshold).select(
+        "doc_a", "doc_b", "overlap"
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,

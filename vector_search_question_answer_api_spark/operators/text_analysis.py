@@ -80,6 +80,60 @@ def lang_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bigrams, top_token_frac, top_bigram_frac,
+    uniq_bigram_frac): repetition diagnostics in the Gopher/C4 filter
+    family — the fraction of the document consumed by its single most
+    frequent token / word-bigram, and bigram diversity.  High top-fractions
+    flag boilerplate and degenerate generations.
+
+    Pure HOFs: the per-row mode count is ``array_max`` over
+    ``size(filter(...))`` per distinct gram — O(u·n) per document, map-only,
+    no shuffle, replicated exactly by the DuckDB oracle.  Only the maximum
+    COUNT is emitted (never which gram), so ties cost no determinism.
+    """
+    proc = TXT.preprocess_text(F.col("text"))
+    base = documents.select("doc_id", _toks(proc).alias("toks"))
+    with_bg = base.select(
+        "doc_id",
+        "toks",
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+
+    def _top_frac(col: str) -> Column:
+        n = F.size(col)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(F.col(col)),
+                lambda d: F.size(F.filter(F.col(col), lambda x: x == d)),
+            )
+        )
+        return F.when(n > 0, top.cast("double") / n).otherwise(0.0)
+
+    uniq_bg = F.when(
+        F.size("bg") > 0,
+        F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(0.0)
+    return with_bg.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("bg").cast("long").alias("n_bigrams"),
+        (F.round(_top_frac("toks"), 6) + F.lit(0.0)).alias("top_token_frac"),
+        (F.round(_top_frac("bg"), 6) + F.lit(0.0)).alias("top_bigram_frac"),
+        (F.round(uniq_bg, 6) + F.lit(0.0)).alias("uniq_bigram_frac"),
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame, k: int = 8, w: int = 4
 ) -> DataFrame:
