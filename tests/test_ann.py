@@ -187,3 +187,57 @@ def test_hnsw_tier_gated_or_correct(spark, normed):
     got = _topk_sets(ann_hnsw.hnsw_topk(spark, graphs, q, k=1))
     exact = _topk_sets(knn_exact_expr(q, idx, k=1))
     assert _recall(exact, got) >= 0.9
+
+
+def test_ivf_ondisk_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partitioned inverted file must (a) emit exactly the in-memory
+    IVF results and (b) push the probed-cell set into PartitionFilters so
+    unprobed cell directories are never scanned."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        ivf_topk,
+        ivf_topk_ondisk,
+        write_ivf_index,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = e.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding")).cast("array<double>").alias(
+            "norm_embedding"
+        ),
+    ).cache()
+    queries = index.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(index, path)
+
+    got = ivf_topk_ondisk(spark, queries, path, k=3)
+    want = ivf_topk(queries, index, k=3)
+
+    def rows(df):
+        return [
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    assert rows(got) == rows(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, "no parquet FileScan in the plan"
+    pf = [l for l in scans if "PartitionFilters: [cell" in l]
+    assert pf, f"probed-cell set not in PartitionFilters: {scans}"
+    # pruning is real: the probed INSET is a strict subset of on-disk cells
+    import os
+    import re
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert n_dirs == 16
+    m = re.search(r"INSET ([0-9, ]+?), isnotnull", pf[0])
+    assert m, f"no INSET in PartitionFilters: {pf[0][:200]}"
+    assert len(m.group(1).split(",")) < n_dirs

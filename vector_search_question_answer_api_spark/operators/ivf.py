@@ -163,6 +163,84 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    index: DataFrame,
+    path: str,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = DEFAULT_N_CELLS,
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+) -> None:
+    """Materialize the ON-DISK inverted file: assign every vector its cell
+    once, then write parquet ``partitionBy("cell")`` — one directory per
+    cell.  This is the physical layout the module docstring promises at
+    100 TB: the partition column IS the coarse quantizer, so a query batch
+    that probes ``nprobe`` of ``n_cells`` cells reads only those
+    directories (partition pruning at the scan — no assignment recompute,
+    no full-corpus read, ever)."""
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    assigned = index.select(
+        F.col(index_id_col).alias("doc_id"),
+        F.col(index_vec_col).alias("cvec"),
+    ).withColumn("cell", assign_cell(F.col("cvec"), centroids))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_ondisk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    centroids=None,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = DEFAULT_N_CELLS,
+    nprobe: int = DEFAULT_NPROBE,
+    query_vec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k against the partitioned on-disk inverted
+    file.  The probed-cell set is pushed as a STATIC partition filter
+    (``cell IN (...)``) so only nprobe/n_cells of the corpus directories
+    are scanned — the plan shows it in ``PartitionFilters``; pinned by
+    tests/test_ann.py.
+
+    The probed-cell union is computed driver-side from the query vectors
+    (queries are the small side by the same contract as every kNN entry
+    point; the cell set is at most n_cells values regardless of query
+    count).  Emits exactly what ``ivf_topk`` emits for the same inputs.
+    """
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+        .withColumn("cells", probe_cells(F.col("qvec"), centroids, nprobe))
+    )
+    probed = sorted(
+        {int(c) for r in q.select("cells").collect() for c in r["cells"]}
+    )
+    qx = q.select("query_id", "qvec", F.explode("cells").alias("cell"))
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cand = corpus.join(F.broadcast(qx), "cell")
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
 def train_centroids(
     index: DataFrame,
     dim: int = 64,
