@@ -70,3 +70,15 @@ def test_partitioned_hnsw_real_path(spark, sf_dir):
 def test_partitioned_hnsw_gated(spark):
     with pytest.raises(NotImplementedError, match="LSH"):
         build_partitioned_hnsw(None, dim=64)
+
+
+def test_mongo_connector_gated(spark):
+    """The Mongo source seam raises its documented NotImplementedError when
+    the connector jar is absent (this container), pointing at the parquet
+    default path."""
+    from vector_search_question_answer_api_spark.sources.mongo import (
+        read_documents_mongo,
+    )
+
+    with pytest.raises(NotImplementedError, match="load_table"):
+        read_documents_mongo(spark, "mongodb://localhost:27017")

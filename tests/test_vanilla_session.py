@@ -28,3 +28,26 @@ def test_load_table_without_prebuilt_nanos_conf(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_ensure_parallelism_noop_on_multifile_input(spark, tmp_path):
+    """SCALE.md claims the parallelizing repartition is a NO-OP on real
+    multi-file data — pin it: a table already split into >= parallelism/2
+    files must come back without a round-robin exchange in its plan."""
+    import pyspark.sql.functions as F
+
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    src = str(tmp_path / "events.parquet")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_millis(F.lit(1704067200000) + F.col("id")).alias("ts"),
+        (F.col("id") % 50).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.rand(7).alias("value"),
+        F.lit("{}").alias("props"),
+    ).repartition(8).write.parquet(src)
+    df = load_table(spark, str(tmp_path), "events")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
+    assert df.count() == 10_000
