@@ -311,7 +311,9 @@ def simhash_near_pairs(
     # on the collision output, BEFORE the pair-dedup shuffle, which then
     # only moves true near-pairs.  One segment-join shuffle + one small
     # dedup shuffle total (was: candidate join + dedup + two join-backs).
-    fps = simhash_fingerprints(documents, n_bits)
+    # fps feeds both sides of the self-join; persist so the Arrow
+    # fingerprint pass runs once, not once per side.
+    fps = _persist(simhash_fingerprints(documents, n_bits))
     segmented = fps.select(
         "doc_id",
         "simhash",
