@@ -433,20 +433,21 @@ def dup_clusters(
       large-star/small-star (Kiveris et al. 2014) is the O(log d)
       escalation if deep components ever appear.
     """
-    # Persist at the PAIR level (before the direction-doubling union), so
-    # the expensive pair-generation subplan runs exactly once; the union
-    # branches then both read the cache.
-    und = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).persist()
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edge_rows = None
     if strategy is None:
-        strategy = (
-            "driver" if und.count() <= max_driver_edges else "distributed"
-        )
+        # One-pass probe: pull at most cap+1 edges; a small graph (the
+        # common case) is thereby ALREADY collected — no separate count
+        # job, no cache materialization.
+        probe = und.limit(max_driver_edges + 1).collect()
+        if len(probe) <= max_driver_edges:
+            strategy, edge_rows = "driver", probe
+        else:
+            strategy = "distributed"
     if strategy == "driver":
         spark = pairs.sparkSession
-        edge_rows = und.collect()
-        und.unpersist()
+        if edge_rows is None:
+            edge_rows = und.collect()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -479,6 +480,10 @@ def dup_clusters(
         return spark.createDataFrame(
             out, "doc_id long, cluster_id long, cluster_size long"
         )
+    # Persist at the PAIR level (before the direction-doubling union), so
+    # the expensive pair-generation subplan runs exactly once; the union
+    # branches then both read the cache.
+    und = und.persist()
     edges = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
