@@ -305,44 +305,71 @@ def simhash_near_pairs(
     Linear shuffle, no cross join.
     """
     seg_len = n_bits // n_segments
-    # A simhash is a 64-char string — cheap enough to CARRY through the
-    # bucket join (unlike the heavy shingle arrays in the minhash path), so
-    # no verify join-back is needed at all: the hamming filter runs directly
-    # on the collision output, BEFORE the pair-dedup shuffle, which then
-    # only moves true near-pairs.  One segment-join shuffle + one small
-    # dedup shuffle total (was: candidate join + dedup + two join-backs).
+    # Pack each segment's bits into a long ONCE per doc (n_segments `conv`s
+    # over the corpus), then join on the (segment index, segment value)
+    # long pair and carry the packed chunks through the join — per-candidate
+    # work is long equality + XOR/bit_count, never string conv.  (The
+    # previous form joined on "s:<bits>" strings and re-`conv`ed both
+    # 64-char fingerprints on EVERY candidate row — 8 string→long parses
+    # per candidate across millions of candidates.)
     # fps feeds both sides of the self-join; persist so the Arrow
     # fingerprint pass runs once, not once per side.
     fps = _persist(simhash_fingerprints(documents, n_bits))
-    segmented = fps.select(
+    packed = fps.select(
         "doc_id",
-        "simhash",
+        *[
+            F.conv(F.substring(F.col("simhash"), s * seg_len + 1, seg_len), 2, 10)
+            .cast("long")
+            .alias(f"c{s}")
+            for s in range(n_segments)
+        ],
+    )
+    segmented = packed.select(
+        "*",
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"{s}:"),
-                        F.substring(F.col("simhash"), s * seg_len + 1, seg_len),
+                    F.struct(
+                        F.lit(s).alias("seg"), F.col(f"c{s}").alias("val")
                     )
                     for s in range(n_segments)
                 ]
             )
-        ).alias("segment"),
-    )
+        ).alias("sv"),
+    ).select("doc_id", *[f"c{s}" for s in range(n_segments)], "sv.seg", "sv.val")
     a = segmented.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "segment"
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{s}").alias(f"ca{s}") for s in range(n_segments)],
+        "seg",
+        "val",
     )
     b = segmented.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "segment"
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{s}").alias(f"cb{s}") for s in range(n_segments)],
+        "seg",
+        "val",
     )
-    ham = H.hamming_distance_bits(F.col("sh_a"), F.col("sh_b"), n_bits)
+    # First-match emission: a near-pair agreeing on several segments would
+    # otherwise surface once per agreeing segment (identical fingerprints:
+    # n_segments times) and need a dropDuplicates shuffle.  Requiring all
+    # EARLIER segments to differ makes each pair come out of exactly one
+    # bucket — the cheap prior-chunk inequality check runs before the
+    # hamming arithmetic, and the dedup shuffle disappears entirely.
+    first_match = F.col("seg") == 0
+    for s in range(1, n_segments):
+        prior_differ = F.col("ca0") != F.col("cb0")
+        for t in range(1, s):
+            prior_differ = prior_differ & (F.col(f"ca{t}") != F.col(f"cb{t}"))
+        first_match = first_match | ((F.col("seg") == s) & prior_differ)
+    ham = F.bit_count(F.col("ca0").bitwiseXOR(F.col("cb0")))
+    for s in range(1, n_segments):
+        ham = ham + F.bit_count(F.col(f"ca{s}").bitwiseXOR(F.col(f"cb{s}")))
     return (
-        a.join(b, "segment")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["seg", "val"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_match)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
