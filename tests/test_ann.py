@@ -241,3 +241,20 @@ def test_ivf_ondisk_layout_prunes_partitions(spark, sf_dir, tmp_path):
     m = re.search(r"INSET ([0-9, ]+?), isnotnull", pf[0])
     assert m, f"no INSET in PartitionFilters: {pf[0][:200]}"
     assert len(m.group(1).split(",")) < n_dirs
+
+
+def test_lsh_signature_arrow_equals_expr(spark, normed):
+    """The Arrow signature kernel must be BIT-identical to the Catalyst HOF
+    form (same left-to-right float64 fold), including at sign boundaries —
+    this is what keeps the DuckDB oracle valid for the arrow default."""
+    from vector_search_question_answer_api_spark.operators.ann import with_lsh_signatures
+
+    base = normed.select("vec_id", F.col("nv").alias("v"))
+    arrow = with_lsh_signatures(base, "v", 64, n_planes=3, n_tables=16,
+                                strategy="arrow").select("vec_id", "lsh_sigs")
+    expr = with_lsh_signatures(base, "v", 64, n_planes=3, n_tables=16,
+                               strategy="expr").select("vec_id", "lsh_sigs")
+    diff = arrow.alias("a").join(expr.alias("e"), "vec_id").filter(
+        F.col("a.lsh_sigs") != F.col("e.lsh_sigs")
+    )
+    assert diff.count() == 0

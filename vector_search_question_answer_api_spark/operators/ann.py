@@ -91,6 +91,69 @@ def _sig_expr(vec: Column, table_planes) -> Column:
     return F.array_join(bits, "")
 
 
+def _signatures_arrow(
+    vec_col: Column, dim: int, n_planes: int, n_tables: int
+) -> Column:
+    """Arrow-batched twin of the per-table ``_sig_expr`` HOF — all
+    n_tables x n_planes signature bits in one vectorized pass.
+
+    Bit-identity contract: the HOF computes each dot as
+    ``(((0.0 + x0*h0) + x1*h1) + ...)`` in float64.  The kernel reproduces
+    that EXACT addition order — one accumulate step per component ``j``,
+    vectorized across (rows x planes) — and the products themselves are
+    exact (h is +/-1, float->double widening is exact), so every signature
+    equals the HOF/oracle form bit-for-bit even when a dot sits at the
+    sign boundary.  tests/test_ann.py pins arrow == expr on real vectors.
+
+    Why it's the default: the HOF form is interpreted per lambda step —
+    n_tables*n_planes*dim steps/row (~10 ms/vector at 16x3x64) and it
+    throttled the whole ANN tier; the kernel is ~dim numpy axpy ops per
+    BATCH, constant per-row Python cost.
+    """
+    planes = hyperplanes(dim, n_planes, n_tables)
+    import numpy as np
+
+    # H[j, t*n_planes + p] = component j of plane p in table t.
+    H = np.empty((dim, n_tables * n_planes), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            H[:, t * n_planes + p] = planes[t][p]
+    prefixes = [f"t{t}:" for t in range(n_tables)]
+
+    @F.pandas_udf("array<string>")
+    def _sig(vs):  # pd.Series[np.ndarray[float32]] -> pd.Series[list[str]]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in vs
+        ]
+        rows = [v for v in vals if v is not None]
+        if rows:
+            M = np.stack(rows)  # (n, dim) float64 — widening is exact
+            acc = np.zeros((M.shape[0], H.shape[1]), dtype=np.float64)
+            for j in range(dim):  # left-to-right, matching the HOF fold
+                acc += M[:, j : j + 1] * H[j]
+            bits = np.where(acc >= 0, "1", "0")
+        it = iter(range(len(rows)))
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            r = bits[next(it)]
+            out.append(
+                [
+                    prefixes[t]
+                    + "".join(r[t * n_planes : (t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return _sig(vec_col)
+
+
 def with_lsh_signatures(
     df: DataFrame,
     vec_col: str,
@@ -98,9 +161,18 @@ def with_lsh_signatures(
     n_planes: int = DEFAULT_N_PLANES,
     n_tables: int = DEFAULT_N_TABLES,
     out_col: str = "lsh_sigs",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Append ``out_col``: array of n_tables signature strings, each
-    prefixed with its table id ("t0:010110...")."""
+    prefixed with its table id ("t0:010110...").
+
+    ``strategy="arrow"`` (default) computes all signatures in one
+    Arrow-batched kernel; ``"expr"`` is the pure-Catalyst HOF form kept as
+    the value reference (bit-identical — see ``_signatures_arrow``)."""
+    if strategy == "arrow":
+        return df.withColumn(
+            out_col, _signatures_arrow(F.col(vec_col), dim, n_planes, n_tables)
+        )
     planes = hyperplanes(dim, n_planes, n_tables)
     sigs = [
         F.concat(F.lit(f"t{t}:"), _sig_expr(F.col(vec_col), planes[t]))
