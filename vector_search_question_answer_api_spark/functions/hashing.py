@@ -43,7 +43,9 @@ def minhash_signature(shingles: Column, n_hashes: int) -> Column:
 
 def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     """LSH band keys: hash of each contiguous ``rows_per_band`` slice of the
-    signature.  Docs sharing any band key become candidate pairs."""
+    signature.  Docs sharing any band key become candidate pairs.
+    Elements are stringified first so numeric (array<long>) and hex-string
+    signatures share one implementation."""
     return F.array(
         *[
             F.md5(
@@ -51,7 +53,11 @@ def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
                     "|",
                     F.lit(str(b)),
                     F.concat_ws(
-                        "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                        "|",
+                        F.transform(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ),
                 )
             )

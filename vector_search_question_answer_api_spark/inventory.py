@@ -1442,13 +1442,31 @@ def dedup_clusters_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs, strategy="distributed").orderBy("doc_id")
 
 
+# Double-hashed MinHash (Kirsch-Mitzenmacher): one md5 per shingle, the two
+# leading 32-bit digest words a/b give h_s = (a + s*b) mod 2^32.  16**(8-j)
+# is DOUBLE in DuckDB but every intermediate (< 2^32) is an exact integer,
+# so the BIGINT cast is lossless and matches Spark's conv()+long arithmetic
+# bit-for-bit.
+_HEX_WORD = (
+    "(list_sum(list_transform(range(1, 9), j -> "
+    "(strpos('0123456789abcdef', substr(md5(x), (j + {off})::INT, 1)) - 1)"
+    " * 16 ** (8 - j))))::BIGINT"
+)
+
 _SIG_SQL = f"""
     {_SHINGLES_SQL},
+    ab AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, x -> {_HEX_WORD.format(off=0)}) AS has,
+             list_transform(shingles, x -> {_HEX_WORD.format(off=8)}) AS hbs
+      FROM sh WHERE len(shingles) > 0
+    ),
     sig AS (
       SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, x -> md5(concat(s, ':', x))))
+             [list_min(list_transform(range(1, len(has) + 1),
+                       i -> (has[i::INT] + s * hbs[i::INT]) % 4294967296))
               FOR s IN range(0, 16)] AS sig
-      FROM sh WHERE len(shingles) > 0
+      FROM ab
     ),
     bands AS (
       SELECT doc_id, shingles,

@@ -149,21 +149,33 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     documents: DataFrame, n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingles, sig): MinHash signature per doc.
+    """(doc_id, shingles, sig): MinHash signature per doc, sig = array<long>.
 
-    Computed RELATIONALLY: explode shingles -> n_hashes seeded-md5 columns
-    -> one hash-agg with n_hashes ``min`` columns.  The whole plan is
-    whole-stage-codegen'd; the equivalent nested higher-order-function form
-    (array of array_min(transform(...))) evaluates its lambdas interpreted
-    per element and was ~10x slower at sf0.1.  Values are identical
-    (min over md5("{seed}:{shingle}"))."""
+    Computed RELATIONALLY: explode shingles -> ONE md5 per occurrence ->
+    the hash family by double hashing (Kirsch-Mitzenmacher 2006):
+    ``h_i = (a + i*b) mod 2^32`` with a/b the digest's two leading 32-bit
+    words -> one hash-agg with n_hashes ``min`` columns.  The whole plan is
+    whole-stage-codegen'd and the md5 count is 1/n_hashes of the seeded
+    form (``md5("{i}:{shingle}")`` per seed), which dominated the tier's
+    wall time.  a + i*b stays < 2^36, so the arithmetic is overflow-free
+    in both engines and the DuckDB oracle reproduces every signature value
+    exactly (same md5, same integer ops)."""
     # sets feeds both the signature agg and the output join: persist so the
     # regex+shingling pipeline runs once even on first materialization
     sets = _persist(shingle_sets(documents, k))
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    mins = exploded.groupBy("doc_id").agg(
+    h = exploded.select(
+        "doc_id",
+        F.md5(F.col("shingle")).alias("h"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("hb"),
+    )
+    m = F.lit(4294967296)
+    mins = h.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.col("ha") + F.lit(i) * F.col("hb")) % m).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
