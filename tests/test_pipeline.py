@@ -1,0 +1,98 @@
+"""Training-data pipeline operators (operators/pipeline.py): PII scrub,
+hash splits, greedy packing, contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators.pipeline import (
+    contamination_scores,
+    dataset_split,
+    pack_sequences,
+    scrub_pii,
+)
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "see https://a.b/c?d=1 and http://plain.io"),
+            (3, "host 192.168.0.1 responded"),
+            (4, "call +1 415 555 0100 now"),
+            (5, "nothing personal here"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and "<EMAIL>" in rows[1]["scrubbed"]
+    assert "@" not in rows[1]["scrubbed"]
+    assert rows[2]["n_url"] == 2 and rows[2]["scrubbed"].count("<URL>") == 2
+    assert rows[3]["n_ip"] == 1 and "<IP>" in rows[3]["scrubbed"]
+    assert rows[4]["n_phone"] == 1 and "<PHONE>" in rows[4]["scrubbed"]
+    assert rows[5]["scrubbed"] == "nothing personal here"
+    assert all(rows[5][c] == 0 for c in ("n_email", "n_url", "n_ip", "n_phone"))
+    assert rows[6]["scrubbed"] == ""
+
+
+def test_scrub_pii_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "x@y.io at 10.0.0.1 via http://z +1 222 333 4444")],
+        "doc_id long, text string",
+    )
+    once = scrub_pii(df).select("doc_id", F.col("scrubbed").alias("text"))
+    twice = scrub_pii(once).collect()[0]
+    assert twice["n_email"] == twice["n_url"] == twice["n_ip"] == twice["n_phone"] == 0
+
+
+def test_dataset_split_fractions_and_determinism(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s = dataset_split(d, 80, 10)
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == d.count()
+    # hash-mod split: expect roughly 80/10/10 (loose bounds at tiny sf)
+    assert counts.get("train", 0) > 0.6 * n
+    assert 0 < counts.get("valid", 0) < 0.25 * n
+    assert 0 < counts.get("test", 0) < 0.25 * n
+    assert s.collect() == dataset_split(d, 80, 10).collect()
+    assert s.filter((F.col("bucket") < 0) | (F.col("bucket") >= 100)).count() == 0
+
+
+def test_pack_sequences_capacity_and_order(spark):
+    rows = [
+        ("s1", 1, 100), ("s1", 2, 100), ("s1", 3, 100),  # 2 bins: [1,2],[3]
+        ("s1", 4, 300),                                   # oversize -> own bin
+        ("s1", 5, 10),
+        ("s2", 10, 256), ("s2", 11, 1),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {(r["source"], r["doc_id"]): r for r in pack_sequences(df, capacity=256).collect()}
+    assert out[("s1", 1)]["bin_id"] == 0 and out[("s1", 2)]["bin_id"] == 0
+    assert out[("s1", 3)]["bin_id"] == 1
+    assert out[("s1", 4)]["bin_id"] == 2 and out[("s1", 4)]["bin_fill"] == 300
+    assert out[("s1", 5)]["bin_id"] == 3
+    assert out[("s2", 10)]["bin_id"] == 0 and out[("s2", 11)]["bin_id"] == 1
+    # bin_fill within a bin is the running sum and never exceeds capacity
+    # except for a lone oversize doc
+    for r in out.values():
+        assert r["bin_fill"] <= 256 or r["bin_fill"] == 300
+
+
+def test_contamination_bounds_and_planted_dup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    # plant a held-out doc (id % 17 == 0) that copies a train doc's text
+    src = d.filter(F.col("doc_id") == 1).select("text").collect()[0]["text"]
+    planted_id = 17 * 100003  # far outside the corpus id range, % 17 == 0
+    extra = spark.createDataFrame(
+        [(planted_id, src, "en", "src0", len(src))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    scores = contamination_scores(d.unionByName(extra), test_mod=17, k=3)
+    rows = scores.collect()
+    for r in rows:
+        assert 0.0 <= r["contamination"] <= 1.0
+    planted = [r for r in rows if r["doc_id"] == planted_id]
+    assert planted and planted[0]["contamination"] == 1.0

@@ -1922,3 +1922,188 @@ def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return quality_scores(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (operators/pipeline.py): PII scrubbing,
+# deterministic splits, sequence packing, contamination measurement.
+
+_PII_AUG_SQL = (
+    "concat(coalesce(text, ''), ' contact user', doc_id, '@example.com or see "
+    "http://ex.com/p/', doc_id, ' from 10.0.', doc_id % 256, '.7 call "
+    "+1 555 01', doc_id % 10, ' 2345')"
+)
+
+_PII_STEPS_SQL = """
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_url,
+             regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_url,
+             len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+             regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id, n_email, n_url, n_ip,
+             len(regexp_extract_all(t, '\\+?\\d[\\d -]{7,}\\d')) AS n_phone,
+             regexp_replace(t, '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS t
+      FROM s3
+    )
+"""
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    ),
+    {_PII_STEPS_SQL}
+    SELECT doc_id, t AS scrubbed, n_email, n_url, n_ip, n_phone
+    FROM s4 ORDER BY doc_id
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-class counts.  The corpus has no natural PII, so
+    the gate plants one deterministic instance of each class per doc (same
+    augmentation expression on both engines) — every pattern and the
+    replacement-order contract are exercised on every row."""
+    from vector_search_question_answer_api_spark.operators.pipeline import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or see http://ex.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" 2345"),
+        ).alias("t"),
+    )
+    return scrub_pii(aug, text_col="t").orderBy("doc_id")
+
+
+@register(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           (list_sum(list_transform(range(1, 9), j ->
+              (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), j::INT, 1)) - 1)
+              * 16 ** (8 - j))))::BIGINT % 100 AS bucket,
+           CASE WHEN (list_sum(list_transform(range(1, 9), j ->
+                  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), j::INT, 1)) - 1)
+                  * 16 ** (8 - j))))::BIGINT % 100 < 80 THEN 'train'
+                WHEN (list_sum(list_transform(range(1, 9), j ->
+                  (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), j::INT, 1)) - 1)
+                  * 16 ** (8 - j))))::BIGINT % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod train/valid/test assignment — stable under appends and
+    reshuffles, reproducible in any engine (md5 leading word mod 100)."""
+    from vector_search_question_answer_api_spark.operators.pipeline import dataset_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return dataset_split(d, 80, 10).orderBy("doc_id")
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    o AS (
+      SELECT source, doc_id, len(toks)::BIGINT AS n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    p AS (
+      SELECT source, doc_id, n, rn, 0::BIGINT AS bin_id, n AS bin_fill
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.n, o.rn,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n > 256
+                  THEN o.n ELSE p.bin_fill + o.n END
+      FROM p JOIN o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, doc_id, bin_id, bin_fill FROM p ORDER BY source, doc_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token bins per source shard (LLM
+    batch prep).  The per-shard fold is an applyInPandas group; the oracle
+    replays the same greedy walk as a recursive CTE."""
+    from vector_search_question_answer_api_spark.operators.pipeline import pack_sequences
+    from vector_search_question_answer_api_spark.functions import text as TXT
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_tokens = d.select(
+        "source",
+        "doc_id",
+        F.size(TXT.tokens(TXT.preprocess_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(doc_tokens, capacity=256).orderBy("source", "doc_id")
+
+
+@register(
+    "contamination_check",
+    f"""
+    {_SHINGLES_SQL},
+    test AS (
+      SELECT doc_id, shingles, len(shingles) AS n_shingles
+      FROM sh WHERE doc_id % 17 = 0 AND len(shingles) > 0
+    ),
+    train AS (
+      SELECT DISTINCT unnest(shingles) AS shingle
+      FROM sh WHERE doc_id % 17 <> 0
+    ),
+    ti AS (
+      SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM test
+    ),
+    hits AS (
+      SELECT ti.doc_id, ti.n_shingles, count(*) AS n_hit
+      FROM ti JOIN train USING (shingle)
+      GROUP BY ti.doc_id, ti.n_shingles
+    )
+    SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0)::DOUBLE / t.n_shingles, 6) + 0 AS contamination
+    FROM test t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-set contamination: fraction of each test doc's distinct
+    3-shingles present anywhere in the train corpus — the inverted-index
+    semi-join shape, never an all-pairs scan.  Docs too short to shingle are
+    excluded on both sides (the oracle's shingle CTE drops them)."""
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        contamination_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        contamination_scores(d, test_mod=17, k=3)
+        .filter(F.col("n_shingles") > 0)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,173 @@
+"""Training-data pipeline operators beyond the reference surface: PII
+scrubbing, deterministic dataset splits, greedy sequence packing, and
+train/test contamination measurement (SURVEY.md §2 extension families).
+
+All four are standard large-corpus preparation steps.  Three are pure
+Catalyst expressions; sequence packing is the one genuinely stateful
+per-shard fold and uses the repo's applyInPandas seam with a recursive-CTE
+DuckDB oracle (same precedent as dup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# PII scrubbing.  Patterns are deliberately RE2-compatible (no backrefs, no
+# lookaround) so Spark's Java regex and DuckDB's RE2 produce identical
+# matches; replacement order matters (emails before bare IPs, URLs before
+# phone digit runs) and is part of the contract.
+
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, scrubbed, n_email, n_url, n_ip, n_phone): redact PII spans
+    and count replacements per class.
+
+    Map-only over the corpus (regexp_replace chains stay inside whole-stage
+    codegen); at 100 TB this is a pure scan-projection pass with no shuffle.
+    """
+    out = documents.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    for name, pat, token in PII_PATTERNS:
+        # Count on the CURRENT text (post earlier replacements — the
+        # documented order contract), then redact.
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), 0)),
+        ).withColumn("_t", F.regexp_replace(F.col("_t"), pat, token))
+    return out.select(
+        "doc_id",
+        F.col("_t").alias("scrubbed"),
+        *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split.  Hash-mod assignment is THE scale-safe split:
+# stable under reshuffling/appends, needs no global sort or count, and any
+# engine can reproduce it (md5 leading word mod 100).
+
+def dataset_split(
+    documents: DataFrame,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, split): bucket = md5(doc_id) leading 32 bits mod
+    100; split = train/valid/test by cumulative percentage."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test")
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (LLM pretraining batch prep): walk each shard's
+# docs in deterministic order, close a bin when the next doc would overflow
+# ``capacity`` tokens.  Inherently a sequential fold per shard — the 100 TB
+# pattern is "pack within each shard in parallel", which is exactly one
+# applyInPandas group per shard; no cross-shard state exists.
+
+def pack_sequences(
+    doc_tokens: DataFrame, capacity: int = 256
+) -> DataFrame:
+    """Input: (source, doc_id, n_tokens).  Output: (source, doc_id, bin_id,
+    bin_fill) where bin_id numbers bins per source from 0 in doc_id order
+    and bin_fill is the running token total within the bin.
+
+    Docs with n_tokens > capacity get a bin of their own (standard
+    oversize rule).  Arrow-batched fold: one pandas group per source.
+    """
+    schema = "source string, doc_id long, bin_id long, bin_fill long"
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > capacity:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "doc_id": pdf["doc_id"],
+                "bin_id": bins,
+                "bin_fill": fills,
+            }
+        )
+
+    return doc_tokens.select("source", "doc_id", "n_tokens").groupBy(
+        "source"
+    ).applyInPandas(_pack, schema)
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination: for each held-out doc, the fraction of its
+# distinct k-shingles that appear anywhere in the training corpus.  The
+# inverted-index semi-join shape (ids only in the shuffle) is the same
+# scale-safe recipe as the dedup tiers — never an all-pairs comparison.
+
+def contamination_scores(
+    documents: DataFrame, test_mod: int = 17, k: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, contamination): doc_id % test_mod == 0
+    marks the held-out set; contamination = hit fraction of its distinct
+    shingles against the train-side distinct shingle inventory."""
+    from vector_search_question_answer_api_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(documents, k)
+    is_test = (F.col("doc_id") % test_mod) == 0
+    test = sets.filter(is_test)
+    train_shingles = (
+        sets.filter(~is_test)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    test_inv = test.select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
+    )
+    hits = (
+        test_inv.join(train_shingles, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = test.select("doc_id", F.size("shingles").alias("n_shingles"))
+    return (
+        base.join(hits, ["doc_id", "n_shingles"], "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_hit") / F.col("n_shingles").cast("double"), 6)
+                + F.lit(0.0),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
