@@ -96,3 +96,20 @@ def test_contamination_bounds_and_planted_dup(spark, sf_dir):
         assert 0.0 <= r["contamination"] <= 1.0
     planted = [r for r in rows if r["doc_id"] == planted_id]
     assert planted and planted[0]["contamination"] == 1.0
+
+
+def test_pack_sequences_sharded_bounds_groups(spark):
+    rows = [("s1", i, 100) for i in range(12)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_sequences(df, capacity=256, shard_mod=3).collect()
+    assert len(out) == 12
+    # every (bin) holds <= capacity unless lone oversize; bins never mix shards
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bin_id, members in by_bin.items():
+        assert len({m["doc_id"] % 3 for m in members}) == 1
+        assert max(m["bin_fill"] for m in members) <= 256
+    # shard encoding: bin_id % mod == shard of its members
+    for r in out:
+        assert r["bin_id"] % 3 == r["doc_id"] % 3

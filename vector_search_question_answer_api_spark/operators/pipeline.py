@@ -89,7 +89,7 @@ def dataset_split(
 # applyInPandas group per shard; no cross-shard state exists.
 
 def pack_sequences(
-    doc_tokens: DataFrame, capacity: int = 256
+    doc_tokens: DataFrame, capacity: int = 256, shard_mod: int | None = None
 ) -> DataFrame:
     """Input: (source, doc_id, n_tokens).  Output: (source, doc_id, bin_id,
     bin_fill) where bin_id numbers bins per source from 0 in doc_id order
@@ -97,13 +97,23 @@ def pack_sequences(
 
     Docs with n_tokens > capacity get a bin of their own (standard
     oversize rule).  Arrow-batched fold: one pandas group per source.
-    """
+
+    ``shard_mod`` bounds group size at scale: a single source can be
+    terabytes, and one pandas group per source would pin it to one task.
+    With shard_mod=N the fold runs per (source, doc_id % N) and bin ids are
+    disambiguated by shard (bin_id = local_bin * N + shard).  Packing is
+    then greedy WITHIN each sub-shard — bins never span sub-shards, which
+    is the usual contract anyway (an output shard is written by one
+    worker).  Default None keeps the exact single-walk semantics the
+    oracle replays."""
     schema = "source string, doc_id long, bin_id long, bin_fill long"
+    mod = shard_mod or 1
 
     def _pack(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["doc_id"].iloc[0]) % mod if mod > 1 else 0
         bins, fills = [], []
         bin_id, fill = 0, 0
         for n in pdf["n_tokens"]:
@@ -112,7 +122,7 @@ def pack_sequences(
                 bin_id += 1
                 fill = 0
             fill += n
-            bins.append(bin_id)
+            bins.append(bin_id * mod + shard)
             fills.append(fill)
         return pd.DataFrame(
             {
@@ -123,9 +133,14 @@ def pack_sequences(
             }
         )
 
-    return doc_tokens.select("source", "doc_id", "n_tokens").groupBy(
-        "source"
-    ).applyInPandas(_pack, schema)
+    base = doc_tokens.select("source", "doc_id", "n_tokens")
+    if shard_mod:
+        return base.withColumn(
+            "_shard", F.col("doc_id") % shard_mod
+        ).groupBy("source", "_shard").applyInPandas(
+            lambda pdf: _pack(pdf.drop(columns=["_shard"])), schema
+        )
+    return base.groupBy("source").applyInPandas(_pack, schema)
 
 
 # ---------------------------------------------------------------------------
