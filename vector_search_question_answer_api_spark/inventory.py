@@ -2141,3 +2141,65 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shingles") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_quantiles",
+    """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) + 0 AS p50,
+           round(quantile_cont(value, 0.9), 6) + 0 AS p90,
+           round(quantile_cont(value, 0.99), 6) + 0 AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (R-7 linear interpolation — Spark's
+    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit on doubles).
+
+    Scale note: exact percentile buffers each group's values; the 100 TB
+    tier is `percentile_approx` (Greenwald-Khanna, bounded memory) with
+    this exact form as the small-group/oracle reference."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _r(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            _r(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            _r(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           count(json_extract(props, '$.k')) AS n_with_k,
+           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           round(avg(json_extract(props, '$.k')::BIGINT), 6) + 0 AS avg_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + per-type rollup
+    (get_json_object stays inside codegen; at scale prefer from_json with a
+    pinned schema so the parse is vectorized once, not per path)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            _r(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
