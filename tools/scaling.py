@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""Measured scaling evidence: time headline operators at 1x/4x/16x corpus size.
+
+The correctness gates pin behavior at sf0.01; ``bench.py`` times sf0.1.  This
+harness answers the remaining question — *how do the operators scale?* — by
+synthesizing Nx replicas of the driver testdata and fitting a log-log slope
+per query (slope ~1.0 = linear in input size; ~2.0 = quadratic blow-up).
+
+Replication is **salted per shard** so outputs stay linear rather than
+quadratic:
+
+- ``documents.text``: every word is prefixed with the shard tag
+  (``s<k>word``).  A bijective per-shard token rename preserves every
+  within-shard relation exactly (shingle sets, minhash/simhash structure,
+  exact-dup fingerprints, token counts) while making cross-shard shingle
+  overlap zero — so dedup pair counts must scale exactly Nx, and the
+  harness records observed output rows to prove it.
+- ``embeddings.embedding``: element-wise multiply by a per-shard random
+  ±1 sign pattern (shard 0 = identity).  A diagonal ±1 map is an isometry:
+  within-shard cosines are bit-identical, cross-shard cosines are
+  scrambled to ~0, so near-dup/kNN structure replicates without
+  cross-shard interference.  ``vec_id`` is offset per shard; the gate
+  queries' fixed query side (``vec_id < 10``) lives in shard 0, so kNN
+  work grows linearly in corpus size with a constant query set.
+- ``events``: ``event_id``/``user_id`` offset per shard, timestamps kept —
+  per-user session structure replicates exactly, so sessionization output
+  is exactly Nx rows.
+- ``lineitem``/``orders``/``customer``: join keys (orderkey, custkey)
+  offset per shard so join fan-out stays 1:1 (no Nx-times-Nx key
+  collisions).  Dimension tables (region/nation/supplier/part) are copied
+  unscaled — at 100 TB the dimensions stay small; that is the realistic
+  shape.
+
+Usage::
+
+    python -m tools.scaling [--scales 1,4,16] [--base /root/testdata/sf0.1]
+                            [--out /tmp/spark_graft_scale] [--skip-gen]
+
+Prints one JSON object with per-query wall times, output row counts, and
+fitted slopes; ``SCALING.md`` is the human-readable ledger of a recorded
+run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark import inventory
+from vector_search_question_answer_api_spark.operators import dedup
+from vector_search_question_answer_api_spark.session import get_spark
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+# Queries timed at each scale — one per operator family whose cost is driven
+# by a scaled table.  (Queries over fixed-size inputs, e.g. media_* over the
+# unscaled corpus, add nothing to a scaling curve.)
+SCALE_QUERIES = [
+    "q1_pricing_summary",        # lineitem agg (map-side combine)
+    "q3_top_revenue_orders",     # 3-way join, keys offset per shard
+    "events_sessionization",     # window + running sum over events
+    "events_hourly_rollup",      # event-time windowed agg
+    "knn_topk",                  # fixed queries x Nx corpus (BNLJ)
+    "ann_lsh_topk",              # LSH bucket join
+    "ann_ivf_topk",              # IVF cell-pruned probe
+    "dedup_exact",               # hash-agg on fingerprint
+    "dedup_ngram_jaccard",       # shingle inverted index
+    "dedup_minhash_lsh",         # banded minhash
+    "dedup_simhash",             # pigeonhole segment banding
+    "dedup_clusters",            # connected components over pair graph
+    "dedup_embedding",           # auto-routed broadcast/LSH near-dup
+    "token_stats",               # map-only text analytics
+    "search_pipeline_e2e",       # embed (Arrow UDF) + kNN + doc join
+]
+
+UNSCALED = ["region", "nation", "supplier", "part"]
+EMB_DIM = 64
+
+# Queries whose OUTPUT rows must be exactly Nx under the salted replication
+# (salting preserves within-shard relations bit-for-bit and makes cross-shard
+# matches impossible).  The rest are approximately-Nx by design: the hash-
+# dependent tiers (minhash banding, simhash fingerprints, LSH buckets) see
+# *renamed* tokens / sign-flipped vectors per shard, so per-shard candidate
+# recall varies even though the true underlying duplicate structure is Nx.
+EXPECT_EXACT_NX = {
+    "events_sessionization",
+    "dedup_exact",
+    "dedup_ngram_jaccard",  # true-jaccard on bijectively renamed shingles
+    "token_stats",
+}
+# Fixed-output queries (top-k with a constant query set / LIMIT): rows stay
+# constant while *work* scales Nx — the interesting number is the slope.
+EXPECT_CONST_ROWS = {
+    "q1_pricing_summary",
+    "events_hourly_rollup",  # timestamps preserved -> same windows, Nx counts
+    "q3_top_revenue_orders",
+    "knn_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "search_pipeline_e2e",
+}
+
+
+def _sign_patterns(n_shards: int, dim: int) -> list[list[float]]:
+    rng = random.Random(20260813)
+    out = []
+    for k in range(n_shards):
+        if k == 0:
+            out.append([1.0] * dim)
+        else:
+            out.append([1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)])
+    return out
+
+
+def _offset(df: DataFrame, col: str, off_expr) -> DataFrame:
+    return df.withColumn(col, (F.col(col) + off_expr).cast("long"))
+
+
+def generate(spark: SparkSession, base: str, out_dir: str, n: int) -> str:
+    """Materialize an n-times salted replica of the scaled tables."""
+    dest = os.path.join(out_dir, f"x{n}")
+    os.makedirs(dest, exist_ok=True)
+    for t in UNSCALED:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(dest, f"{t}.parquet")
+        if os.path.isfile(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    shards = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("shard")
+    write_parts = max(8, min(64, 4 * n))
+
+    def expand(name: str) -> DataFrame:
+        return (
+            load_table(spark, base, name, parallelize=False)
+            .select("*", shards)
+            .repartition(write_parts)
+        )
+
+    def span(name: str, col: str) -> int:
+        row = load_table(spark, base, name, parallelize=False).agg(
+            F.max(col)
+        ).first()
+        return int(row[0]) + 1
+
+    off = F.col("shard").cast("long")
+
+    # documents: id offset + bijective per-shard token rename
+    doc_off = span("documents", "doc_id")
+    docs = expand("documents")
+    docs = _offset(docs, "doc_id", off * doc_off)
+    salted = F.regexp_replace(
+        F.col("text"),
+        F.lit(r"(\w+)"),
+        F.concat(F.lit("s"), F.col("shard").cast("string"), F.lit("$1")),
+    )
+    docs = (
+        docs.withColumn("text", salted)
+        .withColumn("n_chars", F.length("text"))
+        .drop("shard")
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
+
+    # embeddings: id offset + per-shard isometric sign flip
+    vec_off = span("embeddings", "vec_id")
+    signs = spark.createDataFrame(
+        [(k, sig) for k, sig in enumerate(_sign_patterns(n, EMB_DIM))],
+        "shard int, signs array<float>",
+    )
+    emb = expand("embeddings").join(F.broadcast(signs), "shard")
+    emb = _offset(emb, "vec_id", off * vec_off)
+    emb = emb.withColumn(
+        "embedding",
+        F.zip_with("embedding", "signs", lambda x, s: x * s).cast("array<float>"),
+    ).drop("shard", "signs")
+    emb.write.mode("overwrite").parquet(os.path.join(dest, "embeddings.parquet"))
+
+    # events: entity ids offset, timestamps preserved
+    ev = expand("events")
+    ev = _offset(ev, "event_id", off * span("events", "event_id"))
+    ev = _offset(ev, "user_id", off * span("events", "user_id")).drop("shard")
+    ev.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+
+    # relational: offset join keys so fan-out stays 1:1
+    ord_off = span("orders", "o_orderkey")
+    cust_off = span("customer", "c_custkey")
+    li = expand("lineitem")
+    li = _offset(li, "l_orderkey", off * ord_off).drop("shard")
+    li.write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
+    od = expand("orders")
+    od = _offset(od, "o_orderkey", off * ord_off)
+    od = _offset(od, "o_custkey", off * cust_off).drop("shard")
+    od.write.mode("overwrite").parquet(os.path.join(dest, "orders.parquet"))
+    cu = expand("customer")
+    cu = _offset(cu, "c_custkey", off * cust_off).drop("shard")
+    cu.write.mode("overwrite").parquet(os.path.join(dest, "customer.parquet"))
+    return dest
+
+
+def _force_count(df: DataFrame) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def run(scales: list[int], base: str, out_dir: str, skip_gen: bool) -> dict:
+    spark = get_spark(app_name="scaling")
+    dirs = {}
+    gen_s = {}
+    for n in scales:
+        t0 = time.perf_counter()
+        if skip_gen and os.path.isdir(os.path.join(out_dir, f"x{n}")):
+            dirs[n] = os.path.join(out_dir, f"x{n}")
+        else:
+            dirs[n] = generate(spark, base, out_dir, n)
+        gen_s[n] = round(time.perf_counter() - t0, 2)
+
+    # warmup (JVM + Arrow python workers), mirrors bench.py
+    qs = inventory.queries()
+    qs["q1_pricing_summary"](spark, dirs[scales[0]]).limit(1).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from vector_search_question_answer_api_spark.operators.embed import HashingEmbedder
+
+    warm = spark.range(256).repartition(spark.sparkContext.defaultParallelism)
+    warm.select(HashingEmbedder()(F.col("id").cast("string"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # The inventory gate runs dedup_embedding at min_sim=0.45 — deliberately
+    # low (~3.6 sigma for random 64-dim cosines) so the sf0.01 oracle check is
+    # non-trivial.  Under isometric salting that threshold admits ~1.6e-4 of
+    # the O(N^2) cross-shard pairs as spurious matches, which would read as a
+    # superlinear output curve.  Time the same operator at 0.80 instead
+    # (>10 sigma, cross-shard leakage ~0): identical code path and cost — the
+    # broadcast tier's matmul and the LSH tier's bucket join are threshold-
+    # independent — with a provably Nx output.
+    def dedup_embedding_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        return dedup.embedding_near_dup_pairs(e, min_sim=0.80)
+
+    qs = dict(qs)
+    qs["dedup_embedding"] = dedup_embedding_scaled
+
+    results: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        times, rows = {}, {}
+        for n in scales:
+            t0 = time.perf_counter()
+            rows[n] = _force_count(fn(spark, dirs[n]))
+            times[n] = round(time.perf_counter() - t0, 3)
+            dedup.unpersist_all()
+        lo, hi = scales[0], scales[-1]
+        slope = (
+            round(math.log(times[hi] / times[lo]) / math.log(hi / lo), 2)
+            if times[lo] > 0
+            else None
+        )
+        expect = (
+            "const"
+            if name in EXPECT_CONST_ROWS
+            else "exact_nx"
+            if name in EXPECT_EXACT_NX
+            else "approx_nx"
+        )
+        if expect == "const":
+            rows_ok = len(set(rows.values())) == 1
+        elif expect == "exact_nx":
+            rows_ok = all(rows[n] * lo == rows[lo] * n for n in scales)
+        else:
+            # hash-sensitive tiers: within 25% of proportional
+            rows_ok = all(
+                rows[lo] == 0
+                or abs(rows[n] * lo / (rows[lo] * n) - 1.0) <= 0.25
+                for n in scales
+            )
+        results[name] = {
+            "sec": {str(k): v for k, v in times.items()},
+            "rows": {str(k): v for k, v in rows.items()},
+            "slope": slope,
+            "rows_expect": expect,
+            "rows_ok": rows_ok,
+        }
+    spark.stop()
+    return {"base": base, "scales": scales, "gen_sec": gen_s, "queries": results}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="/tmp/spark_graft_scale")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+    scales = sorted(int(s) for s in args.scales.split(","))
+    print(json.dumps(run(scales, args.base, args.out, args.skip_gen)))
+
+
+if __name__ == "__main__":
+    main()
