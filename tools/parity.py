@@ -43,14 +43,30 @@ def _canon_cell(v):
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        "|".join(_canon_cell(r[i]) for i in order) for r in rows
-    )
+def value_hash(pdf) -> str:
+    """Order-insensitive hash of a pandas DataFrame, mirroring the driver's
+    canonicalization: columns reordered by name, rows sorted by every
+    column via DataFrame.sort_values, cells stringified dtype-faithfully.
+
+    Going through pandas on purpose reproduces two driver-visible hazards
+    the raw-row path used to hide: array cells make sort_values raise
+    TypeError (unhashable list), and DuckDB HUGEINT sums arrive as float64
+    so an un-cast oracle ``sum(BIGINT)`` hashes as ``99111.0`` against
+    Spark's ``99111``."""
+    import math
+
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
     h = hashlib.sha256()
-    for line in canon:
-        h.update(line.encode("utf-8"))
+    for row in pdf.itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append("NULL" if v is None else "NaN")
+            else:
+                cells.append(_canon_cell(v))
+        h.update("|".join(cells).encode("utf-8"))
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -79,38 +95,44 @@ def main() -> int:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        spark_cols = df.columns
-        spark_rows = [tuple(r) for r in df.collect()]
+        pdf_s = df.toPandas()
         dedup.unpersist_all()
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"  {name:32s} rows={len(spark_rows):6d} (rows-only, no oracle) "
+            print(f"  {name:32s} rows={len(pdf_s):6d} (rows-only, no oracle) "
                   f"[{t_spark:.1f}s]")
-            if not spark_rows:
+            if not len(pdf_s):
                 failures.append((name, "empty result"))
             continue
         t0 = time.time()
-        rel = con.sql(oracles[name])
-        duck_cols = [c for c in rel.columns]
-        duck_rows = rel.fetchall()
+        pdf_d = con.sql(oracles[name]).df()
         t_duck = time.time() - t0
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"cols {spark_cols} vs {duck_cols}")
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
-        hs = value_hash(spark_cols, spark_rows)
-        hd = value_hash(duck_cols, duck_rows)
-        if hs != hd:
-            problems.append(f"hash {hs} vs {hd}")
+        if sorted(pdf_s.columns) != sorted(pdf_d.columns):
+            problems.append(f"cols {list(pdf_s.columns)} vs {list(pdf_d.columns)}")
+        if len(pdf_s) != len(pdf_d):
+            problems.append(f"rowcount {len(pdf_s)} vs {len(pdf_d)}")
+        try:
+            hs = value_hash(pdf_s)
+            hd = value_hash(pdf_d)
+            if hs != hd:
+                problems.append(f"hash {hs} vs {hd}")
+        except TypeError as exc:  # the driver dies the same way on array cells
+            problems.append(f"canonicalization error: {exc}")
         status = "OK " if not problems else "FAIL"
-        print(f"  {name:32s} {status} rows={len(spark_rows):6d} "
+        print(f"  {name:32s} {status} rows={len(pdf_s):6d} "
               f"[spark {t_spark:.1f}s, duck {t_duck:.2f}s]")
         if problems:
             failures.append((name, "; ".join(problems)))
             # show a few mismatching rows for debugging
-            ss = set("|".join(_canon_cell(c) for c in r) for r in spark_rows)
-            dd = set("|".join(_canon_cell(c) for c in r) for r in duck_rows)
+            ss = set(
+                "|".join(_canon_cell(c) for c in r)
+                for r in pdf_s.itertuples(index=False, name=None)
+            )
+            dd = set(
+                "|".join(_canon_cell(c) for c in r)
+                for r in pdf_d.itertuples(index=False, name=None)
+            )
             for x in list(ss - dd)[:3]:
                 print(f"      spark-only: {x}")
             for x in list(dd - ss)[:3]:

@@ -1692,7 +1692,7 @@ _WINNOW_SEL_SQL = f"""
     SELECT doc_id,
            CAST(len(hs) AS BIGINT) AS n_grams,
            CAST(len(fp) AS BIGINT) AS n_selected,
-           fp
+           array_to_string(fp, ',') AS fp_str
     FROM sel
     ORDER BY doc_id
     """,
@@ -1701,13 +1701,26 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (MOSS; Schleimer
     et al. 2003): char-8-gram rolling hashes, window-4 minima, distinct
     selected set.  The training-pipeline fingerprint tier between whole-doc
-    md5 (doc_fingerprint) and shingle-set similarity (dedup_ngram_jaccard)."""
+    md5 (doc_fingerprint) and shingle-set similarity (dedup_ngram_jaccard).
+
+    The fingerprint set is serialized to a comma-joined string for the gate
+    (the compare harness canonicalizes by sorting column values, which is
+    undefined over array cells); order is the array_sort order on both
+    engines so the serialization is deterministic."""
     from vector_search_question_answer_api_spark.operators.text_analysis import (
         winnowing_fingerprints,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return winnowing_fingerprints(d).orderBy("doc_id")
+    fp = winnowing_fingerprints(d)
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        "n_selected",
+        F.array_join(F.transform("fp", lambda x: x.cast("string")), ",").alias(
+            "fp_str"
+        ),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -2178,7 +2191,7 @@ def events_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(json_extract(props, '$.k')) AS n_with_k,
-           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            round(avg(json_extract(props, '$.k')::BIGINT), 6) + 0 AS avg_k,
            min(json_extract(props, '$.k')::BIGINT) AS min_k,
            max(json_extract(props, '$.k')::BIGINT) AS max_k
