@@ -28,17 +28,17 @@ def test_query_parity(spark, sf_dir, duck, name):
     fn = entrymod.queries()[name]
     df = fn(spark, sf_dir)
     spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    spark_pdf = df.toPandas()
     oracles = entrymod.oracle_sql()
     if name not in oracles:
-        assert len(spark_rows) > 0, f"{name}: rows-only check, empty result"
+        assert len(spark_pdf) > 0, f"{name}: rows-only check, empty result"
         return
     rel = duck.sql(oracles[name])
     duck_cols = list(rel.columns)
-    duck_rows = rel.fetchall()
+    duck_pdf = rel.df()
     assert sorted(spark_cols) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows)
-    assert value_hash(spark_cols, spark_rows) == value_hash(duck_cols, duck_rows)
+    assert len(spark_pdf) == len(duck_pdf)
+    assert value_hash(spark_pdf) == value_hash(duck_pdf)
 
 
 def test_entry_smoke(spark):

@@ -10,7 +10,7 @@ DuckDB oracle (same precedent as dup_clusters).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -100,12 +100,17 @@ def pack_sequences(
 
     ``shard_mod`` bounds group size at scale: a single source can be
     terabytes, and one pandas group per source would pin it to one task.
-    With shard_mod=N the fold runs per (source, doc_id % N) and bin ids are
-    disambiguated by shard (bin_id = local_bin * N + shard).  Packing is
-    then greedy WITHIN each sub-shard — bins never span sub-shards, which
-    is the usual contract anyway (an output shard is written by one
-    worker).  Default None keeps the exact single-walk semantics the
-    oracle replays."""
+    With shard_mod=N the fold runs per (source, pmod(doc_id, N)) and bin
+    ids are disambiguated by shard (bin_id = local_bin * N + shard).
+    Packing is then greedy WITHIN each sub-shard — bins never span
+    sub-shards, which is the usual contract anyway (an output shard is
+    written by one worker).  Default None keeps the exact single-walk
+    semantics the oracle replays.
+
+    Sharding uses ``F.pmod`` on the Spark side to match Python's
+    non-negative ``%`` in the bin-id encoding — Spark's ``%`` keeps the
+    dividend's sign, so a plain ``%`` group key would collide shards for
+    negative doc_ids (ADVICE r2 low)."""
     schema = "source string, doc_id long, bin_id long, bin_fill long"
     mod = shard_mod or 1
 
@@ -136,7 +141,7 @@ def pack_sequences(
     base = doc_tokens.select("source", "doc_id", "n_tokens")
     if shard_mod:
         return base.withColumn(
-            "_shard", F.col("doc_id") % shard_mod
+            "_shard", F.pmod(F.col("doc_id"), F.lit(shard_mod))
         ).groupBy("source", "_shard").applyInPandas(
             lambda pdf: _pack(pdf.drop(columns=["_shard"])), schema
         )
@@ -185,4 +190,37 @@ def contamination_scores(
                 + F.lit(0.0),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact stratified sampling: exactly min(n, |stratum|) rows
+# per stratum, chosen by a hash ordering so the sample is reproducible and
+# engine-independent.  `df.sampleBy` gives only EXPECTED counts (Bernoulli
+# per row); training-data curation usually wants exact per-stratum quotas.
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, stratum size)`` rows per stratum.
+
+    Rows rank within their stratum by ``md5(salt || id)`` (id tiebreak),
+    so the choice is uniform-ish, deterministic, and reproducible from
+    the ``salt`` — change the salt to draw an independent sample.  One
+    window shuffle on the strata key; no driver participation.  At 100 TB
+    heavy strata sort within their partitions only (rank-k cutoff is a
+    WindowGroupLimit, which pushes the k-filter into the sort).
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
     )

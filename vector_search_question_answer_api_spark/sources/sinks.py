@@ -26,11 +26,6 @@ def search_response_json(results: DataFrame, k: int) -> DataFrame:
     ``results`` is the kNN output joined with documents: (query_id, doc_id,
     text, score, rank).  Result items ride ascending by rank inside the
     JSON array, exactly like the reference's distance-ordered list."""
-    item = F.struct(
-        F.col("s.doc_id").alias("id"),
-        F.col("s.text").alias("description"),
-        F.col("s.score").alias("score"),
-    )
     per_q = (
         results.select(
             "query_id",
