@@ -2216,3 +2216,256 @@ def events_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword (BM25) search + hybrid fusion (operators/keyword_search.py) —
+# the sparse-retrieval twin of the reference's dense index
+# (services/index_service.py:39-52), and the standard fused ranking.
+
+_BM25_RANKED_SQL = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    qterms AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+      FROM toks WHERE doc_id % 100 = 0
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+      FROM qterms q
+      JOIN tdf t USING (term)
+      JOIN postings p USING (term)
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+    ),
+    bm25_scored AS (
+      SELECT query_id, doc_id, round(sum(c), 6) + 0 AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    bm25_ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM bm25_scored
+    )
+"""
+
+
+def _bm25_gate_inputs(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return d, q
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {_BM25_RANKED_SQL}
+    SELECT query_id, doc_id, score, rank
+    FROM bm25_ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval tier: BM25 top-5, query side = every 100th doc's
+    full text.  Scores round at 6 BEFORE ranking (float-sum-noise-proof
+    rank order, the inventory convention).
+
+    Note on cost: the synthetic corpus has a ~31-term vocabulary, so
+    every query term matches ~every doc — the candidate set is maximally
+    dense (|queries| x |docs|), the worst case for any sparse index.  The
+    plan is still the scale-safe one (broadcast query side, one shuffle
+    keyed (query_id, doc_id)); a Zipfian real corpus prunes candidates by
+    orders of magnitude."""
+    from vector_search_question_answer_api_spark.operators.keyword_search import bm25_topk
+
+    d, q = _bm25_gate_inputs(spark, sf_dir)
+    return bm25_topk(d, q, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH {_BM25_RANKED_SQL},
+    normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    knn_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(1.0 - list_dot_product(q.nv, c.nv), 6) + 0 AS distance
+      FROM normed q, normed c
+      WHERE q.vec_id % 100 = 0
+    ),
+    knn_ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, doc_id ASC) AS rank
+      FROM knn_scored
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60 + rank)), 9) + 0 AS rrf_score
+      FROM (
+        SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, doc_id, rank FROM knn_ranked WHERE rank <= 20
+      )
+      GROUP BY query_id, doc_id
+    ),
+    frank AS (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf_score, rank
+    FROM frank WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF-fuse (c=60) the BM25 top-20 with the exact
+    cosine top-20 for the same 5 query ids (doc text and its embedding row
+    share the id domain), keep the fused top-10.  Ranks are ints, so the
+    fused score is bit-identical across engines and rounds at 9."""
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d, q = _bm25_gate_inputs(spark, sf_dir)
+    bm25 = bm25_topk(d, q, k=20)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    qv = normed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    scored = normed.join(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        _r(F.lit(1.0) - V.dot(F.col("qvec"), F.col("nv")), 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([bm25, knn], k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/temporal.py): point-in-time lookup, the general
+# form of the reference's "conversation state as of this question"
+# (utils/session_manager.py:28-44).  Oracle = DuckDB's native ASOF JOIN,
+# with equal-ts right rows pre-deduped to max event_id on BOTH engines
+# (the Spark operator's pinned tie rule; DuckDB leaves ties unspecified).
+
+@register(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT l.user_id, l.event_id, epoch_ms(l.ts) AS ts_ms,
+           r.event_id AS asof_event_id,
+           round(r.value, 6) + 0 AS asof_value,
+           epoch_ms(l.ts) - epoch_ms(r.ts) AS gap_ms
+    FROM clicks l
+    ASOF LEFT JOIN purchases r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.user_id, l.event_id
+    """,
+)
+def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click gets the user's most recent
+    purchase at or before it (null if none).  One shuffle on user_id —
+    the union-tag window strategy, never a per-key range explosion."""
+    from vector_search_question_answer_api_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_id="event_id",
+        payload_cols=["value"],
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.col("asof_event_id"),
+        _r(F.col("asof_value"), 6).alias("asof_value"),
+        (
+            F.unix_millis(F.col("ts")) - F.unix_millis(F.col("asof_ts"))
+        ).alias("gap_ms"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling (operators/pipeline.py): exact per-stratum
+# quotas by seeded-hash ranking — reproducible on any engine, unlike
+# sampleBy's Bernoulli expected counts.
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 3
+    ORDER BY source, doc_id
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 docs per source, chosen by md5(doc_id) order."""
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, ["source"], 3)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

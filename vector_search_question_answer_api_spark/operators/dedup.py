@@ -35,47 +35,15 @@ from vector_search_question_answer_api_spark.functions import vector as V
 
 
 # The pair generators persist expensive text-pipeline intermediates that
-# feed multiple branches of their plan, but they return LAZY DataFrames, so
-# they cannot unpersist those intermediates themselves.  Each persist is
-# tracked here; long-lived sessions (bench loops, multi-query harnesses)
-# call ``unpersist_all`` after materializing a result, or wrap the
-# materialization in ``cache_scope()`` to release only the caches that
-# call created (ADVICE r1 low / r2 low).  The registry is process-global
-# and NOT thread-safe: concurrent dedup queries in one session should
-# each run under their own ``cache_scope()`` from a single thread, or
-# skip cleanup and let Spark's LRU evict.
-_live_caches: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df.persist()
-    _live_caches.append(df)
-    return df
-
-
-def unpersist_all() -> None:
-    """Release every intermediate cache created by the dedup operators."""
-    while _live_caches:
-        _live_caches.pop().unpersist()
-
-
-class cache_scope:
-    """Context manager releasing only the dedup caches created inside it::
-
-        with dedup.cache_scope():
-            minhash_lsh_pairs(docs).write.parquet(out)
-
-    Safer than ``unpersist_all`` when other dedup results in the session
-    still have live lazy plans over earlier caches.  Single-threaded, like
-    the registry itself."""
-
-    def __enter__(self) -> "cache_scope":
-        self._mark = len(_live_caches)
-        return self
-
-    def __exit__(self, *exc) -> None:
-        while len(_live_caches) > self._mark:
-            _live_caches.pop().unpersist()
+# feed multiple branches of their plan; the tracked-persist registry
+# lives in ``caching`` (shared with the BM25 index build) and is
+# re-exported here for the established call sites (bench, parity,
+# tests).  See caching.py for the threading contract.
+from vector_search_question_answer_api_spark.caching import (  # noqa: F401
+    cache_scope,
+    persist_tracked as _persist,
+    unpersist_all,
+)
 
 
 def canonical_docs(documents: DataFrame) -> DataFrame:

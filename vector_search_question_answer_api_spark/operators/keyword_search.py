@@ -1,0 +1,203 @@
+"""Keyword (BM25) search and hybrid keyword+vector rank fusion.
+
+Engine extension: the reference is a pure vector-search QA API
+(services/index_service.py:39-52 builds only an embedding index), but any
+production retrieval stack pairs the dense index with a sparse/keyword
+tier and fuses the two rankings — this module adds that tier Spark-first.
+
+BM25 here is the standard Robertson/Sparck-Jones form with the Lucene
+idf smoothing: ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``, and the
+per-term contribution ``idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b *
+dl / avgdl))``.  Query terms are DISTINCT (multiplicity in the query
+does not re-weight, matching Lucene's default).
+
+Scale shape (100 TB):
+- The postings list (term, doc_id, tf) IS the inverted index — built by
+  one explode + hash aggregation, shuffled on term.  At scale it would be
+  written out bucketed by term; here it stays a lazy relation.
+- Corpus stats (N, avgdl) are a one-row aggregate cross-joined in —
+  never a driver collect.
+- Per-query term sets are tiny; they broadcast to the postings join, so
+  the only big shuffle is the final (query_id, doc_id) partial-agg —
+  map-side combined by Catalyst.
+- Top-k uses the rounded-measure + id tiebreak ranking convention so
+  float-sum noise cannot flip ranks (inventory.py module docstring).
+
+Rank fusion is reciprocal-rank fusion (RRF; Cormack, Clarke &
+Buettcher, SIGIR 2009): ``score = sum_i 1 / (c + rank_i)`` with the
+conventional c=60.  Ranks are integers, so the fused score is a sum of
+exactly-representable reciprocals — bit-identical across engines, which
+is why the hybrid gate can round at 9 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.caching import persist_tracked
+from vector_search_question_answer_api_spark.functions import text as TXT
+
+
+def _doc_tokens(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, dl): preprocessed whitespace tokens + document length."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        TXT.tokens(TXT.preprocess_text(F.col(text_col))).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+
+
+def build_postings(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The inverted-index relations for a corpus.
+
+    Returns ``(postings, doclens, stats)``:
+
+    - postings: (term, doc_id, tf) — explode + count, shuffled on term;
+      at scale this is the relation you'd persist bucketed by term.
+    - doclens: (doc_id, dl) — token count per doc.
+    - stats: ONE row (n_docs, avgdl) — kept as a DataFrame so the caller
+      can cross-join it without any driver materialization.
+
+    The token relation fans into all three outputs and postings fans into
+    both the df-aggregate and the scoring join, so both are persisted via
+    the tracked registry (``caching.unpersist_all()`` releases them) —
+    Catalyst does not dedupe common subtrees, and re-running the regex
+    tokenizer per branch dominated the un-persisted plan's cost.  At
+    100 TB the same relations would instead be written out bucketed by
+    term (the on-disk inverted index, like operators/ivf.py does for its
+    inverted file).
+    """
+    toks = persist_tracked(_doc_tokens(documents, id_col, text_col))
+    doclens = toks.select("doc_id", "dl")
+    postings = persist_tracked(
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return postings, doclens, stats
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k per query.
+
+    ``queries`` is a (query_id, query_text) relation — assumed small
+    relative to the corpus (it is broadcast twice: onto the term-idf
+    lookup and onto the postings join).  Scoring never moves the corpus:
+    postings stay put, candidates shuffle as (query_id, doc_id, contrib)
+    triples only.
+    """
+    postings, doclens, stats = build_postings(documents, id_col, text_col)
+
+    # df per term = number of postings rows for it (one per doc).
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    TXT.tokens(TXT.preprocess_text(F.col(query_text_col)))
+                )
+            ).alias("term"),
+        )
+    )
+
+    # idf onto the (tiny) query-term side: broadcast qterms into the
+    # term-keyed df relation, keep only terms any query mentions.
+    q_idf = term_df.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats)
+    ).select(
+        "query_id",
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+
+    # dl rides inside postings (carried through the tf aggregation), so
+    # scoring is postings x broadcast(q_idf) — no doclens join.
+    contrib = (
+        postings.join(F.broadcast(q_idf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf").cast("double")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        (F.round(F.sum("contrib"), round_digits) + F.lit(0.0)).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    c: int = 60,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(query_id, doc_id, rrf_score, rank): reciprocal-rank fusion of any
+    number of (query_id, doc_id, rank) relations.
+
+    A doc absent from one ranking simply contributes nothing for it (the
+    union-aggregate shape — no outer-join ladder, so fusing R rankings is
+    one union + one hash aggregation regardless of R)."""
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("part"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        (F.round(F.sum("part"), round_digits) + F.lit(0.0)).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
