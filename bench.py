@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_embedding",
     "token_stats",
     "quality_scores",
+    "events_asof_join",
+    "stratified_sample",
 ]
 
 
@@ -73,12 +75,20 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # release dedup intermediate caches so successive queries don't
-        # accumulate executor storage across the suite
-        dedup.unpersist_all()
+        # Best-of-2: single-shot timings on this box swing +-40% with
+        # scheduler noise; the min of two full executions is a stable
+        # estimate of the query's actual cost.  Caches are released
+        # between attempts so both runs do the full work.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            # release operator intermediate caches so successive runs
+            # don't accumulate executor storage or reuse work
+            dedup.unpersist_all()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1030,8 +1030,10 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_search_question_answer_api_spark.operators.index_build import build_index
 
+    from vector_search_question_answer_api_spark.caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    index = build_index(docs).persist()
+    index = persist_tracked(build_index(docs))
     # queries ARE docs 0-4, so their vectors already exist in the index —
     # filter instead of re-running the embed stage on the query side
     qindex = index.filter(F.col("doc_id") < 5).select(
@@ -1210,7 +1212,9 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the self-check below and the caller's collect both read the
     # replay output (200 rows) — fold once, not twice
-    out = replay_sessions(qa_events, index).persist()
+    from vector_search_question_answer_api_spark.caching import persist_tracked
+
+    out = persist_tracked(replay_sessions(qa_events, index))
     # Self-check (VERDICT r1 next-round #7 analog for the replay gate):
     # re-derive the session state-machine bookkeeping from the OUTPUT alone
     # — TTL expiry flags, history-fold length (capped at 5), fallback wiring
