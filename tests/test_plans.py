@@ -92,3 +92,41 @@ def test_embed_is_arrow_batched(spark, sf_dir):
     plan = _plan(build_index(docs))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bm25_broadcasts_query_side_no_cartesian(spark, sf_dir):
+    """BM25 must join postings against a BROADCAST of the (tiny) per-query
+    idf relation — the corpus never moves for the scoring join — and no
+    plan node may be a cartesian product (the stats cross join is 1-row
+    broadcast by construction)."""
+    df = inventory.queries()["bm25_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    from vector_search_question_answer_api_spark.caching import unpersist_all
+
+    unpersist_all()
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join lowers to union + window — there must be NO join
+    operator of any kind in the plan, and exactly one hash-partition
+    exchange on the key feeding the window sort (plus the final
+    presentation range exchange)."""
+    df = inventory.queries()["events_asof_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(hash_exchanges) == 1, plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """The per-stratum quota must push into the window sort as a
+    WindowGroupLimit (rank-k cutoff before full materialization)."""
+    df = inventory.queries()["stratified_sample"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
