@@ -2473,3 +2473,83 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistical text scores (operators/text_analysis.py, r3): TF-IDF
+# keyword extraction and unigram-LM log-probability — the "broadcast the
+# vocabulary model, stream the corpus" two-pass shape.
+
+@register(
+    "doc_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+      SELECT doc_id, term, round(tf * ln(n_docs / df), 6) + 0 AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def doc_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 tf-idf terms per doc (rounded before
+    ranking, term tiebreak)."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        doc_top_terms,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM tok),
+    per AS (
+      SELECT doc_id, ln(cnt / total) AS lp
+      FROM tok JOIN counts USING (term) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, avg(lp) AS alp
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           round(a.alp, 6) + 0 AS avg_logprob,
+           round(exp(-a.alp), 6) + 0 AS perplexity
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score: every doc's mean token log-probability
+    under the corpus's own unigram distribution, and its perplexity."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d).orderBy("doc_id")

@@ -94,6 +94,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     round_digits: int = 6,
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): BM25 top-k per query.
 
@@ -102,6 +103,13 @@ def bm25_topk(
     lookup and onto the postings join).  Scoring never moves the corpus:
     postings stay put, candidates shuffle as (query_id, doc_id, contrib)
     triples only.
+
+    ``max_doc_freq`` (fraction of the corpus, e.g. 0.5) drops query
+    terms whose postings list exceeds that share of documents BEFORE the
+    scoring join — the skew/volume lever at scale.  Stop-word-like terms
+    dominate candidate volume while contributing near-zero idf, so the
+    cut changes scores only by those negligible contributions; omit it
+    (default) for the exact relation the oracle replays.
     """
     postings, doclens, stats = build_postings(documents, id_col, text_col)
 
@@ -123,7 +131,12 @@ def bm25_topk(
     # term-keyed df relation, keep only terms any query mentions.
     q_idf = term_df.join(F.broadcast(qterms), "term").crossJoin(
         F.broadcast(stats)
-    ).select(
+    )
+    if max_doc_freq is not None:
+        q_idf = q_idf.filter(
+            F.col("df") <= F.lit(max_doc_freq) * F.col("n_docs")
+        )
+    q_idf = q_idf.select(
         "query_id",
         "term",
         F.log(

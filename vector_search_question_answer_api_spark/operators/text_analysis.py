@@ -7,7 +7,7 @@ for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_question_answer_api_spark.functions import text as TXT
@@ -225,4 +225,96 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         (F.round(stop_ratio, 6) + F.lit(0.0)).alias("stop_ratio"),
         (F.round(uniq_ratio, 6) + F.lit(0.0)).alias("uniq_ratio"),
         (F.round(score, 6) + F.lit(0.0)).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistical scores (r3): TF-IDF keyword extraction and unigram
+# language-model log-probability.  Both are two-pass corpus operators —
+# one aggregation builds the global term statistics, a second pass scores
+# documents against them — the canonical "broadcast the model, stream the
+# corpus" shape that survives any scale-up (the term table is vocabulary-
+# sized, not corpus-sized).
+
+def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tfidf, rank): the k most distinctive terms per doc
+    by tf-idf = tf * ln(N / df), rank ties broken by term.
+
+    Shape: explode -> (doc, term) tf agg -> term df agg -> join back on
+    term -> per-doc WindowGroupLimit top-k.  The df relation is
+    vocabulary-sized and broadcasts; the only big shuffle keys on
+    (doc_id, term) for the tf aggregation."""
+    toks = documents.select(
+        "doc_id", TXT.tokens(TXT.preprocess_text(F.col("text"))).alias("toks")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+                )
+                + F.lit(0.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, perplexity): each doc scored under
+    the corpus's own unigram language model — p(t) = count(t) / total
+    tokens, avg_logprob = mean ln p(t) over the doc's tokens (with
+    multiplicity), perplexity = exp(-avg_logprob).
+
+    The classic cheap fluency/outlier filter for training-data curation
+    (a doc of globally-rare tokens scores low).  Same two-pass shape as
+    tf-idf: the unigram table is vocabulary-sized and broadcasts; token
+    scoring is one shuffle keyed doc_id."""
+    toks = documents.select(
+        "doc_id", TXT.tokens(TXT.preprocess_text(F.col("text"))).alias("toks")
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    per_tok = (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt") / F.col("total")).alias("lp"),
+        )
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("alp"),
+    )
+    # Docs with zero tokens never reach per_tok; restore them with null
+    # scores so the operator is total over the corpus.
+    base = documents.select("doc_id")
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.round(F.col("alp"), 6) + F.lit(0.0)).alias("avg_logprob"),
+            (F.round(F.exp(-F.col("alp")), 6) + F.lit(0.0)).alias("perplexity"),
+        )
     )
