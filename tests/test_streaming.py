@@ -324,3 +324,83 @@ def test_dedup_stream_matches_batch_survivors(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want
+
+
+def test_asof_stream_matches_batch(spark, tmpdir):
+    """Streaming as-of join == batch as-of join over sf0.001 events
+    (clicks vs purchases), state carried across two time-ordered
+    micro-batches; with and without tolerance."""
+    from vector_search_question_answer_api_spark.operators.temporal import asof_join
+    from vector_search_question_answer_api_spark.streaming.asof_stream import (
+        asof_join_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = f"{tmpdir}/events_halves"
+    # two files split by event-time so each key's rows arrive in order
+    tmid = events.agg(F.expr("percentile(unix_millis(ts), 0.5)")).collect()[0][0]
+    events.filter(F.unix_millis("ts") <= tmid).coalesce(1).write.parquet(
+        f"{src}/p1"
+    )
+    events.filter(F.unix_millis("ts") > tmid).coalesce(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    for tol in (None, 6 * 3600 * 1000):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        lstream = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        rstream = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        out = asof_join_stream(lstream, rstream, tolerance_ms=tol)
+        qname = f"asof_out_{'none' if tol is None else tol}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{tmpdir}/ckpt_{qname}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["event_id"]: (
+                    r["asof_event_id"],
+                    r["asof_value"],
+                    r["asof_ts"],
+                )
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+        finally:
+            q.stop()
+
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        expected = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"], r["asof_ts"])
+            for r in asof_join(
+                clicks,
+                purchases,
+                on="user_id",
+                right_id="event_id",
+                payload_cols=["value"],
+                tolerance_ms=tol,
+            ).collect()
+        }
+        assert len(got) == len(expected) > 0
+        mismatches = {
+            k: (got[k], expected[k])
+            for k in expected
+            if got.get(k) != expected[k]
+        }
+        assert not mismatches, f"tol={tol}: {len(mismatches)} mismatches: {list(mismatches.items())[:3]}"

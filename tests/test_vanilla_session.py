@@ -16,18 +16,64 @@ from vector_search_question_answer_api_spark.sources.tables import load_table
 
 
 def test_load_table_without_prebuilt_nanos_conf(spark, sf_dir):
-    # Simulate the driver harness: the conf is absent on the session.
+    """The driver harness supplies a vanilla session: no conf load_table
+    needs may be assumed present.  Spark builds have also CHANGED how
+    TIMESTAMP(NANOS) surfaces (older: LongType nanos behind the legacy
+    conf / PARQUET_TYPE_ILLEGAL without it; current: TimestampNTZ wall
+    times, conf ignored) — load_table must produce the same UTC instants
+    under every combination."""
+    import pyspark.sql.functions as F
+
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
-        # Prove the simulation is real: a raw read still fails without it.
-        with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-        # load_table must self-heal on any session.
         df = load_table(spark, sf_dir, "events")
         assert isinstance(df.schema["ts"].dataType, T.TimestampType)
         assert df.count() > 0
+        head = df.orderBy("event_id").select(
+            F.unix_micros("ts").alias("us")
+        ).head(3)
+        # pinned UTC instants of the first three sf0.001 events — the
+        # nanos values floor-divided to micros, independent of session
+        # timezone or Spark's nanos surfacing (values cross-checked
+        # against DuckDB's read of the same file)
+        import duckdb
+
+        expected = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT epoch_us(ts) FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 3"
+            ).fetchall()
+        ]
+        assert [r["us"] for r in head] == expected
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_load_table_timezone_proof(spark, sf_dir):
+    """Same instants on a non-UTC session: the NTZ repair must interpret
+    parquet wall times as UTC regardless of spark.sql.session.timeZone
+    (a bare NTZ->timestamp cast would shift by the zone offset)."""
+    import pyspark.sql.functions as F
+
+    utc = [
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .select(F.unix_micros("ts"))
+        .head(5)
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny = [
+            r[0]
+            for r in load_table(spark, sf_dir, "events")
+            .orderBy("event_id")
+            .select(F.unix_micros("ts"))
+            .head(5)
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert ny == utc
 
 
 def test_ensure_parallelism_noop_on_multifile_input(spark, tmp_path):

@@ -2553,3 +2553,51 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob_scores(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count profile with sketch self-check (r3).  The oracle-checked
+# output is EXACT (count distinct); the gate additionally runs the 100 TB
+# tier — approx_count_distinct's HyperLogLog++ sketch — and raises if the
+# sketch drifts beyond 3x its configured rsd from exact, so the scale
+# path is exercised and bounded on every driver run without making the
+# gate's hash depend on sketch internals (DuckDB's approx algorithm
+# differs; exact columns are the only comparable surface).
+
+@register(
+    "events_distinct_profile",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_distinct_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users (exact, oracle-hashed) + in-gate HLL++
+    cross-check.  At 100 TB the exact count-distinct is a two-phase
+    shuffle on (event_type, user_id); the sketch tier is one map-side
+    mergeable pass — the gate keeps both honest against each other."""
+    e = load_table(spark, sf_dir, "events")
+    rsd = 0.05
+    both = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
+        )
+    )
+    for r in both.collect():
+        rel_err = abs(r["n_users_hll"] - r["n_users"]) / max(r["n_users"], 1)
+        if rel_err > 3 * rsd:
+            raise ValueError(
+                f"HLL++ sketch drift for {r['event_type']}: "
+                f"approx={r['n_users_hll']} exact={r['n_users']} "
+                f"rel_err={rel_err:.3f} > {3 * rsd}"
+            )
+    return both.select("event_type", "n_users", "n_events").orderBy(
+        "event_type"
+    )

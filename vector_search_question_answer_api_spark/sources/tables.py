@@ -54,10 +54,16 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # The events table is written with TIMESTAMP(NANOS), which Spark rejects
-    # unless this legacy conf is on.  It is runtime-settable, so set it here
-    # (idempotently) rather than at session-build time — load_table must work
-    # on ANY SparkSession, including a vanilla one built without get_spark().
+    # The events table is written with TIMESTAMP(NANOS).  Spark's reading
+    # of it has changed across 4.x builds, and load_table must produce
+    # identical UTC instants on ANY SparkSession (the driver's correctness
+    # harness supplies a vanilla one):
+    # - older builds reject the type outright unless the legacy conf below
+    #   is on, then surface it as LongType nanos (handled per-column);
+    # - current builds ignore the conf and surface TimestampNTZType wall
+    #   times, truncated to micros (handled per-column, timezone-proof).
+    # The conf set is harmless where ignored and keeps the long path alive
+    # where honored.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
     if parallelize:
@@ -69,12 +75,24 @@ def load_table(
         if isinstance(field.dataType, T.TimestampType) and isinstance(
             physical.get(field.name), T.LongType
         ):
-            # TIMESTAMP(NANOS) parquet read as long nanos via
-            # spark.sql.legacy.parquet.nanosAsLong: floor-convert to micros.
-            # MUST be integer division ("div"): `/` promotes the ~1.7e18
-            # nanos long to double, whose 53-bit mantissa rounds the
-            # quotient and shifted some timestamps by 1ms vs the oracle.
+            # TIMESTAMP(NANOS) read as long nanos (legacy conf honored):
+            # floor-convert to micros.  MUST be integer division ("div"):
+            # `/` promotes the ~1.7e18 nanos long to double, whose 53-bit
+            # mantissa rounds the quotient and shifted some timestamps by
+            # 1ms vs the oracle.
             c = F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+        elif isinstance(field.dataType, T.TimestampType) and isinstance(
+            physical.get(field.name), T.TimestampNTZType
+        ):
+            # TIMESTAMP(NANOS) read as NTZ wall time (current builds).
+            # The wall time IS the UTC instant; a bare cast would instead
+            # interpret it in the SESSION timezone and shift instants on
+            # any non-UTC session.  Re-express the UTC wall time in the
+            # session zone first, so the cast lands on the right instant
+            # whatever the session timezone is.
+            c = F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), c
+            ).cast(field.dataType)
         else:
             c = c.cast(field.dataType)
         cols.append(c.alias(field.name))
