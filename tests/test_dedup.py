@@ -225,3 +225,53 @@ def test_winnow_overlap_catches_copied_passage(spark):
     # but 3-gram jaccard stays below the usual 0.8 dedup threshold
     jac = ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
     assert jac == []
+
+
+def test_ngram_jaccard_prefix_strategy_equivalent(spark):
+    """PPJoin prefix filtering must emit the IDENTICAL exact relation as
+    the full inverted index, on sf0.001 documents and on a crafted corpus
+    with hot shingles (where pruning actually bites)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        unpersist_all,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.8, strategy="prefix"
+        ).collect()
+    }
+    unpersist_all()
+    assert full == pref and len(full) > 0
+
+    crafted = spark.createDataFrame(
+        [
+            (0, "common filler words everywhere alpha beta gamma delta"),
+            (1, "common filler words everywhere alpha beta gamma delta"),
+            (2, "common filler words everywhere alpha beta gamma epsilon"),
+            (3, "common filler words everywhere zeta eta theta iota"),
+            (4, "totally different content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    for t in (0.5, 0.8, 0.95):
+        f2 = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(crafted, k=3, threshold=t).collect()
+        }
+        p2 = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                crafted, k=3, threshold=t, strategy="prefix"
+            ).collect()
+        }
+        unpersist_all()
+        assert f2 == p2, f"threshold {t}: {f2} != {p2}"
+    assert (0, 1) in f2  # identical docs pair present at every threshold

@@ -2601,3 +2601,38 @@ def events_distinct_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select("event_type", "n_users", "n_events").orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered jaccard (r3): the PPJoin tier of ngram_jaccard_pairs,
+# gated against the SAME oracle relation as dedup_ngram_jaccard — two
+# physical strategies, one answer, both engine-verified.
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    {_SHINGLES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) + 0 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix filtering (Xiao et al. 2008): only each doc's
+    |S| - ceil(0.8|S|) + 1 rarest shingles enter the candidate self-join;
+    true-jaccard verify on the full sets.  Exact — identical relation to
+    dedup_ngram_jaccard, much smaller candidate volume under hot
+    shingles."""
+    from vector_search_question_answer_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8, strategy="prefix")
+    return pairs.select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: float | None = None,
+    strategy: str = "inverted",
 ) -> DataFrame:
     """Exact jaccard similarity pairs via a shingle inverted index.
 
@@ -100,7 +101,20 @@ def ngram_jaccard_pairs(
 
     The shingle-set subplan feeds both sides of the self-join; persisted so
     the regex/shingling pipeline runs once.
+
+    ``strategy='prefix'`` computes the SAME exact relation through PPJoin-
+    style prefix filtering (Xiao et al., WWW 2008): under a global shingle
+    order (rarest df first), two sets with jaccard >= t must share a
+    shingle within each one's first ``|S| - ceil(t*|S|) + 1`` shingles —
+    so only those prefixes enter the candidate self-join, and candidates
+    are verified with true jaccard on the full sets.  The candidate join
+    volume drops from sum(df^2) to sum(df_prefix^2), which at 100 TB is
+    the difference between feasible and not when hot shingles exist;
+    costs two extra small shuffles (df agg + per-doc prefix window).
+    Both strategies are exact; equivalence is pinned in test_dedup.
     """
+    if strategy == "prefix":
+        return _ngram_jaccard_pairs_prefix(documents, k, threshold)
     sets = _persist(
         shingle_sets(documents, k).withColumn("set_size", F.size("shingles"))
     )
@@ -135,6 +149,57 @@ def ngram_jaccard_pairs(
     )
     return pairs.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
+    )
+
+
+def _ngram_jaccard_pairs_prefix(
+    documents: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """PPJoin-style prefix-filtered exact jaccard (see ngram_jaccard_pairs
+    ``strategy='prefix'``).  Candidate index holds only each doc's
+    ``|S| - ceil(t*|S|) + 1`` rarest shingles; verification computes true
+    jaccard on the full sets for the (few) surviving pairs — identical
+    output relation to the full inverted index, pinned by test_dedup."""
+    sets = _persist(
+        shingle_sets(documents, k).withColumn("set_size", F.size("shingles"))
+    )
+    inv = sets.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
+    df_rel = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Global total order: rarest-first (df asc, shingle asc) maximizes
+    # pruning — hot shingles land at the back and never enter a prefix.
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    pref = (
+        inv.join(df_rel, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = sets.select("doc_id", "shingles")
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
