@@ -2636,3 +2636,48 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Salted top-k (operators/skew.py, r3): the skew-safe two-phase ranking,
+# gated against the SAME oracle relation as top2_parts_per_brand — the
+# hot-key physical strategy must be value-identical to the direct window.
+
+@register(
+    "top2_parts_salted",
+    """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) + 0 AS price, rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY round(p_retailprice, 2) DESC, p_partkey ASC
+             ) AS rank
+      FROM part
+    )
+    WHERE rank <= 2
+    ORDER BY p_brand, rank
+    """,
+)
+def top2_parts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted ranking (phase 1 per (key, salt), phase 2 over the
+    n_salts*k survivors) — exact under any skew; the Zipfian-key
+    escape hatch for the window top-k pattern."""
+    from vector_search_question_answer_api_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    order = [
+        F.round(F.col("p_retailprice"), 2).desc(),
+        F.col("p_partkey").asc(),
+    ]
+    out = salted_topk_per_key(
+        p, ["p_brand"], order, k=2, n_salts=8, salt_col="p_partkey"
+    )
+    return out.select(
+        "p_brand",
+        "p_partkey",
+        _r(F.col("p_retailprice"), 2).alias("price"),
+        "rank",
+    ).orderBy("p_brand", "rank")
