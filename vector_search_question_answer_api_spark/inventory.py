@@ -2681,3 +2681,54 @@ def top2_parts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("p_retailprice"), 2).alias("price"),
         "rank",
     ).orderBy("p_brand", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window rollup (r3): every event lands in exactly
+# length/slide windows; Spark's F.window(slide) expands them natively, the
+# oracle unnests the same two starts per event.
+
+@register(
+    "events_sliding_rollup",
+    """
+    WITH expanded AS (
+      -- epoch_ms is integer millis (floor); epoch()::BIGINT would ROUND
+      -- the double seconds and shift boundary events one slide over
+      SELECT unnest([
+               epoch_ms(ts) // 1800000 * 1800000,
+               epoch_ms(ts) // 1800000 * 1800000 - 1800000
+             ]) AS start_ms,
+             event_type, value
+      FROM events
+    )
+    SELECT start_ms, event_type,
+           count(*) AS n,
+           CAST(round(sum(value), 2) + 0 AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY start_ms, event_type
+    ORDER BY start_ms, event_type
+    """,
+)
+def events_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 minutes x event_type.  Each event
+    expands to exactly length/slide = 2 window instances — Spark's
+    F.window(slide) does the expansion before the partial aggregation, so
+    the shuffle carries pre-combined (window, type) groups, not the 2x
+    row blowup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("start_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("start_ms", "event_type")
+    )
