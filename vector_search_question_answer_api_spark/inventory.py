@@ -2732,3 +2732,64 @@ def events_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start_ms", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join (operators/temporal.py, r3): binned equi-join +
+# exact range filter — the scale-safe range join Spark lacks natively.
+
+@register(
+    "events_interval_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    promos AS (
+      SELECT user_id, event_id AS promo_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.promo_id,
+           epoch_ms(c.click_ts) - epoch_ms(p.start_ts) AS gap_ms
+    FROM clicks c JOIN promos p
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.start_ts AND c.click_ts <= p.end_ts
+    ORDER BY c.user_id, c.click_id, p.promo_id
+    """,
+)
+def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click inside the 2-hour window opened by each same-user
+    purchase.  The engine bins both sides at the max interval length and
+    equi-joins on (user_id, bin) — never a per-key quadratic range scan;
+    the oracle states the raw range predicate."""
+    from vector_search_question_answer_api_spark.operators.temporal import (
+        interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    two_h_ms = 2 * 3600 * 1000
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    promos = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("promo_id"),
+        F.col("ts").alias("start_ts"),
+        (F.timestamp_millis(F.unix_millis("ts") + two_h_ms)).alias("end_ts"),
+    )
+    j = interval_join(
+        clicks,
+        promos,
+        keys=["user_id"],
+        point_ts="click_ts",
+        max_interval_ms=two_h_ms,
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "promo_id",
+        (
+            F.unix_millis(F.col("click_ts")) - F.unix_millis(F.col("start_ts"))
+        ).alias("gap_ms"),
+    ).orderBy("user_id", "click_id", "promo_id")

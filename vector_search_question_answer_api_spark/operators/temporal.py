@@ -113,3 +113,55 @@ def asof_join(
     if right_id:
         out_cols.append(F.col(f"__match.{right_id}").alias(f"asof_{right_id}"))
     return attached.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bin_ms: int | None = None,
+    max_interval_ms: int | None = None,
+) -> DataFrame:
+    """Inner interval join: every (point, interval) pair on the same
+    key(s) with ``start_ts <= point_ts <= end_ts`` (inclusive ends).
+
+    Spark plans a raw range predicate as a sort-merge over the equi-keys
+    with a post-filter — fine when keys are selective, catastrophic when
+    a key holds millions of rows on both sides (per-key O(|P|·|I|)).
+    The standard fix is BINNING: pick ``bin_ms >= max interval length``,
+    register each interval under floor(start/bin) and floor(end/bin)
+    (<= 2 bins), map each point to its single bin, equi-join on
+    (keys..., bin), then apply the exact range filter.  Any qualifying
+    pair shares the point's bin, so the relation is EXACT; the join
+    degenerates from per-key quadratic to per-(key, bin) local.
+
+    ``bin_ms`` defaults to ``max_interval_ms`` (which the caller asserts
+    by construction of the intervals side); pass both explicitly when
+    interval lengths are data-dependent and bounded.
+
+    Output: all point columns + all interval columns (names must not
+    collide apart from the keys).
+    """
+    if bin_ms is None:
+        if max_interval_ms is None:
+            raise ValueError("pass bin_ms or max_interval_ms")
+        bin_ms = max_interval_ms
+    # integer `div`, not `/`-then-cast: binning only needs a MONOTONE
+    # integer quantizer applied identically to both sides, and exact
+    # integer division is that by construction (float division + cast
+    # would be, at best, accidentally so)
+    p_bin = F.expr(f"unix_millis({point_ts}) div {bin_ms}")
+    s_bin = F.expr(f"unix_millis({start_ts}) div {bin_ms}")
+    e_bin = F.expr(f"unix_millis({end_ts}) div {bin_ms}")
+    pts = points.withColumn("__bin", p_bin)
+    ivs = intervals.withColumn(
+        "__bin", F.explode(F.array_distinct(F.array(s_bin, e_bin)))
+    )
+    joined = pts.join(ivs, [*keys, "__bin"]).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("__bin")
