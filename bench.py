@@ -18,8 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vector_search_question_answer_api_spark import inventory
-from vector_search_question_answer_api_spark.operators import dedup
+from vector_search_question_answer_api_spark import caching, inventory
 from vector_search_question_answer_api_spark.session import get_spark
 
 # The headline set: relational core, vector search, dedup, text analytics —
@@ -81,13 +80,15 @@ def main() -> None:
         # between attempts so both runs do the full work.
         best = None
         for _ in range(2):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            # cache_scope releases only the caches THIS attempt creates —
+            # unpersist_all() would drain the process-global registry and
+            # could yank caches out from under other live plans if bench
+            # ever runs embedded (ADVICE r3)
+            with caching.cache_scope():
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-            # release operator intermediate caches so successive runs
-            # don't accumulate executor storage or reuse work
-            dedup.unpersist_all()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

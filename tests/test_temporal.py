@@ -123,3 +123,51 @@ def test_stratified_sample_deterministic_and_salted(spark):
         for r in stratified_sample(df, ["source"], 10, salt="other").collect()
     )
     assert a != c  # a different salt draws a different sample
+
+
+def test_interval_join_exact_incl_long_intervals(spark):
+    """Binned interval join must be exact even when an interval spans many
+    bins (ADVICE r3: start/end-bin-only registration dropped middle-bin
+    points)."""
+    from vector_search_question_answer_api_spark.operators.temporal import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:05")),
+            (1, 11, _ts("2024-01-01T10:03:00")),  # middle bin of the long interval
+            (1, 12, _ts("2024-01-01T10:07:59")),
+            (1, 13, _ts("2024-01-01T10:08:01")),  # just past the long interval
+            (2, 20, _ts("2024-01-01T10:00:30")),
+        ],
+        ["user_id", "point_id", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            # 8-minute interval with bin_ms = 1 min: spans 9 bins
+            (1, 100, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:08:00")),
+            (1, 101, _ts("2024-01-01T10:02:30"), _ts("2024-01-01T10:03:30")),
+            (2, 200, _ts("2024-01-01T10:01:00"), _ts("2024-01-01T10:02:00")),
+        ],
+        ["user_id", "iv_id", "start_ts", "end_ts"],
+    )
+    got = {
+        (r["point_id"], r["iv_id"])
+        for r in interval_join(
+            points, intervals, ["user_id"], bin_ms=60_000
+        ).collect()
+    }
+    # brute-force reference
+    want = set()
+    for p in points.collect():
+        for iv in intervals.collect():
+            if (
+                p["user_id"] == iv["user_id"]
+                and iv["start_ts"] <= p["ts"] <= iv["end_ts"]
+            ):
+                want.add((p["point_id"], iv["iv_id"]))
+    assert got == want
+    assert (10, 100) in got and (11, 100) in got and (12, 100) in got
+    assert (13, 100) not in got
+    assert (20, 200) not in got  # 10:00:30 before interval start

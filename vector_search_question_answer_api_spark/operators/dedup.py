@@ -638,9 +638,13 @@ def dup_clusters(
     edges.unpersist()
     und.unpersist()
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    return comp.withColumn(
-        "cluster_size",
-        F.count("*").over(Window.partitionBy("cluster_id")),
+    # cluster_size via grouped count + broadcast join, NOT a window over
+    # cluster_id: a pathological giant component (web boilerplate) would
+    # land a window's whole partition on one task, while the size relation
+    # is at most one row per cluster — tiny, broadcastable (ADVICE r3).
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 

@@ -194,7 +194,14 @@ def rrf_fuse(
 
     A doc absent from one ranking simply contributes nothing for it (the
     union-aggregate shape — no outer-join ladder, so fusing R rankings is
-    one union + one hash aggregation regardless of R)."""
+    one union + one hash aggregation regardless of R).
+
+    ``round_digits``: every engine fusing the same ranks sums the same
+    reciprocal operand set, so rounding at 9 digits is engine-stable
+    (the reciprocals themselves are not exactly representable — 1/61
+    isn't — but identical operands round identically)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     tagged = None
     for r in rankings:
         part = r.select(

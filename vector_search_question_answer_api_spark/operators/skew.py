@@ -38,14 +38,20 @@ def salted_topk_per_key(
     tiebreak for determinism), computed in two salted phases.
 
     ``salt_col`` names a column to derive the salt from (hashed mod
-    n_salts — deterministic); default uses a per-row uniform salt via
-    ``monotonically_increasing_id``, which is plan-stable within one
-    execution (both phases sit in one plan, so the salt is assigned
-    once)."""
+    n_salts — deterministic); the default hashes EVERY input column, so
+    the salt is a pure function of row content.  Content-derived salts
+    are mandatory for exactness under stage retries: a salt drawn from
+    ``monotonically_increasing_id`` or ``rand`` changes when a phase-1
+    partition is recomputed after a shuffle-fetch failure, and the
+    row_number cut could then drop a true top-k row (ADVICE r3).  Any
+    salt assignment preserves top-k exactness; determinism only requires
+    that each ROW keeps the same salt across recomputations, which
+    content hashing guarantees (duplicate rows sharing a salt is
+    harmless — worst case the spread is less even)."""
     if salt_col is not None:
         salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     salted = df.withColumn("__salt", salt)
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     local = (

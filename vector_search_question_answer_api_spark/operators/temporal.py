@@ -131,16 +131,20 @@ def interval_join(
     Spark plans a raw range predicate as a sort-merge over the equi-keys
     with a post-filter — fine when keys are selective, catastrophic when
     a key holds millions of rows on both sides (per-key O(|P|·|I|)).
-    The standard fix is BINNING: pick ``bin_ms >= max interval length``,
-    register each interval under floor(start/bin) and floor(end/bin)
-    (<= 2 bins), map each point to its single bin, equi-join on
+    The standard fix is BINNING: pick a ``bin_ms``, register each
+    interval under EVERY bin it overlaps (``sequence(floor(start/bin),
+    floor(end/bin))`` — for intervals no longer than ``bin_ms`` that is
+    <= 2 bins), map each point to its single bin, equi-join on
     (keys..., bin), then apply the exact range filter.  Any qualifying
-    pair shares the point's bin, so the relation is EXACT; the join
-    degenerates from per-key quadratic to per-(key, bin) local.
+    pair shares the point's bin, so the relation is EXACT for ANY
+    interval length; the join degenerates from per-key quadratic to
+    per-(key, bin) local.  Intervals much longer than ``bin_ms`` fan out
+    to length/bin_ms replicas — pick ``bin_ms`` near the typical
+    interval length so the fanout stays ~2.
 
-    ``bin_ms`` defaults to ``max_interval_ms`` (which the caller asserts
-    by construction of the intervals side); pass both explicitly when
-    interval lengths are data-dependent and bounded.
+    ``bin_ms`` defaults to ``max_interval_ms`` (the typical/maximum
+    interval length the caller expects); pass ``bin_ms`` explicitly when
+    interval lengths are data-dependent.
 
     Output: all point columns + all interval columns (names must not
     collide apart from the keys).
@@ -157,9 +161,7 @@ def interval_join(
     s_bin = F.expr(f"unix_millis({start_ts}) div {bin_ms}")
     e_bin = F.expr(f"unix_millis({end_ts}) div {bin_ms}")
     pts = points.withColumn("__bin", p_bin)
-    ivs = intervals.withColumn(
-        "__bin", F.explode(F.array_distinct(F.array(s_bin, e_bin)))
-    )
+    ivs = intervals.withColumn("__bin", F.explode(F.sequence(s_bin, e_bin)))
     joined = pts.join(ivs, [*keys, "__bin"]).filter(
         (F.col(point_ts) >= F.col(start_ts))
         & (F.col(point_ts) <= F.col(end_ts))

@@ -87,12 +87,23 @@ def load_table(
             # TIMESTAMP(NANOS) read as NTZ wall time (current builds).
             # The wall time IS the UTC instant; a bare cast would instead
             # interpret it in the SESSION timezone and shift instants on
-            # any non-UTC session.  Re-express the UTC wall time in the
-            # session zone first, so the cast lands on the right instant
-            # whatever the session timezone is.
-            c = F.convert_timezone(
-                F.lit("UTC"), F.current_timezone(), c
-            ).cast(field.dataType)
+            # any non-UTC session.  Rebuild the epoch from the wall-clock
+            # FIELDS (date + h/m/s.micros) — a pure bijection that never
+            # consults a timezone.  The previous convert_timezone(UTC,
+            # session)-then-cast round-trip was not injective during the
+            # session zone's DST fall-back (two UTC instants map to the
+            # same repeated local hour; ADVICE r3), and
+            # to_utc_timestamp(ntz, 'UTC') casts NTZ through the session
+            # zone first, reintroducing the same ambiguity.
+            micros = (
+                F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+                + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                + F.minute(c).cast("long") * F.lit(60_000_000)
+                + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast(
+                    "long"
+                )
+            )
+            c = F.timestamp_micros(micros)
         else:
             c = c.cast(field.dataType)
         cols.append(c.alias(field.name))
