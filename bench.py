@@ -39,8 +39,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding",
-    "token_stats",
-    "quality_scores",
+    "text_metrics",
     "events_asof_join",
     "stratified_sample",
 ]
@@ -48,6 +47,69 @@ HEADLINE = [
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _zipf_topk_fns():
+    """Two extra bench entries (r3 verdict #6): exact top-k per key over a
+    Zipfian key (90% of lineitem x4 on ONE key) — the direct window vs the
+    two-phase salted form (operators/skew.py), equality-asserted once per
+    bench run.  MEASURED finding (r4, recorded in SCALE.md): at bench scale
+    the hot key's single-task sort costs ~1 s, and Spark 3.5's
+    WindowGroupLimit already prunes each input partition to its local
+    top-k, so the salted form shows NO win here — its domain is keys whose
+    per-task sort/merge exceeds the task budget (>=10^8 rows/key), where
+    the direct window's single hot-key task is the straggler.  The bench
+    keeps both honest: same relation, real timings, no guessing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    K = 100
+
+    def _input(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        base = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("c"), (F.col("l_orderkey") % 1000).cast("string"))
+            )
+            .alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+        return base.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        )
+
+    def _order():
+        from pyspark.sql import functions as F
+
+        return [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("rep").asc(),
+        ]
+
+    def direct(spark, sf_dir):
+        df = _input(spark, sf_dir)
+        w = Window.partitionBy("k").orderBy(*_order())
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+        )
+
+    def salted(spark, sf_dir):
+        return salted_topk_per_key(
+            _input(spark, sf_dir), ["k"], _order(), k=K, n_salts=32
+        )
+
+    return {"topk_zipf_direct": direct, "topk_zipf_salted": salted}
 
 
 def main() -> None:
@@ -69,9 +131,16 @@ def main() -> None:
     warm = spark.range(256).repartition(spark.sparkContext.defaultParallelism)
     _force(warm.select(HashingEmbedder()(F.col("id").cast("string"))))
 
+    extra = _zipf_topk_fns()
+    # one-time equality pin: both skew strategies must emit the identical
+    # relation before their timings mean anything
+    a = set(map(tuple, extra["topk_zipf_direct"](spark, sf_dir).collect()))
+    b = set(map(tuple, extra["topk_zipf_salted"](spark, sf_dir).collect()))
+    assert a == b and a, f"zipf top-k strategy mismatch ({len(a)} vs {len(b)})"
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
+    for name in [*HEADLINE, *extra]:
+        fn = qs.get(name) or extra.get(name)
         if fn is None:
             continue
         # Best-of-2: single-shot timings on this box swing +-40% with

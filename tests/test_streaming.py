@@ -404,3 +404,86 @@ def test_asof_stream_matches_batch(spark, tmpdir):
             if got.get(k) != expected[k]
         }
         assert not mismatches, f"tol={tol}: {len(mismatches)} mismatches: {list(mismatches.items())[:3]}"
+
+
+def test_asof_stream_matches_batch_sf001(spark, tmpdir):
+    """Batch == stream for the as-of join over the sf0.01 events table
+    (VERDICT r3 #5: the session/dedup streams got sf0.01 equivalence runs
+    in r2; this promotes the as-of stream too).  Four time-ordered
+    micro-batches, full value comparison."""
+    from vector_search_question_answer_api_spark.operators.temporal import asof_join
+    from vector_search_question_answer_api_spark.streaming.asof_stream import (
+        asof_join_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    src = f"{tmpdir}/events001_asof"
+    qs = events.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    # split by event_id quantiles of the TS-ordered table: events are
+    # written time-ordered, so id quartiles are time quartiles
+    bounds = [int(x) for x in qs]
+    ts_bounds = (
+        events.filter(F.col("event_id").isin(bounds))
+        .select("event_id", F.unix_millis("ts").alias("ms"))
+        .collect()
+    )
+    cuts = sorted(r["ms"] for r in ts_bounds)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = events
+        if lo is not None:
+            part = part.filter(F.unix_millis("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.unix_millis("ts") <= hi)
+        part.coalesce(1).write.parquet(f"{src}/p{i}")
+        lo = hi
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    lstream = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    rstream = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join_stream(lstream, rstream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_out_001")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_asof_001")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"], r["asof_ts"])
+            for r in spark.sql("SELECT * FROM asof_out_001").collect()
+        }
+    finally:
+        q.stop()
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    expected = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"], r["asof_ts"])
+        for r in asof_join(
+            clicks,
+            purchases,
+            on="user_id",
+            right_id="event_id",
+            payload_cols=["value"],
+        ).collect()
+    }
+    assert len(got) == len(expected) > 0
+    mismatches = {
+        k: (got.get(k), expected[k])
+        for k in expected
+        if got.get(k) != expected[k]
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches: {list(mismatches.items())[:3]}"

@@ -79,7 +79,7 @@ SCALE_QUERIES = [
     "dedup_simhash",             # pigeonhole segment banding
     "dedup_clusters",            # connected components over pair graph
     "dedup_embedding",           # auto-routed broadcast/LSH near-dup
-    "token_stats",               # map-only text analytics
+    "text_metrics",               # map-only text analytics
     "search_pipeline_e2e",       # embed (Arrow UDF) + kNN + doc join
 ]
 
@@ -96,7 +96,7 @@ EXPECT_EXACT_NX = {
     "events_sessionization",
     "dedup_exact",
     "dedup_ngram_jaccard",  # true-jaccard on bijectively renamed shingles
-    "token_stats",
+    "text_metrics",
 }
 # Fixed-output queries (top-k with a constant query set / LIMIT): rows stay
 # constant while *work* scales Nx — the interesting number is the slope.

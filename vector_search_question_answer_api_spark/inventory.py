@@ -35,6 +35,26 @@ def _r(col, n=6):
     return F.round(col, n) + F.lit(0.0)
 
 
+def _assert_twin(primary: DataFrame, twin: DataFrame, what: str) -> DataFrame:
+    """In-gate physical-strategy equivalence (r3 verdict): run an alternate
+    physical strategy next to the primary one, raise unless both produce the
+    IDENTICAL relation, return the primary.  Keeps one driver-recorded
+    correctness row per logical operator while every strategy tier stays
+    oracle-verified through it (both sides round their measures before the
+    compare, so bag equality is exact).
+
+    The primary is persisted (tracked): exceptAll executes it once here and
+    the harness's own execution of the returned plan reads the cache."""
+    from vector_search_question_answer_api_spark import caching
+
+    primary = caching.persist_tracked(primary)
+    diff = primary.exceptAll(twin).unionByName(twin.exceptAll(primary))
+    bad = diff.limit(3).collect()
+    if bad:
+        raise ValueError(f"{what}: twin strategy mismatch, e.g. {bad}")
+    return primary
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -48,7 +68,13 @@ def register(name: str, sql: str | None):
 
 
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    """Registration order, except the (three) rows-only gates without an
+    oracle sort last: the driver records correctness rows in this order,
+    so if a recording cap ever bites again (r3: 50 of 60 recorded), the
+    rows it drops are the weakest-signal ones."""
+    with_oracle = {k: v[0] for k, v in _REGISTRY.items() if v[1] is not None}
+    rows_only = {k: v[0] for k, v in _REGISTRY.items() if v[1] is None}
+    return {**with_oracle, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -240,12 +266,25 @@ def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-many shape: window top-k per group (the same pattern the vector
-    search top-k uses)."""
-    p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.round(F.col("p_retailprice"), 2).desc(), F.col("p_partkey").asc()
+    search top-k uses).
+
+    In-gate twin (r4 consolidation, formerly the top2_parts_salted gate):
+    the exact two-phase salted ranking (operators/skew.salted_topk_per_key
+    — phase 1 per (key, salt), phase 2 over the n_salts*k survivors; the
+    Zipfian-key escape hatch for window top-k) must produce the IDENTICAL
+    relation.  The salt is content-derived (hash of p_partkey), so the
+    twin is deterministic under stage retries."""
+    from vector_search_question_answer_api_spark.operators.skew import (
+        salted_topk_per_key,
     )
-    return (
+
+    p = load_table(spark, sf_dir, "part")
+    order = [
+        F.round(F.col("p_retailprice"), 2).desc(),
+        F.col("p_partkey").asc(),
+    ]
+    w = Window.partitionBy("p_brand").orderBy(*order)
+    primary = (
         p.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
         .select(
@@ -254,7 +293,17 @@ def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("p_retailprice"), 2).alias("price"),
             "rn",
         )
-        .orderBy("p_brand", "rn")
+    )
+    twin = salted_topk_per_key(
+        p, ["p_brand"], order, k=2, n_salts=8, salt_col="p_partkey"
+    ).select(
+        "p_brand",
+        "p_partkey",
+        _r(F.col("p_retailprice"), 2).alias("price"),
+        F.col("rank").alias("rn"),
+    )
+    return _assert_twin(primary, twin, "top2_parts_per_brand").orderBy(
+        "p_brand", "rn"
     )
 
 
@@ -506,7 +555,19 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4-exact: brute-force cosine top-k, query side = first 10 vectors.
-    Rounds distance BEFORE ranking so rank order is float-noise-proof."""
+    Rounds distance BEFORE ranking so rank order is float-noise-proof.
+
+    In-gate twin (r4 consolidation): the 100 TB physical strategy —
+    per-partition BLAS matmul + partial top-k in mapInPandas, global merge
+    of the candidate set (operators/search.knn_exact_partitioned, where
+    the corpus never broadcasts and only partitions x queries x k
+    candidate rows shuffle) — must produce the IDENTICAL relation, or the
+    gate raises.  One recorded correctness row covers both strategies
+    (formerly the separate knn_topk_partitioned gate)."""
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_partitioned,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     normed = e.select(
         "vec_id", V.l2_normalize(F.col("embedding")).alias("nv")
@@ -522,74 +583,23 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("doc_id").asc()
     )
-    return (
+    primary = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "distance", "rank")
-        .orderBy("query_id", "rank")
-    )
-
-
-@register(
-    "knn_topk_partitioned",
-    # Identical oracle to knn_topk: the partitioned physical strategy must
-    # produce the same relation as the pure-Catalyst broadcast form.
-    """
-    WITH normed AS (
-      SELECT vec_id,
-             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
-                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
-                  ELSE list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-             END AS nv
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-             round(1.0 - list_dot_product(q.nv, c.nv), 6) + 0 AS distance
-      FROM normed q, normed c
-      WHERE q.vec_id < 10
-    ),
-    ranked AS (
-      SELECT query_id, doc_id, distance,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY distance ASC, doc_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, doc_id, distance, rank
-    FROM ranked WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
-def knn_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V4-exact, scale strategy: per-partition BLAS matmul + partial top-k
-    in mapInPandas, global merge of the candidate set (operators/search.
-    knn_exact_partitioned — the 100 TB path, where the corpus never
-    broadcasts and only partitions x queries x k candidate rows shuffle).
-    Gate-checked against the same oracle as knn_topk: both physical
-    strategies must produce the identical relation."""
-    from vector_search_question_answer_api_spark.operators.search import (
-        knn_exact_partitioned,
-    )
-
-    e = load_table(spark, sf_dir, "embeddings")
-    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
-    q = normed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
     )
     idx = normed.select(
         F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
     )
     res = knn_exact_partitioned(q, idx, k=5)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col("doc_id").asc()
-    )
-    return (
-        res.select("query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"))
+    twin = (
+        res.select(
+            "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance")
+        )
         .withColumn("rank", F.row_number().over(w))
         .select("query_id", "doc_id", "distance", "rank")
-        .orderBy("query_id", "rank")
     )
+    return _assert_twin(primary, twin, "knn_topk").orderBy("query_id", "rank")
 
 
 @register(
@@ -677,26 +687,6 @@ def topic_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
-
-
-@register(
-    "doc_preview",
-    """
-    SELECT doc_id,
-           CASE WHEN length(text) > 100
-                THEN substr(text, 1, 100) || '...'
-                ELSE text END AS preview
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def doc_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7: truncate + ellipsis at 100 chars (reference
-    controllers/qa_controller.py:58's product-description preview)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", TXT.truncate_ellipsis(F.col("text"), 100).alias("preview")
-    ).orderBy("doc_id")
 
 
 @register(
@@ -918,17 +908,26 @@ _PREPROC_SQL = r"""
 @register(
     "preprocess_docs",
     f"""
-    SELECT doc_id, {_PREPROC_SQL} AS proc_text
+    SELECT doc_id, {_PREPROC_SQL} AS proc_text,
+           CASE WHEN length(text) > 100
+                THEN substr(text, 1, 100) || '...'
+                ELSE text END AS preview
     FROM documents
     ORDER BY doc_id
     """,
 )
 def preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F4: the full preprocess pipeline (reference
-    services/index_service.py:14-47) as native Catalyst expressions."""
+    services/index_service.py:14-47) as native Catalyst expressions —
+    plus F7, truncate + ellipsis at 100 chars (reference
+    controllers/qa_controller.py:58's preview; the former doc_preview
+    gate, folded in r4 — both are map-only projections of the same
+    scan)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", TXT.preprocess_text(F.col("text")).alias("proc_text")
+        "doc_id",
+        TXT.preprocess_text(F.col("text")).alias("proc_text"),
+        TXT.truncate_ellipsis(F.col("text"), 100).alias("preview"),
     ).orderBy("doc_id")
 
 
@@ -1398,14 +1397,27 @@ _SHINGLES_SQL = f"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram jaccard near-dup pairs (threshold 0.8) via the shingle
-    inverted index — the oracle cross-joins; the engine never does."""
+    inverted index — the oracle cross-joins; the engine never does.
+
+    In-gate twin (r4 consolidation, formerly the dedup_jaccard_prefix
+    gate): the PPJoin prefix-filter tier (Xiao et al. 2008 — only each
+    doc's |S| - ceil(0.8|S|) + 1 rarest shingles enter the candidate
+    self-join, true-jaccard verify on the full sets) must produce the
+    IDENTICAL relation; exact by construction, much smaller candidate
+    volume under hot shingles."""
     from vector_search_question_answer_api_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
-    return pairs.select(
+    primary = pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
-    ).orderBy("doc_a", "doc_b")
+    )
+    twin = ngram_jaccard_pairs(d, k=3, threshold=0.8, strategy="prefix").select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    )
+    return _assert_twin(primary, twin, "dedup_ngram_jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # The jaccard-pair predicate reused by dedup_clusters below.
@@ -1453,7 +1465,14 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard>=0.8 pair graph (auto-tiered: driver union-find below the edge
     cap, min-label propagation above; oracle = recursive-CTE transitive
     closure).  cluster_id is the canonical survivor doc_id — the
-    group-then-canonicalize step every dedup pipeline ends with."""
+    group-then-canonicalize step every dedup pipeline ends with.
+
+    In-gate twin (r4 consolidation, formerly the
+    dedup_clusters_distributed gate): the 100 TB tier — the iterative
+    min-label-propagation loop taken above the driver edge cap — is
+    forced alongside the auto-routed strategy and must produce the
+    IDENTICAL relation, so the distributed algorithm keeps an always-on
+    oracle-verified correctness row."""
     from vector_search_question_answer_api_spark.operators.dedup import (
         dup_clusters,
         ngram_jaccard_pairs,
@@ -1461,23 +1480,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
-    return dup_clusters(pairs).orderBy("doc_id")
-
-
-@register("dedup_clusters_distributed", _CLUSTERS_SQL)
-def dedup_clusters_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB clustering tier, oracle-gated on its own: the iterative
-    min-label-propagation loop (the path taken above the driver edge cap),
-    forced here regardless of graph size so the distributed algorithm keeps
-    an always-on correctness row next to the auto-routed gate."""
-    from vector_search_question_answer_api_spark.operators.dedup import (
-        dup_clusters,
-        ngram_jaccard_pairs,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
-    return dup_clusters(pairs, strategy="distributed").orderBy("doc_id")
+    primary = dup_clusters(pairs)
+    twin = dup_clusters(pairs, strategy="distributed")
+    return _assert_twin(primary, twin, "dedup_clusters").orderBy("doc_id")
 
 
 # Double-hashed MinHash (Kirsch-Mitzenmacher): one md5 per shingle, the two
@@ -1638,28 +1643,90 @@ _STOPLIST_SQL = {
 
 
 @register(
-    "token_stats",
+    "text_metrics",
     f"""
     WITH toks AS (
-      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+      SELECT doc_id, text, lang, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                                   i -> toks[i::INT] || ' ' || toks[i::INT + 1])
+                  ELSE []::VARCHAR[] END AS bg
+      FROM toks
+    ),
+    m AS (
+      SELECT t.doc_id,
+             len(coalesce(t.text, '')) AS n_chars,
+             len(t.toks) AS n_tokens,
+             len(list_distinct(t.toks)) AS n_uniq_tokens,
+             len(regexp_extract_all(coalesce(t.text, ''), '\\w+|[^\\w\\s]')) AS est_bpe_tokens,
+             CASE WHEN len(t.toks) > 0
+                  THEN list_sum(list_transform(t.toks, x -> len(x)))::DOUBLE / len(t.toks)
+                  ELSE 0.0 END AS mean_len_raw,
+             CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+             CASE WHEN len(t.toks) > 0 THEN
+                    list_max(list_transform(list_distinct(t.toks),
+                      d -> len(list_filter(t.toks, x -> x = d))))::DOUBLE / len(t.toks)
+                  ELSE 0.0 END AS top_token_raw,
+             CASE WHEN len(b.bg) > 0 THEN
+                    list_max(list_transform(list_distinct(b.bg),
+                      d -> len(list_filter(b.bg, x -> x = d))))::DOUBLE / len(b.bg)
+                  ELSE 0.0 END AS top_bigram_raw,
+             CASE WHEN len(b.bg) > 0 THEN
+                    len(list_distinct(b.bg))::DOUBLE / len(b.bg)
+                  ELSE 0.0 END AS uniq_bigram_raw,
+             len(list_intersect(list_distinct(t.toks), {_STOPLIST_SQL['en']})) AS en_hits,
+             len(list_intersect(list_distinct(t.toks), {_STOPLIST_SQL['es']})) AS es_hits,
+             len(list_intersect(list_distinct(t.toks), {_STOPLIST_SQL['fr']})) AS fr_hits,
+             len(list_intersect(list_distinct(t.toks), {_STOPLIST_SQL['de']})) AS de_hits,
+             t.lang AS declared_lang,
+             CASE WHEN len(t.toks) > 0
+                  THEN len(list_intersect(list_distinct(t.toks), {_STOPLIST_SQL['en']}))::DOUBLE / len(t.toks)
+                  ELSE 0.0 END AS stop_ratio_raw,
+             CASE WHEN len(t.toks) > 0
+                  THEN len(list_distinct(t.toks))::DOUBLE / len(t.toks)
+                  ELSE 0.0 END AS uniq_ratio_raw
+      FROM toks t JOIN bg b USING (doc_id)
     )
-    SELECT doc_id,
-           len(coalesce(text, '')) AS n_chars,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_uniq_tokens,
-           len(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS est_bpe_tokens,
-           round(CASE WHEN len(toks) > 0
-                 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
-                 ELSE 0.0 END, 6) + 0 AS mean_token_len
-    FROM toks
+    SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, est_bpe_tokens,
+           round(mean_len_raw, 6) + 0 AS mean_token_len,
+           n_bigrams,
+           round(top_token_raw, 6) + 0 AS top_token_frac,
+           round(top_bigram_raw, 6) + 0 AS top_bigram_frac,
+           round(uniq_bigram_raw, 6) + 0 AS uniq_bigram_frac,
+           en_hits, es_hits, fr_hits, de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits
+                     AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS guessed_lang,
+           declared_lang,
+           round(stop_ratio_raw, 6) + 0 AS stop_ratio,
+           round(uniq_ratio_raw, 6) + 0 AS uniq_ratio,
+           round(CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN mean_len_raw BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+                 + CASE WHEN stop_ratio_raw >= 0.01 THEN 0.25 ELSE 0.0 END
+                 + 0.25 * uniq_ratio_raw, 6) + 0 AS quality_score
+    FROM m
     ORDER BY doc_id
     """,
 )
-def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_search_question_answer_api_spark.operators.text_analysis import token_stats
+def text_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated per-document text analytics (r4: the former
+    token_stats + repetition_scores + lang_id_heuristic + quality_scores
+    gates as ONE oracle-hashed relation): token/char/BPE-ish counts,
+    Gopher-style repetition diagnostics, stopword lang-ID, and the
+    composite quality heuristic — a single map-only projection over staged
+    (toks, bg) arrays, no joins, no shuffle (one scan at any scale)."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        text_metrics,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    return token_stats(d).orderBy("doc_id")
+    return text_metrics(d).orderBy("doc_id")
 
 
 _WINNOW_HASH = "CAST(" + _HEX_TO_INT.format(
@@ -1756,82 +1823,6 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", (_r(F.col("overlap"), 6) + F.lit(0.0)).alias("overlap")
     ).orderBy("doc_a", "doc_b")
-
-
-@register(
-    "repetition_scores",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    bg AS (
-      SELECT doc_id, toks,
-             CASE WHEN len(toks) >= 2 THEN
-                    list_transform(range(1, len(toks)),
-                                   i -> toks[i::INT] || ' ' || toks[i::INT + 1])
-                  ELSE []::VARCHAR[] END AS bg
-      FROM toks
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(bg) AS BIGINT) AS n_bigrams,
-           round(CASE WHEN len(toks) > 0 THEN
-                   list_max(list_transform(list_distinct(toks),
-                     d -> len(list_filter(toks, x -> x = d))))::DOUBLE / len(toks)
-                 ELSE 0.0 END, 6) + 0 AS top_token_frac,
-           round(CASE WHEN len(bg) > 0 THEN
-                   list_max(list_transform(list_distinct(bg),
-                     d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg)
-                 ELSE 0.0 END, 6) + 0 AS top_bigram_frac,
-           round(CASE WHEN len(bg) > 0 THEN
-                   len(list_distinct(bg))::DOUBLE / len(bg)
-                 ELSE 0.0 END, 6) + 0 AS uniq_bigram_frac
-    FROM bg
-    ORDER BY doc_id
-    """,
-)
-def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition diagnostics: top-token / top-bigram mass
-    fractions + bigram diversity, map-only HOFs."""
-    from vector_search_question_answer_api_spark.operators.text_analysis import (
-        repetition_scores,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    return repetition_scores(d).orderBy("doc_id")
-
-
-@register(
-    "lang_id_heuristic",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, lang, list_distinct({_TOKS_SQL}) AS dtoks FROM documents
-    ),
-    scores AS (
-      SELECT doc_id, lang,
-             len(list_intersect(dtoks, {_STOPLIST_SQL['en']})) AS en_hits,
-             len(list_intersect(dtoks, {_STOPLIST_SQL['es']})) AS es_hits,
-             len(list_intersect(dtoks, {_STOPLIST_SQL['fr']})) AS fr_hits,
-             len(list_intersect(dtoks, {_STOPLIST_SQL['de']})) AS de_hits
-      FROM toks
-    )
-    SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
-           CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits
-                     AND en_hits > 0 THEN 'en'
-                WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
-                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
-                WHEN de_hits > 0 THEN 'de'
-                ELSE 'unknown' END AS guessed_lang,
-           lang AS declared_lang
-    FROM scores
-    ORDER BY doc_id
-    """,
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_search_question_answer_api_spark.operators.text_analysis import lang_scores
-
-    d = load_table(spark, sf_dir, "documents")
-    return lang_scores(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1935,44 +1926,6 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "distance", "rank")
         .orderBy("query_id", "rank")
     )
-
-
-@register(
-    "quality_scores",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ),
-    m AS (
-      SELECT doc_id, len(toks) AS n_tokens,
-             CASE WHEN len(toks) > 0
-                  THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
-                  ELSE 0.0 END AS mean_len,
-             CASE WHEN len(toks) > 0
-                  THEN len(list_intersect(list_distinct(toks), {_STOPLIST_SQL['en']}))::DOUBLE / len(toks)
-                  ELSE 0.0 END AS stop_ratio,
-             CASE WHEN len(toks) > 0
-                  THEN len(list_distinct(toks))::DOUBLE / len(toks)
-                  ELSE 0.0 END AS uniq_ratio
-      FROM toks
-    )
-    SELECT doc_id, n_tokens,
-           round(mean_len, 6) + 0 AS mean_token_len,
-           round(stop_ratio, 6) + 0 AS stop_ratio,
-           round(uniq_ratio, 6) + 0 AS uniq_ratio,
-           round(CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END
-                 + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
-                 + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
-                 + 0.25 * uniq_ratio, 6) + 0 AS quality_score
-    FROM m
-    ORDER BY doc_id
-    """,
-)
-def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_search_question_answer_api_spark.operators.text_analysis import quality_scores
-
-    d = load_table(spark, sf_dir, "documents")
-    return quality_scores(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2161,65 +2114,76 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_quantiles",
-    """
-    SELECT event_type, count(*) AS n,
-           round(quantile_cont(value, 0.5), 6) + 0 AS p50,
-           round(quantile_cont(value, 0.9), 6) + 0 AS p90,
-           round(quantile_cont(value, 0.99), 6) + 0 AS p99
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
-def events_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-type value quantiles (R-7 linear interpolation — Spark's
-    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit on doubles).
-
-    Scale note: exact percentile buffers each group's values; the 100 TB
-    tier is `percentile_approx` (Greenwald-Khanna, bounded memory) with
-    this exact form as the small-group/oracle reference."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            _r(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
-            _r(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
-            _r(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "events_props_extract",
+    "events_profile",
     """
     SELECT event_type,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) + 0 AS p50,
+           round(quantile_cont(value, 0.9), 6) + 0 AS p90,
+           round(quantile_cont(value, 0.99), 6) + 0 AS p99,
            count(json_extract(props, '$.k')) AS n_with_k,
            CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            round(avg(json_extract(props, '$.k')::BIGINT), 6) + 0 AS avg_k,
            min(json_extract(props, '$.k')::BIGINT) AS min_k,
-           max(json_extract(props, '$.k')::BIGINT) AS max_k
+           max(json_extract(props, '$.k')::BIGINT) AS max_k,
+           count(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
-def events_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props: JSON path extraction + per-type rollup
-    (get_json_object stays inside codegen; at scale prefer from_json with a
-    pinned schema so the parse is vectorized once, not per path)."""
+def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile in ONE aggregation pass (r4: the former
+    events_quantiles + events_props_extract + events_distinct_profile
+    gates): row counts, exact value quantiles (R-7 interpolation —
+    Spark's `percentile` and DuckDB's `quantile_cont` agree bit-for-bit
+    on doubles), JSON-path numeric rollups (get_json_object stays inside
+    codegen), and exact distinct users.
+
+    The gate additionally runs the 100 TB distinct tier —
+    approx_count_distinct's HyperLogLog++ sketch — in the SAME
+    aggregation and raises if it drifts beyond 3x its configured rsd
+    from exact, so the scale path is exercised and bounded on every
+    driver run without making the hash depend on sketch internals.  The
+    agg is persisted (tracked) before the drift check collects it, so
+    the harness's execution of the returned plan reads the cache — the
+    aggregation runs once, not twice.
+
+    Scale notes: exact percentile buffers each group's values (the
+    100 TB tier is percentile_approx / Greenwald-Khanna with this exact
+    form as the oracle reference); exact count-distinct is a two-phase
+    shuffle on (event_type, user_id), the HLL sketch one map-side
+    mergeable pass — the gate keeps both honest against each other."""
+    from vector_search_question_answer_api_spark import caching
+
     e = load_table(spark, sf_dir, "events")
+    rsd = 0.05
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        e.select("event_type", k.alias("k"))
+    both = (
+        e.select("event_type", "user_id", "value", k.alias("k"))
         .groupBy("event_type")
         .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            _r(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            _r(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
             F.count("k").alias("n_with_k"),
             F.sum("k").alias("sum_k"),
             _r(F.avg("k"), 6).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
         )
-        .orderBy("event_type")
     )
+    both = caching.persist_tracked(both)
+    for r in both.collect():
+        rel_err = abs(r["n_users_hll"] - r["n_users"]) / max(r["n_users"], 1)
+        if rel_err > 3 * rsd:
+            raise ValueError(
+                f"HLL++ sketch drift for {r['event_type']}: "
+                f"approx={r['n_users_hll']} exact={r['n_users']} "
+                f"rel_err={rel_err:.3f} > {3 * rsd}"
+            )
+    return both.drop("n_users_hll").orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -2481,7 +2445,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary model, stream the corpus" two-pass shape.
 
 @register(
-    "doc_top_terms",
+    "doc_term_scores",
     f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
@@ -2502,28 +2466,6 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY tfidf DESC, term ASC) AS rank
       FROM scored
-    )
-    SELECT doc_id, term, tfidf, rank
-    FROM ranked WHERE rank <= 3
-    ORDER BY doc_id, rank
-    """,
-)
-def doc_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword extraction: top-3 tf-idf terms per doc (rounded before
-    ranking, term tiebreak)."""
-    from vector_search_question_answer_api_spark.operators.text_analysis import (
-        doc_top_terms,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    return doc_top_terms(d, k=3).orderBy("doc_id", "rank")
-
-
-@register(
-    "unigram_logprob",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
     tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
     counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
@@ -2536,151 +2478,38 @@ def doc_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_tokens, avg(lp) AS alp
       FROM per GROUP BY doc_id
     )
-    SELECT d.doc_id,
-           coalesce(a.n_tokens, 0) AS n_tokens,
+    SELECT r.doc_id, r.term, r.tfidf, r.rank,
+           a.n_tokens,
            round(a.alp, 6) + 0 AS avg_logprob,
            round(exp(-a.alp), 6) + 0 AS perplexity
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-    ORDER BY d.doc_id
+    FROM ranked r JOIN agg a USING (doc_id)
+    WHERE r.rank <= 3
+    ORDER BY r.doc_id, r.rank
     """,
 )
-def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM fluency score: every doc's mean token log-probability
-    under the corpus's own unigram distribution, and its perplexity."""
+def doc_term_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical text scores in one relation (r4: the former
+    doc_top_terms + unigram_logprob gates): each doc's top-3 tf-idf terms
+    (rounded before ranking, term tiebreak) joined with its unigram-LM
+    mean token log-probability and perplexity.  Both constituents are the
+    "broadcast the vocabulary model, stream the corpus" two-pass shape —
+    the join key is doc_id, co-partitioned with the scoring pass."""
     from vector_search_question_answer_api_spark.operators.text_analysis import (
+        doc_top_terms,
         unigram_logprob_scores,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return unigram_logprob_scores(d).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Distinct-count profile with sketch self-check (r3).  The oracle-checked
-# output is EXACT (count distinct); the gate additionally runs the 100 TB
-# tier — approx_count_distinct's HyperLogLog++ sketch — and raises if the
-# sketch drifts beyond 3x its configured rsd from exact, so the scale
-# path is exercised and bounded on every driver run without making the
-# gate's hash depend on sketch internals (DuckDB's approx algorithm
-# differs; exact columns are the only comparable surface).
-
-@register(
-    "events_distinct_profile",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def events_distinct_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type distinct users (exact, oracle-hashed) + in-gate HLL++
-    cross-check.  At 100 TB the exact count-distinct is a two-phase
-    shuffle on (event_type, user_id); the sketch tier is one map-side
-    mergeable pass — the gate keeps both honest against each other."""
-    e = load_table(spark, sf_dir, "events")
-    rsd = 0.05
-    both = (
-        e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
+    terms = doc_top_terms(d, k=3)
+    lm = unigram_logprob_scores(d)
+    return (
+        terms.join(lm, "doc_id")
+        .select(
+            "doc_id", "term", "tfidf", "rank",
+            "n_tokens", "avg_logprob", "perplexity",
         )
+        .orderBy("doc_id", "rank")
     )
-    for r in both.collect():
-        rel_err = abs(r["n_users_hll"] - r["n_users"]) / max(r["n_users"], 1)
-        if rel_err > 3 * rsd:
-            raise ValueError(
-                f"HLL++ sketch drift for {r['event_type']}: "
-                f"approx={r['n_users_hll']} exact={r['n_users']} "
-                f"rel_err={rel_err:.3f} > {3 * rsd}"
-            )
-    return both.select("event_type", "n_users", "n_events").orderBy(
-        "event_type"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Prefix-filtered jaccard (r3): the PPJoin tier of ngram_jaccard_pairs,
-# gated against the SAME oracle relation as dedup_ngram_jaccard — two
-# physical strategies, one answer, both engine-verified.
-
-@register(
-    "dedup_jaccard_prefix",
-    f"""
-    {_SHINGLES_SQL}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 6) + 0 AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.8
-    ORDER BY doc_a, doc_b
-    """,
-)
-def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin prefix filtering (Xiao et al. 2008): only each doc's
-    |S| - ceil(0.8|S|) + 1 rarest shingles enter the candidate self-join;
-    true-jaccard verify on the full sets.  Exact — identical relation to
-    dedup_ngram_jaccard, much smaller candidate volume under hot
-    shingles."""
-    from vector_search_question_answer_api_spark.operators.dedup import ngram_jaccard_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8, strategy="prefix")
-    return pairs.select(
-        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
-    ).orderBy("doc_a", "doc_b")
-
-
-# ---------------------------------------------------------------------------
-# Salted top-k (operators/skew.py, r3): the skew-safe two-phase ranking,
-# gated against the SAME oracle relation as top2_parts_per_brand — the
-# hot-key physical strategy must be value-identical to the direct window.
-
-@register(
-    "top2_parts_salted",
-    """
-    SELECT p_brand, p_partkey, round(p_retailprice, 2) + 0 AS price, rank
-    FROM (
-      SELECT p_brand, p_partkey, p_retailprice,
-             row_number() OVER (
-               PARTITION BY p_brand
-               ORDER BY round(p_retailprice, 2) DESC, p_partkey ASC
-             ) AS rank
-      FROM part
-    )
-    WHERE rank <= 2
-    ORDER BY p_brand, rank
-    """,
-)
-def top2_parts_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted ranking (phase 1 per (key, salt), phase 2 over the
-    n_salts*k survivors) — exact under any skew; the Zipfian-key
-    escape hatch for the window top-k pattern."""
-    from vector_search_question_answer_api_spark.operators.skew import (
-        salted_topk_per_key,
-    )
-
-    p = load_table(spark, sf_dir, "part")
-    order = [
-        F.round(F.col("p_retailprice"), 2).desc(),
-        F.col("p_partkey").asc(),
-    ]
-    out = salted_topk_per_key(
-        p, ["p_brand"], order, k=2, n_salts=8, salt_col="p_partkey"
-    )
-    return out.select(
-        "p_brand",
-        "p_partkey",
-        _r(F.col("p_retailprice"), 2).alias("price"),
-        "rank",
-    ).orderBy("p_brand", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -2793,3 +2622,91 @@ def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("click_ts")) - F.unix_millis(F.col("start_ts"))
         ).alias("gap_ms"),
     ).orderBy("user_id", "click_id", "promo_id")
+
+# ---------------------------------------------------------------------------
+# JSON response sink gate (r4, verdict item 3): the reference's /search
+# response shape (controllers/search_controller.py:30-44) rendered by
+# sources/sinks.search_response_json and hash-matched against a DuckDB
+# json_object oracle.  The score rides as a printf('%.6f') STRING inside
+# the JSON on BOTH engines — float-to-JSON rendering is the one place the
+# engines' serializers could legitimately disagree (1e-6 vs 1.0E-6), so
+# the gate pins a deterministic text form; the sink itself is agnostic.
+
+@register(
+    "search_response_json",
+    """
+    WITH normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(1.0 - list_dot_product(q.nv, c.nv), 6) + 0 AS score
+      FROM normed q, normed c
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score ASC, doc_id ASC) AS rank
+      FROM scored
+    ),
+    j AS (
+      SELECT t.query_id, t.rank,
+             json_object('id', t.doc_id,
+                         'description', d.text,
+                         'score', printf('%.6f', t.score)) AS item
+      FROM ranked t JOIN documents d ON t.doc_id = d.doc_id
+      WHERE t.rank <= 3
+    )
+    SELECT query_id,
+           CAST(json_object('query', query_id, 'k', 3,
+                            'results',
+                            ('[' || string_agg(item::VARCHAR, ',' ORDER BY rank)
+                             || ']')::JSON) AS VARCHAR) AS response
+    FROM j
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def search_response_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/F9 oracle gate: the full /search response JSON — kNN top-3 over
+    the first 5 query vectors, document text attached, rendered to the
+    reference's {query, k, results: [{id, description, score}]} shape by
+    the native to_json sink (JVM-side, no driver round trip)."""
+    from vector_search_question_answer_api_spark.sources.sinks import (
+        search_response_json,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    scored = normed.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        _r(F.lit(1.0) - V.dot(F.col("qvec"), F.col("nv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    res = top.join(d.select("doc_id", "text"), "doc_id").select(
+        "query_id",
+        "doc_id",
+        "text",
+        F.format_string("%.6f", F.col("score")).alias("score"),
+        "rank",
+    )
+    return search_response_json(res, k=3).orderBy("query_id")
+

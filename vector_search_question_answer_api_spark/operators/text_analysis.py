@@ -228,6 +228,99 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_metrics(documents: DataFrame) -> DataFrame:
+    """The consolidated per-document text-metrics relation: everything
+    token_stats + repetition_scores + lang_scores + quality_scores emit,
+    in ONE map-only projection — the (toks, bg) arrays are staged as real
+    columns once and every metric reads them, so the preprocess/tokenize
+    chain is never re-evaluated per metric family and there is no join or
+    shuffle anywhere (at 100 TB this is one scan, not four).  Column set
+    is the union of the four constituent functions (shared columns —
+    n_tokens, mean_token_len — emitted once)."""
+    proc = TXT.preprocess_text(F.col("text"))
+    staged = documents.select(
+        "doc_id",
+        "text",
+        F.col("lang").alias("declared_lang"),
+        _toks(proc).alias("toks"),
+    ).select(
+        "*",
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    en, es, fr, de = (_stop_hits(toks, L) for L in ("en", "es", "fr", "de"))
+    guess = (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    stop_ratio = F.when(n > 0, en.cast("double") / n).otherwise(0.0)
+    uniq_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+    score = (
+        F.when((n >= 10) & (n <= 2000), 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + 0.25 * uniq_ratio
+    )
+
+    def _top_frac(col: str) -> Column:
+        sz = F.size(col)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(F.col(col)),
+                lambda d: F.size(F.filter(F.col(col), lambda x: x == d)),
+            )
+        )
+        return F.when(sz > 0, top.cast("double") / sz).otherwise(0.0)
+
+    uniq_bg = F.when(
+        F.size("bg") > 0,
+        F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(0.0)
+    return staged.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_ISH_PATTERN), 0
+            )
+        ).alias("est_bpe_tokens"),
+        (F.round(mean_len, 6) + F.lit(0.0)).alias("mean_token_len"),
+        F.size("bg").cast("long").alias("n_bigrams"),
+        (F.round(_top_frac("toks"), 6) + F.lit(0.0)).alias("top_token_frac"),
+        (F.round(_top_frac("bg"), 6) + F.lit(0.0)).alias("top_bigram_frac"),
+        (F.round(uniq_bg, 6) + F.lit(0.0)).alias("uniq_bigram_frac"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        guess.alias("guessed_lang"),
+        "declared_lang",
+        (F.round(stop_ratio, 6) + F.lit(0.0)).alias("stop_ratio"),
+        (F.round(uniq_ratio, 6) + F.lit(0.0)).alias("uniq_ratio"),
+        (F.round(score, 6) + F.lit(0.0)).alias("quality_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-statistical scores (r3): TF-IDF keyword extraction and unigram
 # language-model log-probability.  Both are two-pass corpus operators —
