@@ -14,6 +14,17 @@ from vector_search_question_answer_api_spark.operators.search import knn_exact_e
 from vector_search_question_answer_api_spark.sources.tables import load_table
 
 
+@pytest.fixture(autouse=True)
+def _no_twin_checks():
+    """Pin plans of the PRIMARY production path: with twin checks on, the
+    r4 twin gates return a persisted relation whose executed plan collapses
+    to an InMemoryTableScan — every assertion here would pass vacuously."""
+    prev = inventory.RUN_TWIN_CHECKS
+    inventory.RUN_TWIN_CHECKS = False
+    yield
+    inventory.RUN_TWIN_CHECKS = prev
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

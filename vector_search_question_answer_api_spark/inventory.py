@@ -35,7 +35,17 @@ def _r(col, n=6):
     return F.round(col, n) + F.lit(0.0)
 
 
-def _assert_twin(primary: DataFrame, twin: DataFrame, what: str) -> DataFrame:
+# Gates with in-gate strategy twins (r4 consolidation) run BOTH physical
+# strategies and compare them by default, so the driver's correctness
+# harness verifies every tier on every run.  bench.py flips this off for
+# timing: the timed number is the primary production path a user runs
+# (same semantics as the r3 bench, keeping totals comparable), while the
+# alternate tiers' own costs are measured by dedicated bench entries
+# (topk_zipf_salted) or recorded in SCALE.md.
+RUN_TWIN_CHECKS = True
+
+
+def _assert_twin(primary: DataFrame, twin_thunk, what: str) -> DataFrame:
     """In-gate physical-strategy equivalence (r3 verdict): run an alternate
     physical strategy next to the primary one, raise unless both produce the
     IDENTICAL relation, return the primary.  Keeps one driver-recorded
@@ -43,11 +53,21 @@ def _assert_twin(primary: DataFrame, twin: DataFrame, what: str) -> DataFrame:
     oracle-verified through it (both sides round their measures before the
     compare, so bag equality is exact).
 
+    ``twin_thunk`` is a ZERO-ARG CALLABLE returning the twin DataFrame, not
+    a DataFrame: some alternate strategies do bounded eager work while
+    building their plan (dup_clusters' distributed tier runs its iterative
+    label-propagation jobs; partitioned kNN collects the query matrix), so
+    the twin must not be constructed at all when ``RUN_TWIN_CHECKS`` is off
+    (bench timing the primary path — see the flag comment above).
+
     The primary is persisted (tracked): exceptAll executes it once here and
     the harness's own execution of the returned plan reads the cache."""
+    if not RUN_TWIN_CHECKS:
+        return primary
     from vector_search_question_answer_api_spark import caching
 
     primary = caching.persist_tracked(primary)
+    twin = twin_thunk()
     diff = primary.exceptAll(twin).unionByName(twin.exceptAll(primary))
     bad = diff.limit(3).collect()
     if bad:
@@ -294,14 +314,16 @@ def top2_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
-    twin = salted_topk_per_key(
-        p, ["p_brand"], order, k=2, n_salts=8, salt_col="p_partkey"
-    ).select(
-        "p_brand",
-        "p_partkey",
-        _r(F.col("p_retailprice"), 2).alias("price"),
-        F.col("rank").alias("rn"),
-    )
+    def twin():
+        return salted_topk_per_key(
+            p, ["p_brand"], order, k=2, n_salts=8, salt_col="p_partkey"
+        ).select(
+            "p_brand",
+            "p_partkey",
+            _r(F.col("p_retailprice"), 2).alias("price"),
+            F.col("rank").alias("rn"),
+        )
+
     return _assert_twin(primary, twin, "top2_parts_per_brand").orderBy(
         "p_brand", "rn"
     )
@@ -588,17 +610,19 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "distance", "rank")
     )
-    idx = normed.select(
-        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
-    )
-    res = knn_exact_partitioned(q, idx, k=5)
-    twin = (
-        res.select(
-            "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance")
+    def twin():
+        idx = normed.select(
+            F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .select("query_id", "doc_id", "distance", "rank")
-    )
+        res = knn_exact_partitioned(q, idx, k=5)
+        return (
+            res.select(
+                "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .select("query_id", "doc_id", "distance", "rank")
+        )
+
     return _assert_twin(primary, twin, "knn_topk").orderBy("query_id", "rank")
 
 
@@ -1412,9 +1436,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary = pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
     )
-    twin = ngram_jaccard_pairs(d, k=3, threshold=0.8, strategy="prefix").select(
-        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
-    )
+    def twin():
+        return ngram_jaccard_pairs(
+            d, k=3, threshold=0.8, strategy="prefix"
+        ).select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
     return _assert_twin(primary, twin, "dedup_ngram_jaccard").orderBy(
         "doc_a", "doc_b"
     )
@@ -1481,7 +1507,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
     primary = dup_clusters(pairs)
-    twin = dup_clusters(pairs, strategy="distributed")
+    twin = lambda: dup_clusters(pairs, strategy="distributed")  # noqa: E731
     return _assert_twin(primary, twin, "dedup_clusters").orderBy("doc_id")
 
 
