@@ -160,3 +160,41 @@ def test_repetition_scores_flags_degenerate_text(spark):
     assert got[1]["top_token_frac"] < 0.2
     assert got[1]["uniq_bigram_frac"] == 1.0
     assert got[2]["n_tokens"] == 0 and got[2]["top_token_frac"] == 0.0
+
+
+def test_text_metrics_equals_constituent_functions(spark):
+    """The consolidated one-pass text_metrics relation (r4) must equal the
+    join of the four functions it replaced, column for column."""
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        lang_scores,
+        quality_scores,
+        repetition_scores,
+        text_metrics,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The quick brown fox jumps over the lazy dog", "en"),
+            (1, "el la de y que en un una es por si", "es"),
+            (2, "spam spam spam spam spam", "en"),
+            (3, "", "fr"),
+            (4, None, "de"),
+            (5, "word", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    joined = (
+        token_stats(docs)
+        .join(repetition_scores(docs).drop("n_tokens"), "doc_id")
+        .join(lang_scores(docs), "doc_id")
+        .join(quality_scores(docs).drop("n_tokens", "mean_token_len"), "doc_id")
+    )
+    got = {r["doc_id"]: r.asDict() for r in text_metrics(docs).collect()}
+    want = {r["doc_id"]: r.asDict() for r in joined.collect()}
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert set(g) == set(w), (set(g) ^ set(w))
+        for col, val in w.items():
+            assert g[col] == val, (doc_id, col, g[col], val)
