@@ -1096,7 +1096,8 @@ _QA_PROMPT_SQL = f"""
     base AS (
       SELECT e.event_id, e.user_id AS session_id, e.ts,
              dq.text AS question,
-             CASE WHEN e.event_id % 10 = 0 THEN NULL ELSE dc.text END AS context_text
+             CASE WHEN e.event_id % 10 = 0 THEN NULL ELSE dc.text END AS context_text,
+             CASE WHEN e.event_id % 10 = 0 THEN NULL ELSE dc.doc_id END AS context_doc_id
       FROM events e, n
       JOIN documents dq ON dq.doc_id = e.event_id % n.n_docs
       JOIN documents dc ON dc.doc_id = (e.event_id * 7 + 3) % n.n_docs
@@ -1122,7 +1123,13 @@ _QA_PROMPT_SQL = f"""
            concat('You are a helpful product assistant.', chr(10),
                   'Context: ', coalesce(context_text, '{_FALLBACK_CTX}'), chr(10),
                   'Conversation so far:', chr(10), history_text,
-                  'Question: ', question, chr(10), 'Answer:') AS prompt
+                  'Question: ', question, chr(10), 'Answer:') AS prompt,
+           CAST(json_object('question', question, 'answer', answer,
+                            'product_context',
+                            coalesce(context_doc_id::VARCHAR, 'none'),
+                            'timestamp',
+                            strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS VARCHAR)
+             AS response
     FROM hist
     ORDER BY event_id
 """
@@ -1135,6 +1142,10 @@ def qa_prompt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer — all native Catalyst exprs (reference services/qa_service.py:
     67-94).  Questions/contexts derive deterministically from events x
     documents."""
+    from vector_search_question_answer_api_spark.sources.sinks import (
+        qa_response_json,
+    )
+
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
@@ -1154,6 +1165,12 @@ def qa_prompt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "context_text",
             F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
                 F.col("ctx_raw")
+            ),
+        )
+        .withColumn(
+            "context_doc_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+                F.col("c_doc")
             ),
         )
     )
@@ -1185,7 +1202,7 @@ def qa_prompt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ),
     )
-    return (
+    out = (
         hist.withColumn(
             "prompt",
             F.format_string(
@@ -1199,7 +1216,22 @@ def qa_prompt_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("question"),
             ),
         )
-        .select("event_id", "session_id", "question", "answer", "prompt")
+        .select(
+            "event_id", "session_id", "question", "answer", "prompt",
+            "context_doc_id", "ts",
+        )
+    )
+    # S9/F11 through the REAL sink: the reference's /qa response JSON
+    # (controllers/qa_controller.py:41-61) with the event-time ISO-8601
+    # timestamp, rendered by sources/sinks.qa_response_json and
+    # hash-matched against the oracle's json_object/strftime twin.
+    resp = qa_response_json(out)
+    return (
+        out.join(resp, ["session_id", "event_id"])
+        .select(
+            "event_id", "session_id", "question", "answer", "prompt",
+            "response",
+        )
         .orderBy("event_id")
     )
 
