@@ -97,3 +97,51 @@ def test_ensure_parallelism_noop_on_multifile_input(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" not in plan
     assert df.count() == 10_000
+
+
+def test_load_table_dst_fallback_hour_exact(spark, tmp_path):
+    """ADVICE r3: the old convert_timezone(UTC, session)->cast repair was
+    not injective during the session zone's DST fall-back — UTC instants
+    landing in the repeated local hour collapsed together.  Pin the exact
+    scenario: TIMESTAMP(NANOS) parquet rows inside America/New_York's
+    2024-11-03 repeated 01:30 hour must round-trip to distinct, correct
+    UTC instants under that session timezone (the field-arithmetic repair
+    never consults a zone)."""
+    import datetime
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events.parquet")
+    wall = [
+        "2024-11-03 05:30:00.123456",  # NY 01:30 EDT (first pass)
+        "2024-11-03 06:30:00.123456",  # NY 01:30 EST (second pass)
+        "2024-11-03 04:59:59.999999",  # just before the window
+        "2024-11-03 07:00:00.000001",  # just after
+    ]
+    duckdb.sql(
+        "COPY (SELECT row_number() OVER () - 1 AS event_id, "
+        "CAST(ts AS TIMESTAMP_NS) AS ts, 0::BIGINT AS user_id, "
+        "'click' AS event_type, 0.0 AS value, '{}' AS props "
+        f"FROM (SELECT unnest({wall!r}::TIMESTAMP[]) AS ts)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    expected = [
+        int(
+            datetime.datetime.fromisoformat(w + "+00:00").timestamp() * 1_000_000
+        )
+        for w in wall
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = [
+            r["us"]
+            for r in load_table(spark, str(tmp_path), "events")
+            .orderBy("event_id")
+            .select(F.unix_micros("ts").alias("us"))
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == expected
+    assert len(set(got)) == len(got)  # injective: no collapsed instants

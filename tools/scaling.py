@@ -213,6 +213,10 @@ def _force_count(df: DataFrame) -> int:
 
 def run(scales: list[int], base: str, out_dir: str, skip_gen: bool) -> dict:
     spark = get_spark(app_name="scaling")
+    # Time the primary production path only (see inventory.RUN_TWIN_CHECKS):
+    # the in-gate twin verification would double-run three of the timed
+    # operators and persist their results mid-measurement.
+    inventory.RUN_TWIN_CHECKS = False
     dirs = {}
     gen_s = {}
     for n in scales:
