@@ -94,13 +94,13 @@ EMB_DIM = 64
 # recall varies even though the true underlying duplicate structure is Nx.
 EXPECT_EXACT_NX = {
     "events_sessionization",
-    "dedup_exact",
     "dedup_ngram_jaccard",  # true-jaccard on bijectively renamed shingles
     "text_metrics",
 }
 # Fixed-output queries (top-k with a constant query set / LIMIT): rows stay
 # constant while *work* scales Nx — the interesting number is the slope.
 EXPECT_CONST_ROWS = {
+    "dedup_exact",  # one row per LANGUAGE (5) — the n_docs counts inside scale
     "q1_pricing_summary",
     "events_hourly_rollup",  # timestamps preserved -> same windows, Nx counts
     "q3_top_revenue_orders",

@@ -1268,8 +1268,12 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the self-check below and the caller's collect both read the
     # replay output (200 rows) — fold once, not twice
     from vector_search_question_answer_api_spark.caching import persist_tracked
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        UsageCounters,
+    )
 
-    out = persist_tracked(replay_sessions(qa_events, index))
+    usage = UsageCounters(spark)
+    out = persist_tracked(replay_sessions(qa_events, index, usage=usage))
     # Self-check (VERDICT r1 next-round #7 analog for the replay gate):
     # re-derive the session state-machine bookkeeping from the OUTPUT alone
     # — TTL expiry flags, history-fold length (capped at 5), fallback wiring
@@ -1287,6 +1291,23 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context_doc_id", "expired_before",
     ).collect():
         chk[r["session_id"]].append(r)
+    # U3 self-check: the accumulator-based usage counters (the engine's
+    # analog of the reference's generation resource monitor) must agree
+    # with the collected output — every emitted row was counted by exactly
+    # one task, every session folded once (the persisted single
+    # materialization above makes the counts exact, not attempt-inflated).
+    n_rows = sum(len(rows) for rows in chk.values())
+    stats = usage.stats()
+    if stats["events_processed"] != n_rows:
+        raise ValueError(
+            f"usage-counter drift: events_processed={stats['events_processed']}"
+            f" != emitted rows {n_rows}"
+        )
+    if stats["sessions_folded"] != len(chk):
+        raise ValueError(
+            f"usage-counter drift: sessions_folded={stats['sessions_folded']}"
+            f" != distinct sessions {len(chk)}"
+        )
     ttl = timedelta(minutes=DEFAULT_CONFIG.session_ttl_minutes)
     cap = DEFAULT_CONFIG.history_max_exchanges
     for sid, rows in chk.items():
