@@ -1,0 +1,282 @@
+"""Product-quantization (PQ) approximate nearest neighbors — the
+memory-compression tier of the V3/V4 ANN family (SURVEY.md §2.4).
+
+The reference's hnswlib index (services/index_service.py:87-96) keeps every
+full float vector resident in one process's RAM.  At 100 TB of embeddings
+(~10^11 vectors x 64 x float32 = 256 B payload each) that is cluster-scale
+memory just for vector bytes.  PQ (Jegou, Douze & Schmid 2011, "Product
+quantization for nearest neighbor search"; the FAISS IVFPQ layout) stores
+each vector as ``m`` small integer codes instead:
+
+- the ``dim``-d space splits into ``m`` contiguous subspaces of ``dim/m``
+  components;
+- each subspace gets its own ``n_codes``-entry codebook (k-means over the
+  corpus sub-vectors of that subspace);
+- a vector is encoded as its nearest-centroid id per subspace — ``m``
+  bytes at ``n_codes<=256`` vs ``dim x 4`` bytes raw (32x for 64-d
+  float32 at the m=8 default);
+- a query scores an encoded vector ASYMMETRICALLY (ADC): the *exact* query
+  sub-vector dots against the corpus *centroid* per subspace, i.e.
+  ``score = sum_s LUT_s[code_s]`` where the per-query lookup table
+  ``LUT_s[c] = <q_s, codebook_s[c]>`` has only m x n_codes entries.
+
+Spark mapping — every stage is Catalyst higher-order functions (no UDF, no
+Python in the scan path):
+
+- **training** (:func:`train_pq_codebooks`): per Lloyd iteration, one
+  ``posexplode`` of subspace slices (map-only) + one (subspace, code)
+  hash-agg of component means; the collected partials are
+  m x n_codes x dim/m floats — KBs on the driver, like
+  ``ivf.train_centroids``.
+- **encoding** (:func:`pq_encode`): map-only ``zip_with`` of the slice
+  array against the codebook literal — argmin per subspace, zero shuffle.
+- **ADC scan** (:func:`pq_topk`): the per-query LUT is one expression over
+  the broadcast query row (BroadcastNestedLoopJoin — the corpus never
+  moves, same shape as ``knn_exact_expr``); the corpus side streams its
+  codes only, so bytes-scanned-per-query drops ~32x — at 100 TB the
+  difference between a memory-speed scan and a disk-bound one.
+- **exact re-rank** (``refine > 1``): the top ``refine*k`` ADC candidates
+  (a per-query handful) join their true vectors back for exact cosine
+  ordering — precision of the final ranking is restored at the cost of
+  fetching ``refine*k`` full vectors per query (FAISS's IVFPQ+R shape).
+
+Compose with IVF for the full 100 TB layout: ``write_ivf_index`` the
+*codes* table partitioned by coarse cell, probe nprobe cells, ADC-score
+inside them (coarse pruning x 32x payload compression multiply).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.operators.search import topk_per_query
+
+DEFAULT_M = 8
+DEFAULT_N_CODES = 16
+
+
+def _codebooks_lit(codebooks) -> Column:
+    """m x n_codes x dsub nested literal via ONE ``F.expr`` parse (the
+    element-wise ``F.lit`` form costs one py4j round trip per scalar — see
+    ``vector.nested_array_lit``)."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cb
+        )
+        + ")"
+        for cb in codebooks
+    )
+    return F.expr(f"array({body})")
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(sub: Column, cb_s: Column) -> Column:
+    """argmin_c ||sub - cb_s[c]||^2, ties -> lowest code.  Struct-sort on
+    (dist, code) evaluates each distance ONCE (the array_position(dists,
+    array_min(dists)) form duplicates the whole distance subtree)."""
+    ranked = F.array_sort(
+        F.transform(
+            cb_s, lambda c, i: F.struct(_sq_dist(sub, c).alias("d"), i.alias("i"))
+        )
+    )
+    return F.element_at(ranked, 1)["i"].cast("int")
+
+
+def _subspace_slices(vec: Column, dim: int, m: int) -> Column:
+    dsub = dim // m
+    return F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
+
+
+@lru_cache(maxsize=None)
+def codebook_grid(
+    dim: int, m: int = DEFAULT_M, n_codes: int = DEFAULT_N_CODES
+) -> tuple:
+    """Deterministic data-independent init: per-(subspace, code, component)
+    md5-seeded small integers scaled to ~unit-subvector magnitude — exactly
+    representable doubles (same construction as ``ivf.centroid_grid``)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        cb = []
+        for c in range(n_codes):
+            comp = [
+                (int(hashlib.md5(f"pq:{s}:{c}:{j}".encode()).hexdigest()[0], 16) - 8)
+                / 16.0
+                for j in range(dsub)
+            ]
+            cb.append(tuple(comp))
+        out.append(tuple(cb))
+    return tuple(out)
+
+
+def train_pq_codebooks(
+    index: DataFrame,
+    dim: int = 64,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_N_CODES,
+    n_iters: int = 5,
+    vec_col: str = "norm_embedding",
+    init: str = "sample",
+):
+    """Per-subspace Lloyd k-means, all ``m`` subspaces trained in ONE
+    distributed pass per iteration.
+
+    Each iteration: ``posexplode`` the corpus into (subspace, sub-vector)
+    rows (map-only — no shuffle), assign each row its nearest code against
+    the current codebook literal, then one hash-agg of per-component means
+    grouped by (subspace, code).  The collected result is m x n_codes rows
+    of dim/m floats — KBs.  Empty codes keep their previous centroid.
+    Sub-centroids are NOT renormalized (sub-vectors of unit vectors are not
+    unit; PQ quantizes raw subspace geometry).
+
+    ``init='sample'`` seeds code ``c`` of every subspace from corpus vector
+    ``c``'s slice (padded with the deterministic grid when the corpus is
+    smaller) — covers the real modes on clustered data; ``init='grid'``
+    is fully data-independent.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    cbs = [[list(c) for c in cb] for cb in codebook_grid(dim, m, n_codes)]
+    vecs = index.select(F.col(vec_col).cast("array<double>").alias("nv")).persist()
+    try:
+        if init == "sample":
+            seeds = [list(r["nv"]) for r in vecs.limit(n_codes).collect()]
+            for s in range(m):
+                for c, vec in enumerate(seeds):
+                    cbs[s][c] = vec[s * dsub : (s + 1) * dsub]
+        for _ in range(n_iters):
+            lit = _codebooks_lit(tuple(tuple(tuple(c) for c in cb) for cb in cbs))
+            subs = vecs.select(
+                F.posexplode(
+                    _subspace_slices(F.col("nv"), dim, m)
+                ).alias("s", "sub")
+            )
+            cb_s = F.element_at(lit, F.col("s") + 1)
+            assigned = subs.withColumn(
+                "code", _argmin_code(F.col("sub"), cb_s)
+            )
+            means = (
+                assigned.groupBy("s", "code")
+                .agg(*[F.avg(F.col("sub")[j]).alias(f"m{j}") for j in range(dsub)])
+                .collect()
+            )
+            for row in means:
+                cbs[row["s"]][row["code"]] = [row[f"m{j}"] for j in range(dsub)]
+    finally:
+        vecs.unpersist()
+    return tuple(tuple(tuple(c) for c in cb) for cb in cbs)
+
+
+def pq_encode_col(vec: Column, codebooks, dim: int) -> Column:
+    """codes[s] = argmin_c ||vec_s - codebook_s[c]||^2 (ties -> lowest code,
+    matching ``array_position`` of the min).  Map-only codegen."""
+    m = len(codebooks)
+    lit = _codebooks_lit(codebooks)
+    subs = _subspace_slices(vec, dim, m)
+    return F.zip_with(subs, lit, _argmin_code)
+
+
+def pq_encode(
+    index: DataFrame,
+    codebooks,
+    dim: int = 64,
+    vec_col: str = "norm_embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, codes array<int> length m) — the compact index table.  At
+    n_codes<=256 the codes column serializes as m small ints; the raw
+    vector column is dropped, which is the point."""
+    return index.select(
+        F.col(id_col).alias("doc_id"),
+        pq_encode_col(F.col(vec_col).cast("array<double>"), codebooks, dim).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    k: int = 3,
+    dim: int = 64,
+    refine: int = 0,
+    index: DataFrame | None = None,
+    query_vec_col: str = "qvec",
+    query_id_col: str = "query_id",
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """ADC cosine top-k over the encoded corpus.
+
+    ``refine > 1`` re-ranks the top ``refine*k`` ADC candidates with exact
+    dot products against ``index`` (required then) — output shape matches
+    ``knn_exact_expr`` (query_id, doc_id, distance, score, rank); with
+    refine, ``distance`` is exact for every returned row.
+    """
+    m = len(codebooks)
+    lit = _codebooks_lit(codebooks)
+    qv = F.col(query_vec_col).cast("array<double>")
+    lut = F.zip_with(
+        _subspace_slices(qv, dim, m),
+        lit,
+        lambda qs, cb_s: F.transform(cb_s, lambda c: V.dot(qs, c)),
+    )
+    q_cols = [F.col(query_id_col).alias("query_id"), lut.alias("lut")]
+    if refine > 1:
+        q_cols.append(qv.alias("qvec"))
+    q = queries.select(*q_cols)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda code, lut_s: F.element_at(lut_s, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("doc_id"),
+        (F.lit(1.0) - adc).alias("distance"),
+        *(["qvec"] if refine > 1 else []),
+    )
+    if refine > 1:
+        if index is None:
+            raise ValueError("refine > 1 requires the full-vector index")
+        cand = topk_per_query(scored, refine * k).select("query_id", "doc_id", "qvec")
+        exact = cand.join(
+            index.select(
+                F.col(index_id_col).alias("doc_id"),
+                F.col(index_vec_col).alias("cvec"),
+            ),
+            "doc_id",
+        ).select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+        )
+        top = topk_per_query(exact, k)
+    else:
+        top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
