@@ -275,3 +275,89 @@ def test_ngram_jaccard_prefix_strategy_equivalent(spark):
         unpersist_all()
         assert f2 == p2, f"threshold {t}: {f2} != {p2}"
     assert (0, 1) in f2  # identical docs pair present at every threshold
+
+
+def test_embedding_near_dup_clustered_tier(spark):
+    """SemDeDup-shaped cell-scoped tier: on tight-cluster geometry with
+    trained centroids, the within-cell comparison recovers the EXACT
+    relation (every near-dup pair shares a probed cell), and by
+    construction can never emit a false pair."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_clustered,
+    )
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    rng = np.random.RandomState(11)
+    cents = rng.standard_normal((10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents[np.arange(400) % 10] + 0.03 * rng.standard_normal((400, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    def rel(df):
+        return {
+            (r["vec_a"], r["vec_b"], round(r["sim"], 9)) for r in df.collect()
+        }
+
+    exact = rel(embedding_near_dup_pairs(emb, min_sim=0.9, strategy="broadcast"))
+    assert exact, "fixture must produce near-dup pairs"
+    normed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("norm_embedding"),
+    )
+    trained = train_centroids(normed, dim=64, n_cells=16, n_iters=4)
+    got = rel(
+        embedding_near_dup_pairs_clustered(
+            emb, min_sim=0.9, n_cells=16, centroids=trained, multi_probe=2
+        )
+    )
+    assert got == exact
+
+
+def test_embedding_near_dup_clustered_subset_on_uniform(spark, sf_dir):
+    """With the data-independent grid quantizer on the near-uniform driver
+    corpus, the cell-scoped tier must emit a SUBSET of the exact relation
+    with bit-matching sims (false pairs are impossible; recall is the
+    geometry-dependent axis)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_clustered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rel(df):
+        return {
+            (r["vec_a"], r["vec_b"], round(r["sim"], 9)) for r in df.collect()
+        }
+
+    exact = rel(embedding_near_dup_pairs(emb, min_sim=0.45, strategy="broadcast"))
+    got = rel(
+        embedding_near_dup_pairs_clustered(
+            emb, min_sim=0.45, n_cells=8, multi_probe=4
+        )
+    )
+    assert got <= exact
+    assert len(got) >= 0.5 * len(exact), (len(got), len(exact))
+
+
+def test_embedding_near_dup_clustered_cell_cap(spark):
+    """A cell bigger than max_cell_rows must fail loudly with the sizing
+    hint, not OOM the executor."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        embedding_near_dup_pairs_clustered,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="max_cell_rows"):
+        embedding_near_dup_pairs_clustered(
+            emb, min_sim=0.99, n_cells=4, max_cell_rows=10
+        ).collect()

@@ -775,3 +775,105 @@ def _embedding_near_dup_pairs_lsh(n: DataFrame, min_sim: float) -> DataFrame:
         .filter(F.col("sim") >= min_sim)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def embedding_near_dup_pairs_clustered(
+    embeddings: DataFrame,
+    min_sim: float = 0.95,
+    n_cells: int = 16,
+    multi_probe: int = 2,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """Cluster-scoped embedding near-dup — the SemDeDup shape (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): compare vectors only WITHIN coarse k-means
+    cells instead of corpus-wide.
+
+    - cell assignment is the IVF coarse quantizer (map-only argmax against
+      the centroid literal — ``operators/ivf.py``); each vector lands in
+      its ``multi_probe`` nearest cells, so near-dup pairs straddling one
+      Voronoi boundary are still co-celled (the classic multi-probe recall
+      lever; pairs found in several shared cells dedupe on (vec_a, vec_b));
+    - each cell compares internally with one blockwise BLAS matmul inside
+      ``applyInPandas`` — per-task memory is bounded by the cell's
+      (rows x dim) matrix, guarded by ``max_cell_rows`` (raise n_cells when
+      it trips; at 100 TB pick n_cells so corpus/n_cells fits an executor,
+      exactly the IVF sizing rule);
+    - the only shuffle is the groupBy(cell) exchange of (cell, id, vector)
+      rows — ``multi_probe`` x corpus, vs the LSH tier's n_tables x corpus
+      signature exchange; no candidate-pair join materializes at all.
+
+    Same output relation as :func:`embedding_near_dup_pairs`
+    ``(vec_a, vec_b, sim)`` with exact sims; recall is governed by cell
+    geometry — 1.0 when every near-dup pair shares a probed cell (tight
+    clusters + trained centroids; pinned in tests), strictly a SUBSET of
+    the exact relation otherwise (never a false pair: sims are exact and
+    thresholded).  Pass ``centroids=ivf.train_centroids(...)`` on real
+    clustered embeddings; the deterministic grid default keeps the
+    operator dependency-free.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+        probe_cells,
+    )
+
+    n = embeddings.select(
+        F.col(id_col).alias("id"),
+        V.l2_normalize(F.col(vec_col)).cast("array<double>").alias("nv"),
+    )
+    first = n.select(F.size("nv")).first()
+    if first is None:
+        return n.sparkSession.createDataFrame([], "vec_a long, vec_b long, sim double")
+    dim = int(first[0])
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    celled = n.select(
+        "id",
+        "nv",
+        F.explode(
+            probe_cells(F.col("nv"), centroids, nprobe=multi_probe)
+        ).alias("cell"),
+    )
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"cell {int(pdf['cell'].iloc[0])} holds {len(pdf)} rows > "
+                f"max_cell_rows={max_cell_rows}; raise n_cells (or train "
+                "centroids) so cells fit executor memory"
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["nv"]), dtype=np.float64)
+        out = []
+        step = 2048
+        for i0 in range(0, len(ids), step):
+            a = mat[i0 : i0 + step]
+            sims = a @ mat.T
+            ai, bi = np.nonzero(
+                (sims >= min_sim) & (ids[i0 : i0 + step, None] < ids[None, :])
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[i0 : i0 + step][ai],
+                        "vec_b": ids[bi],
+                        "sim": sims[ai, bi],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = celled.groupBy("cell").applyInPandas(
+        block, schema="vec_a long, vec_b long, sim double"
+    )
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
