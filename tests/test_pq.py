@@ -178,3 +178,69 @@ def test_compression_accounting(normed):
     assert codes.schema["codes"].dataType.simpleString() == "array<int>"
     row = codes.first()
     assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
+
+
+def test_ivfpq_recall_clustered(clustered):
+    """IVF x PQ composition: coarse pruning + code compression + exact
+    re-rank still reaches high recall on the clustered corpus (trained
+    centroids and codebooks; nprobe=4/16, refine=8)."""
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+    from vector_search_question_answer_api_spark.operators.pq import ivfpq_topk
+
+    q, idx = _qi(clustered, 25)
+    cents = train_centroids(idx, dim=64, n_cells=16, n_iters=4)
+    cbs = train_pq_codebooks(idx, dim=64, n_iters=4)
+    exact = _topk_sets(knn_exact_expr(q, idx, k=10))
+    got = _topk_sets(
+        ivfpq_topk(q, idx, cbs, centroids=cents, k=10, nprobe=4, refine=8)
+    )
+    assert _recall(exact, got) >= 0.9, f"ivfpq recall {_recall(exact, got):.3f}"
+
+
+def test_recall_monitor_matches_python_reference(clustered):
+    """recall_per_query / recall_summary agree with the local-python
+    reference on a real exact-vs-approx pair, and report 1.0 for
+    self-comparison."""
+    from vector_search_question_answer_api_spark.operators.quality import (
+        recall_per_query,
+        recall_summary,
+    )
+
+    q, idx = _qi(clustered, 10)
+    cbs = train_pq_codebooks(idx, dim=64, n_iters=2)
+    codes = pq_encode(idx, cbs).cache()
+    exact_df = knn_exact_expr(q, idx, k=10)
+    approx_df = pq_topk(q, codes, cbs, k=10)
+
+    exact, approx = _topk_sets(exact_df), _topk_sets(approx_df)
+    want_per_q = {
+        qid: len(want & approx.get(qid, set())) / len(want)
+        for qid, want in exact.items()
+    }
+    got = {
+        r["query_id"]: r["recall"]
+        for r in recall_per_query(exact_df, approx_df).collect()
+    }
+    assert got == pytest.approx(want_per_q)
+
+    s = recall_summary(exact_df, approx_df)
+    assert s["n_queries"] == 10
+    assert s["micro_recall"] == pytest.approx(_recall(exact, approx))
+    assert s["worst_query_recall"] == pytest.approx(min(want_per_q.values()))
+
+    perfect = recall_summary(exact_df, exact_df)
+    assert perfect["micro_recall"] == 1.0 and perfect["worst_query_recall"] == 1.0
+
+
+def test_recall_monitor_counts_missing_queries_as_zero(spark):
+    from vector_search_question_answer_api_spark.operators.quality import (
+        recall_per_query,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "query_id long, doc_id long"
+    )
+    approx = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    got = {r["query_id"]: (r["hits"], r["want"], r["recall"])
+           for r in recall_per_query(exact, approx).collect()}
+    assert got == {1: (1, 2, 0.5), 2: (0, 1, 0.0)}

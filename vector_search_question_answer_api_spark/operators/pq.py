@@ -280,3 +280,98 @@ def pq_topk(
         (F.lit(1.0) - F.col("distance")).alias("score"),
         "rank",
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    codebooks,
+    centroids=None,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    refine: int = 8,
+    query_vec_col: str = "qvec",
+    query_id_col: str = "query_id",
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """IVF x PQ composition — the full 100 TB ANN layout (FAISS IVFPQ):
+    coarse cells prune WHICH vectors are scored (nprobe/n_cells of the
+    corpus), PQ codes compress WHAT is read per scored vector (~32x), and
+    the exact re-rank of ``refine*k`` candidates restores final-ranking
+    precision.  Both levers multiply: bytes touched per query ~
+    (nprobe/n_cells) x (1/32) x corpus.
+
+    Cell assignment and PQ encoding are both map-only; in production both
+    are materialized ONCE (``ivf.write_ivf_index`` over the codes table —
+    partition dirs ARE the cells) so a query batch scans only probed-cell
+    directories of byte codes.  Here the composition is expressed over the
+    in-memory frames; the candidate join is the same broadcast-queries
+    equi-join on ``cell`` as ``ivf.ivf_topk``.
+    """
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+        probe_cells,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    enc = index.select(
+        F.col(index_id_col).alias("doc_id"),
+        F.col(index_vec_col).alias("cvec"),
+    ).select(
+        "doc_id",
+        "cvec",
+        assign_cell(F.col("cvec"), centroids).alias("cell"),
+        pq_encode_col(F.col("cvec").cast("array<double>"), codebooks, dim).alias(
+            "codes"
+        ),
+    )
+    m = len(codebooks)
+    lit = _codebooks_lit(codebooks)
+    base = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qvec"),
+    )
+    qv = F.col("qvec")
+    lut = F.zip_with(
+        _subspace_slices(qv, dim, m),
+        lit,
+        lambda qs, cb_s: F.transform(cb_s, lambda c: V.dot(qs, c)),
+    )
+    q = base.select(
+        "query_id",
+        "qvec",
+        lut.alias("lut"),
+        F.explode(probe_cells(qv, centroids, nprobe)).alias("cell"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda code, lut_s: F.element_at(lut_s, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = enc.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - adc).alias("distance"),
+        "qvec",
+        "cvec",
+    )
+    shortlist = topk_per_query(cand, max(refine, 1) * k).select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    top = topk_per_query(shortlist, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
