@@ -487,3 +487,80 @@ def test_asof_stream_matches_batch_sf001(spark, tmpdir):
         if got.get(k) != expected[k]
     }
     assert not mismatches, f"{len(mismatches)} mismatches: {list(mismatches.items())[:3]}"
+
+
+def test_index_stream_matches_batch_build(spark, tmpdir):
+    """Streaming index maintenance: documents arriving across micro-batches
+    (including an UPDATE to an already-indexed doc) resolve to the same
+    index relation as a batch build over the final corpus state — vectors
+    bit-identical.  Then compaction folds the log without changing the
+    resolved view."""
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.sources.compaction import (
+        layout_stats,
+    )
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        compact_index,
+        index_stream,
+        maintain_index,
+        read_index_latest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+    )
+    src = f"{tmpdir}/idx_docs"
+    # batch 0: docs 0-249; batch 1: docs 250-499; batch 2: re-submits docs
+    # 0-9 with CHANGED text (the update case) at a later ts
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(f"{src}/p0")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(f"{src}/p1")
+    updates = docs.filter("doc_id < 10").select(
+        "doc_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.concat(F.lit("updated "), F.col("text")).alias("text"),
+    )
+    updates.coalesce(1).write.parquet(f"{src}/p2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = f"{tmpdir}/idx_log"
+    q = maintain_index(
+        index_stream(stream),
+        out,
+        checkpoint=f"{tmpdir}/idx_ckpt",
+        trigger_once=True,
+    )
+    assert q.awaitTermination(120), "index stream did not finish"
+
+    # final corpus state: updates replace originals for doc_id < 10
+    final_docs = docs.filter("doc_id >= 10").unionByName(updates)
+    want = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in build_index(final_docs).collect()
+    }
+    resolved = read_index_latest(spark, out)
+    got = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in resolved.collect()
+    }
+    assert got == want
+
+    # log holds originals + updates (>= 510 rows across generations)
+    assert spark.read.parquet(out).count() == 510
+
+    compact_index(spark, out, n_files=2)
+    stats = layout_stats(out)
+    assert stats["n_files"] <= 4
+    assert spark.read.parquet(out).count() == 500  # one generation
+    got2 = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in read_index_latest(spark, out).collect()
+    }
+    assert got2 == want
