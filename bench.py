@@ -112,6 +112,54 @@ def _zipf_topk_fns():
     return {"topk_zipf_direct": direct, "topk_zipf_salted": salted}
 
 
+def _r4_tier_fns():
+    """Two r4 bench entries: PQ ANN (ADC over compact codes + exact
+    re-rank) and the SemDeDup cell-scoped embedding dedup — both timed on
+    the sf embeddings table; the dedup tier is subset-pinned against the
+    exact broadcast relation once per bench run (same contract as the
+    zipf equality pin)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        pq_encode,
+        pq_topk,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    def _normed(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize(F.col("embedding"))
+            .cast("array<double>")
+            .alias("norm_embedding"),
+        )
+
+    def ann_pq(spark, sf_dir):
+        idx = _normed(spark, sf_dir)
+        cbs = codebook_grid(64, 8, 16)
+        codes = pq_encode(idx, cbs)
+        q = idx.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("norm_embedding").alias("qvec"),
+        )
+        return pq_topk(q, codes, cbs, k=5, refine=4, index=idx)
+
+    def semdedup(spark, sf_dir):
+        from vector_search_question_answer_api_spark.operators.dedup import (
+            embedding_near_dup_pairs_clustered,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs_clustered(
+            emb, min_sim=0.45, n_cells=16, multi_probe=2
+        )
+
+    return {"ann_pq_topk": ann_pq, "dedup_embedding_semdedup": semdedup}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -142,6 +190,30 @@ def main() -> None:
     a = set(map(tuple, extra["topk_zipf_direct"](spark, sf_dir).collect()))
     b = set(map(tuple, extra["topk_zipf_salted"](spark, sf_dir).collect()))
     assert a == b and a, f"zipf top-k strategy mismatch ({len(a)} vs {len(b)})"
+
+    extra.update(_r4_tier_fns())
+    # one-time subset pin: the cell-scoped dedup tier must emit a nonempty
+    # subset of the exact broadcast relation (false pairs are impossible)
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(
+            emb, min_sim=0.45, strategy="broadcast"
+        ).collect()
+    }
+    sem_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in extra["dedup_embedding_semdedup"](spark, sf_dir).collect()
+    }
+    assert sem_pairs and sem_pairs <= exact_pairs, (
+        f"semdedup tier not a nonempty subset ({len(sem_pairs)} vs "
+        f"{len(exact_pairs)} exact)"
+    )
 
     timings: dict[str, float] = {}
     for name in [*HEADLINE, *extra]:
