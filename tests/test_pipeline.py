@@ -113,3 +113,114 @@ def test_pack_sequences_sharded_bounds_groups(spark):
     # shard encoding: bin_id % mod == shard of its members
     for r in out:
         assert r["bin_id"] % 3 == r["doc_id"] % 3
+
+
+def test_mixture_quotas_apportionment():
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        mixture_quotas,
+    )
+
+    # exact thirds don't exist: largest-remainder hands out the leftovers
+    q = mixture_quotas({"a": 1, "b": 1, "c": 1}, 10)
+    assert sum(q.values()) == 10 and sorted(q.values()) == [3, 3, 4]
+    # remainder tie breaks by domain name ('a' wins the extra slot)
+    assert q["a"] == 4
+    # weights need not be normalized
+    assert mixture_quotas({"a": 30, "b": 20, "c": 50}, 10) == {
+        "a": 3,
+        "b": 2,
+        "c": 5,
+    }
+    assert mixture_quotas({"a": 1}, 0) == {"a": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_quotas({}, 5)
+    with _pytest.raises(ValueError):
+        mixture_quotas({"a": -1, "b": 2}, 5)
+    with _pytest.raises(ValueError):
+        mixture_quotas({"a": 0.0}, 5)
+
+
+def test_mixture_sample_exact_quotas_and_determinism(spark, sf_dir):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        mixture_quotas,
+        mixture_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    got = mixture_sample(d, "source", weights, 12, salt="s")
+    counts = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r["source"]: r["n"]
+        for r in d.filter(F.col("source").isin(*weights))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for dom, quota in mixture_quotas(weights, 12).items():
+        assert counts.get(dom, 0) == min(quota, avail.get(dom, 0))
+    # excluded domains never leak into the mix
+    assert set(counts) <= set(weights)
+    # deterministic draw; a different salt draws a different sample
+    same = mixture_sample(d, "source", weights, 12, salt="s")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, same.collect()))
+    other = mixture_sample(d, "source", weights, 12, salt="t")
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(got) != ids(other)
+    # mix_rank is a dense 1..n prefix per domain: truncating the mix to a
+    # smaller rank keeps a consistent subsample
+    for dom, n in counts.items():
+        ranks = sorted(
+            r["mix_rank"]
+            for r in got.filter(F.col("source") == dom).collect()
+        )
+        assert ranks == list(range(1, n + 1))
+
+
+def test_filter_funnel_monotone_and_manual_check(spark, sf_dir):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        FUNNEL_STAGES,
+        filter_funnel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = filter_funnel(d, lang="en", min_tokens=20, min_quality=0.5).collect()
+    assert [r["stage_name"] for r in rows] == FUNNEL_STAGES
+    ns = [r["n_docs"] for r in rows]
+    assert ns[0] == d.count()
+    # cumulative stages can only shrink
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert rows[0]["retained_frac"] == 1.0
+    assert all(0.0 <= r["retained_frac"] <= 1.0 for r in rows)
+    # stage-1 count is just the declared-lang filter — check it directly
+    assert ns[1] == d.filter(F.col("lang") == "en").count()
+
+
+def test_filter_funnel_dedup_stage_counts_survivors_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the data pipeline runs fast and the results are good", "en"),
+            (2, "the data pipeline runs fast and the results are good", "en"),
+            (3, "the data pipeline runs fast and the results are good", "en"),
+            (4, "a different document for the corpus with more words", "en"),
+            (5, "ein anderes dokument", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        filter_funnel,
+    )
+
+    rows = {r["stage_name"]: r["n_docs"] for r in filter_funnel(
+        df, lang="en", min_tokens=0, min_quality=0.0
+    ).collect()}
+    assert rows["all"] == 5
+    assert rows["lang"] == 4
+    assert rows["length"] == 4 and rows["quality"] == 4
+    # three exact copies collapse to one survivor
+    assert rows["dedup"] == 2

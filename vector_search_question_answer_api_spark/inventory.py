@@ -956,27 +956,6 @@ def preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_fingerprint",
-    f"""
-    SELECT md5({_PREPROC_SQL}) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
-    FROM documents
-    GROUP BY 1
-    ORDER BY fp
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 of canonicalized text, grouped — the
-    exact-dedup building block (engine extension; portable hash)."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.md5(TXT.preprocess_text(F.col("text"))).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .orderBy("fp")
-    )
-
-
-@register(
     "dedup_exact",
     f"""
     SELECT lang, count(*) AS n_docs,
@@ -1007,27 +986,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_survivors",
     f"""
-    WITH fp AS (
-      SELECT doc_id, md5({_PREPROC_SQL}) AS fp FROM documents
-    ),
-    ranked AS (
-      SELECT doc_id, fp,
-             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-      FROM fp
-    )
-    SELECT doc_id, fp FROM ranked WHERE rn = 1
+    SELECT min(doc_id) AS doc_id, md5({_PREPROC_SQL}) AS fp,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 2
     ORDER BY doc_id
     """,
 )
 def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup survivor set: min doc_id per canonical-text fingerprint
-    (the deterministic keep rule; the complement is the delete set)."""
+    (the deterministic keep rule; the complement is the delete set), plus
+    ``n_docs`` — the duplicate-group size behind each survivor (the former
+    doc_fingerprint gate, folded in r4: same groupBy-fp aggregation, one
+    relation)."""
     from vector_search_question_answer_api_spark.operators.dedup import (
         dedup_exact_survivors,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return dedup_exact_survivors(d).orderBy("doc_id")
+    return dedup_exact_survivors(d, with_counts=True).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1387,54 +1364,69 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "media_frame_plan",
+    "media_plans",
     """
-    SELECT doc_id, unnest(range(0, 5 + doc_id % 55, 5)) AS frame_ts_s
+    SELECT doc_id, 'frame' AS plan_kind,
+           unnest(range(0, 5 + doc_id % 55, 5)) AS frame_ts_s,
+           NULL::INT AS width, NULL::INT AS height,
+           NULL::INT AS target_width, NULL::INT AS target_height
     FROM documents
     WHERE doc_id % 3 = 2
-    ORDER BY doc_id, frame_ts_s
-    """,
-)
-def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan from metadata only (pure Catalyst sequence
-    + explode) — frames are chosen BEFORE any decode so the decode stage
-    reads only sampled offsets."""
-    from vector_search_question_answer_api_spark.operators.multimodal import (
-        attach_media,
-        frame_sample_plan,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    return frame_sample_plan(attach_media(d), every_s=5).orderBy(
-        "doc_id", "frame_ts_s"
-    )
-
-
-@register(
-    "media_resize_plan",
-    """
-    WITH m AS (
+    UNION ALL
+    SELECT doc_id, 'resize' AS plan_kind, NULL::BIGINT AS frame_ts_s,
+           width, height,
+           floor(width * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_width,
+           floor(height * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_height
+    FROM (
       SELECT doc_id,
              (320 + (doc_id % 5) * 160)::INT AS width,
              (240 + (doc_id % 3) * 120)::INT AS height
       FROM documents WHERE doc_id % 3 = 0
     )
-    SELECT doc_id, width, height,
-           floor(width * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_width,
-           floor(height * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_height
-    FROM m
-    ORDER BY doc_id
+    ORDER BY doc_id, plan_kind, frame_ts_s
     """,
 )
-def media_resize_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize geometry (metadata math, no bytes)."""
+def media_plans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media work plans as ONE tagged relation (r4: the
+    former media_frame_plan + media_resize_plan gates union-tagged on
+    ``plan_kind`` — both are pure-Catalyst projections of the same
+    attach_media scan, so one gate covers both decode-avoiding planners):
+
+    - ``frame``: video frame-sampling timestamps (sequence + explode on
+      duration metadata) — frames chosen BEFORE any decode so the decode
+      stage reads only sampled offsets;
+    - ``resize``: aspect-preserving resize geometry for images (pure
+      metadata math, no bytes touched)."""
     from vector_search_question_answer_api_spark.operators.multimodal import (
         attach_media,
+        frame_sample_plan,
         resize_plan,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return resize_plan(attach_media(d), max_side=512).orderBy("doc_id")
+    media = attach_media(d)
+    nulli = F.lit(None).cast("int")
+    frames = frame_sample_plan(media, every_s=5).select(
+        "doc_id",
+        F.lit("frame").alias("plan_kind"),
+        F.col("frame_ts_s").cast("long").alias("frame_ts_s"),
+        nulli.alias("width"),
+        nulli.alias("height"),
+        nulli.alias("target_width"),
+        nulli.alias("target_height"),
+    )
+    resizes = resize_plan(media, max_side=512).select(
+        "doc_id",
+        F.lit("resize").alias("plan_kind"),
+        F.lit(None).cast("long").alias("frame_ts_s"),
+        "width",
+        "height",
+        "target_width",
+        "target_height",
+    )
+    return frames.unionByName(resizes).orderBy(
+        "doc_id", "plan_kind", "frame_ts_s"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2516,6 +2508,124 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (operators/pipeline.py, r4): exact per-domain
+# quotas apportioned from target weights (largest-remainder) — the "data
+# mixing" step of training-corpus construction.  Both sides embed the SAME
+# quota constants, computed once here by the shared apportionment helper.
+
+from vector_search_question_answer_api_spark.operators.pipeline import (  # noqa: E402
+    mixture_quotas as _mixture_quotas,
+)
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.1}
+_MIX_TOTAL = 40
+_MIX_SALT = "mix1"
+_MIX_QUOTAS = _mixture_quotas(_MIX_WEIGHTS, _MIX_TOTAL)
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{d}' THEN {q}" for d, q in sorted(_MIX_QUOTAS.items()))
+    + " ELSE 0 END"
+)
+_MIX_IN = ", ".join(f"'{d}'" for d in sorted(_MIX_QUOTAS))
+
+
+@register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source, mix_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('{_MIX_SALT}' || doc_id::VARCHAR),
+                                         doc_id) AS mix_rank
+      FROM documents
+      WHERE source IN ({_MIX_IN})
+    )
+    WHERE mix_rank <= {_MIX_CASE}
+    ORDER BY source, mix_rank
+    """,
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: 40 docs apportioned 30/20/20/20/10%
+    across src0..src4 by largest-remainder quotas, rows drawn by the
+    deterministic seeded-hash rank within each domain."""
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        mixture_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(d, "source", _MIX_WEIGHTS, _MIX_TOTAL, salt=_MIX_SALT)
+        .select("doc_id", "source", "mix_rank")
+        .orderBy("source", "mix_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter funnel (operators/pipeline.py, r4): the per-stage retention
+# report of a C4/Gopher-style cleaning pipeline — lang -> length -> quality
+# -> exact-dedup, cumulative counts in one scan + one fp window + one agg.
+
+_FUNNEL_SCORE_SQL = f"""
+    round(CASE WHEN len(toks) BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                            ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN len(toks) > 0
+                            THEN len(list_intersect(list_distinct(toks), {{stop_en}}))::DOUBLE / len(toks)
+                            ELSE 0.0 END) >= 0.01 THEN 0.25 ELSE 0.0 END
+          + 0.25 * (CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                         ELSE 0.0 END), 6)
+"""
+
+
+@register(
+    "filter_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_PREPROC_SQL} AS proc, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             (lang = 'en') AS b_lang,
+             (len(toks) >= 40) AS b_len,
+             ({_FUNNEL_SCORE_SQL.format(stop_en=_STOPLIST_SQL["en"])} >= 0.88) AS b_q,
+             (row_number() OVER (PARTITION BY md5(proc) ORDER BY doc_id) = 1) AS b_surv
+      FROM t
+    ),
+    agg AS (
+      SELECT count(*) AS n0,
+             sum(CASE WHEN b_lang THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN b_lang AND b_len THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN b_lang AND b_len AND b_q THEN 1 ELSE 0 END) AS n3,
+             sum(CASE WHEN b_lang AND b_len AND b_q AND b_surv THEN 1 ELSE 0 END) AS n4
+      FROM f
+    )
+    SELECT s.stage, s.stage_name,
+           (CASE s.stage WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+                         WHEN 3 THEN n3 ELSE n4 END)::BIGINT AS n_docs,
+           round((CASE s.stage WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+                               WHEN 3 THEN n3 ELSE n4 END)::DOUBLE
+                 / n0, 6) + 0 AS retained_frac
+    FROM agg, (VALUES (0, 'all'), (1, 'lang'), (2, 'length'),
+                      (3, 'quality'), (4, 'dedup')) AS s(stage, stage_name)
+    ORDER BY stage
+    """,
+)
+def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline retention report: cumulative survivors through
+    declared-lang='en' -> >=40 tokens -> quality>=0.88 -> exact-dedup."""
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        filter_funnel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return filter_funnel(d, lang="en", min_tokens=40, min_quality=0.88)
 
 
 # ---------------------------------------------------------------------------

@@ -54,16 +54,24 @@ def canonical_docs(documents: DataFrame) -> DataFrame:
     ).withColumn("fp", F.md5(F.col("proc_text")))
 
 
-def dedup_exact_survivors(documents: DataFrame) -> DataFrame:
+def dedup_exact_survivors(
+    documents: DataFrame, with_counts: bool = False
+) -> DataFrame:
     """Exact dedup: keep the minimum doc_id per canonical-text fingerprint
-    (deterministic survivor rule).  One hash-agg shuffle on fp."""
+    (deterministic survivor rule).  ``with_counts=True`` adds ``n_docs``,
+    the duplicate-group size behind each survivor (the former standalone
+    fingerprint profile, folded in r4).
+
+    groupBy min/count rather than a rank-1 window: partial (map-side)
+    aggregation combines duplicates before the fp shuffle, so a pathological
+    hot fingerprint (boilerplate repeated millions of times) ships one
+    partial row per map task instead of every duplicate into one sort."""
     c = canonical_docs(documents)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "fp")
+    agg = c.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs")
     )
+    cols = ["doc_id", "fp"] + (["n_docs"] if with_counts else [])
+    return agg.select(*cols)
 
 
 def shingle_sets(documents: DataFrame, k: int = 3) -> DataFrame:

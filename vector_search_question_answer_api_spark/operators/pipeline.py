@@ -224,3 +224,168 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: build a training mix with EXACT per-domain
+# quotas apportioned from target weights (the "data mixing" step of corpus
+# construction — e.g. 30% web / 20% code / ... of a fixed token budget).
+# Quota arithmetic is pure driver-side math over the weights dict (no data
+# touched); row selection reuses the stratified-sample hash-rank recipe, so
+# the draw is deterministic, reproducible from the salt, and exact.
+
+def mixture_quotas(weights: dict[str, float], total_n: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``total_n`` slots
+    across domains by normalized weight.  Deterministic: remainder ties
+    break by domain name.  Exposed separately so an oracle can embed the
+    same constants."""
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    raw = {d: total_n * w / wsum for d, w in weights.items()}
+    base = {d: int(raw[d]) for d in weights}
+    leftover = total_n - sum(base.values())
+    for d in sorted(raw, key=lambda d: (-(raw[d] - base[d]), d))[:leftover]:
+        base[d] += 1
+    return base
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total_n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exact-quota mixture sample: at most ``quota[d]`` rows per domain
+    ``d`` (fewer only when the domain is smaller than its quota), rows
+    chosen by the deterministic ``md5(salt || id)`` rank within the domain.
+
+    One window shuffle on the domain key (WindowGroupLimit prunes each
+    input partition to its local top-quota before the exchange); the quota
+    table is a literal CASE expression — nothing broadcast, no driver data
+    motion.  Emits ``mix_rank`` (1-based rank within the domain draw) so a
+    downstream consumer can take a prefix to shrink the mix consistently.
+    """
+    quotas = mixture_quotas(weights, total_n)
+    quota_expr = F.lit(0)
+    for d, q in sorted(quotas.items()):
+        quota_expr = F.when(F.col(domain_col) == d, q).otherwise(quota_expr)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.filter(F.col(domain_col).isin(*quotas.keys()))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_expr)
+        .withColumnRenamed("_rn", "mix_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter funnel: the per-stage retention report every large-scale
+# cleaning pipeline publishes (C4/Gopher-style "N docs in, N out per rule").
+# One scan computes every stage flag, one window marks exact-dedup
+# survivors, one aggregation folds the cumulative counts — the report is
+# O(stages) rows regardless of corpus size.
+
+FUNNEL_STAGES = ["all", "lang", "length", "quality", "dedup"]
+
+
+def filter_funnel(
+    documents: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 40,
+    min_quality: float = 0.88,
+) -> DataFrame:
+    """(stage, stage_name, n_docs, retained_frac): cumulative survivor
+    counts through declared-lang -> min-token-length -> quality-score ->
+    exact-dedup stages.  ``retained_frac`` is vs the full corpus (stage 0).
+
+    The quality score is the same composite heuristic as
+    ``text_analysis.quality_scores`` (shared fn): the funnel is the
+    DECISION view of those metrics, not a new metric family.
+    """
+    from vector_search_question_answer_api_spark.functions import text as TXT
+    from vector_search_question_answer_api_spark.operators.text_analysis import (
+        _stop_hits,
+        _toks,
+    )
+
+    proc = TXT.preprocess_text(F.col("text"))
+    toks = _toks(proc)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    stop_ratio = F.when(
+        n > 0, _stop_hits(toks, "en").cast("double") / n
+    ).otherwise(0.0)
+    uniq_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+    # round(score, 6) BEFORE the threshold compare, mirrored in the oracle
+    # SQL: the comparison then never sits on an unrounded float boundary,
+    # so both engines make identical keep/drop decisions.
+    score = F.round(
+        F.when((n >= 10) & (n <= 2000), 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + 0.25 * uniq_ratio,
+        6,
+    )
+    flagged = documents.select(
+        "doc_id",
+        (F.col("lang") == lang).alias("b_lang"),
+        (n >= min_tokens).alias("b_len"),
+        (score >= min_quality).alias("b_q"),
+        F.md5(proc).alias("fp"),
+    )
+    surv_w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = flagged.withColumn(
+        "b_surv", F.row_number().over(surv_w) == 1
+    )
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    agg = flagged.agg(
+        F.count("*").alias("n0"),
+        c(F.col("b_lang")).alias("n1"),
+        c(F.col("b_lang") & F.col("b_len")).alias("n2"),
+        c(F.col("b_lang") & F.col("b_len") & F.col("b_q")).alias("n3"),
+        c(
+            F.col("b_lang") & F.col("b_len") & F.col("b_q") & F.col("b_surv")
+        ).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(f"n{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return (
+        agg.select(F.col("n0"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_docs").alias("n_docs"),
+            (
+                F.round(
+                    F.when(
+                        F.col("n0") > 0,
+                        F.col("s.n_docs").cast("double") / F.col("n0"),
+                    ).otherwise(0.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("retained_frac"),
+        )
+        .orderBy("stage")
+    )
