@@ -968,7 +968,7 @@ def preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup profile per language partition: docs vs distinct
     canonical texts (hash-groupBy dedup; survivors = min doc_id per hash,
-    see doc_fingerprint)."""
+    see dedup_survivors)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
@@ -1843,7 +1843,7 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (MOSS; Schleimer
     et al. 2003): char-8-gram rolling hashes, window-4 minima, distinct
     selected set.  The training-pipeline fingerprint tier between whole-doc
-    md5 (doc_fingerprint) and shingle-set similarity (dedup_ngram_jaccard).
+    md5 (dedup_survivors) and shingle-set similarity (dedup_ngram_jaccard).
 
     The fingerprint set is serialized to a comma-joined string for the gate
     (the compare harness canonicalizes by sorting column values, which is
