@@ -141,3 +141,27 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     df = inventory.queries()["stratified_sample"](spark, sf_dir)
     plan = _plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_mixture_sample_uses_window_group_limit(spark, sf_dir):
+    """Quota cutoff must prune each input partition to its local
+    top-quota before the domain-key exchange (WindowGroupLimit), and the
+    excluded-domain filter must reach the parquet scan."""
+    df = inventory.queries()["mixture_sample"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "PushedFilters: [In(source" in plan or "PushedFilters: [IsNotNull(source), In(source" in plan, plan
+
+
+def test_filter_funnel_single_fp_exchange(spark, sf_dir):
+    """The funnel's only data shuffle is the fp-keyed survivor window;
+    stage flags and the cumulative counts must not add further exchanges
+    (one hashpartitioning exchange + the final single-partition agg)."""
+    df = inventory.queries()["filter_funnel"](spark, sf_dir)
+    plan = _plan(df)
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "Exchange SinglePartition" in plan, plan

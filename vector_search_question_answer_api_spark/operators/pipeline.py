@@ -280,10 +280,15 @@ def mixture_sample(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
         F.col(id_col),
     )
+    # The constant max-quota bound is what lets Spark infer a
+    # WindowGroupLimit (the rule needs a literal rank limit — a CASE
+    # expression alone defeats it): every partition's sort is pruned to
+    # the largest quota, then the per-domain CASE trims to exact quotas.
+    max_quota = max(quotas.values(), default=0)
     return (
         df.filter(F.col(domain_col).isin(*quotas.keys()))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= quota_expr)
+        .filter((F.col("_rn") <= F.lit(max_quota)) & (F.col("_rn") <= quota_expr))
         .withColumnRenamed("_rn", "mix_rank")
     )
 
