@@ -747,37 +747,33 @@ def events_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("index_refresh_roundtrip", None)
-def index_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4/S5/V8 + §1.3 refresh semantics: build -> overwrite-save -> load ->
-    freshness check, returning the loaded index keys/norms.  Rows-only (the
-    artifact write path has no SQL twin) but SELF-VERIFYING: the gate raises
-    unless the re-read artifact is row-for-row identical to the in-memory
-    build (keys, vectors, norms), so any parquet roundtrip drift fails loudly
-    instead of passing a rows>0 check (VERDICT r1 next-round #7)."""
+def _index_refresh_roundtrip_check(
+    spark: SparkSession, built: DataFrame, docs: DataFrame
+) -> None:
+    """S4/S5/V8 + §1.3 refresh semantics, run in-gate by search_pipeline_e2e
+    (r4: the former standalone index_refresh_roundtrip gate, folded to free
+    a recording slot — same checks, same failure surface): overwrite-save
+    the built index, re-read it, and raise unless the artifact is
+    row-for-row identical to the in-memory build (keys, vectors, norms) and
+    passes the freshness count against the source documents."""
     import tempfile
 
     from vector_search_question_answer_api_spark.operators.index_build import (
-        build_index,
         is_fresh,
         load_index,
         save_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_idx_") + "/index"
-    built = build_index(docs)
     save_index(built, path)
     index = load_index(spark, path)
-    assert is_fresh(index, docs)
+    if not is_fresh(index, docs):
+        raise ValueError("index refresh: freshness count mismatch")
     # float32 vectors roundtrip parquet bit-exactly: symmetric difference
     # must be empty in both directions
     drift = built.exceptAll(index).count() + index.exceptAll(built).count()
     if drift != 0:
         raise ValueError(f"index roundtrip drift: {drift} differing rows")
-    return index.select(
-        "vec_id", "doc_id", _r(F.col("norm"), 6).alias("norm")
-    ).orderBy("doc_id")
 
 
 @register(
@@ -1021,7 +1017,9 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate recomputes the 5 query embeddings with the driver-side numpy
     reference (operators/embed.hashing_embed_numpy) and raises on drift, so
     the Spark embed stage is checked inside the gate itself, not only in
-    pytest (VERDICT r1 next-round #7)."""
+    pytest (VERDICT r1 next-round #7).  It also runs the save -> re-read ->
+    compare index-artifact roundtrip (the former index_refresh_roundtrip
+    gate, folded in r4 — the e2e pipeline builds the same index anyway)."""
     import numpy as np
 
     from vector_search_question_answer_api_spark.functions import text as TXT
@@ -1055,6 +1053,10 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row, i in zip(ref, ids):
         if not np.allclose(got[i], row, atol=1e-5):
             raise ValueError(f"embed drift vs numpy reference at doc_id={i}")
+    if RUN_TWIN_CHECKS:
+        # same toggle as _assert_twin: bench times the production search
+        # path, not the artifact-roundtrip verification
+        _index_refresh_roundtrip_check(spark, index, docs)
     res = knn_exact_expr(qindex, index, k=3)
     return res.select(
         "query_id", "doc_id", _r(F.col("distance"), 6).alias("distance"), "rank"
@@ -2414,6 +2416,108 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rank")
     )
     return rrf_fuse([bm25, knn], k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (operators/diversify.py, r4): greedy
+# relevance-vs-redundancy re-ranking of the cosine top-pool.  The oracle
+# unrolls the k greedy steps as chained CTEs (each picks the argmax of
+# lam*sim - (1-lam)*max-sim-to-selected among the remaining candidates);
+# similarities are rounded to 6 on BOTH engines before selection, so the
+# argmax decisions are identical.
+
+_MMR_NORMED_SQL = """
+    normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                  ELSE list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             END AS nv
+      FROM embeddings
+    )
+"""
+
+
+def _mmr_oracle_sql(m: int, pool: int, k: int, lam: float) -> str:
+    """DuckDB twin of mmr_topk: step 1 is the plain relevance argmax;
+    steps 2..k each join the pairwise-sim relation against the union of
+    prior selections.  ``lam``/``1-lam`` embed via repr() so both engines
+    multiply by the bit-identical double."""
+    oml = 1.0 - lam
+    parts = [
+        f"""
+    WITH {_MMR_NORMED_SQL},
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < {m}),
+    scored AS (
+      SELECT query_id, c.vec_id AS doc_id,
+             round(list_dot_product(qv, c.nv), 6) + 0 AS sim, c.nv AS cv
+      FROM q CROSS JOIN normed c
+    ),
+    cand AS (
+      SELECT query_id, doc_id, sim, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {pool}
+    ),
+    p AS (
+      SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+             round(list_dot_product(a.cv, b.cv), 6) + 0 AS s
+      FROM cand a JOIN cand b USING (query_id)
+    ),
+    sel1 AS (
+      SELECT query_id, doc_id, sim, 1 AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, doc_id ASC) AS rr
+        FROM cand
+      ) WHERE rr = 1
+    ),
+    sel_all1 AS (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    rem{i} AS (
+      SELECT c.query_id, c.doc_id, c.sim,
+             {lam!r} * c.sim - {oml!r} * max(p.s) AS mmr
+      FROM cand c
+      JOIN p ON p.query_id = c.query_id AND p.da = c.doc_id
+      JOIN sel_all{i - 1} s ON s.query_id = p.query_id AND s.doc_id = p.db
+      WHERE NOT EXISTS (SELECT 1 FROM sel_all{i - 1} t
+                        WHERE t.query_id = c.query_id AND t.doc_id = c.doc_id)
+      GROUP BY c.query_id, c.doc_id, c.sim
+    ),
+    sel{i} AS (
+      SELECT query_id, doc_id, sim, {i} AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr DESC, doc_id ASC) AS rr
+        FROM rem{i}
+      ) WHERE rr = 1
+    ),
+    sel_all{i} AS (SELECT * FROM sel_all{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    parts.append(f"""
+    SELECT query_id, doc_id, sim, rank FROM sel_all{k}
+    ORDER BY query_id, rank
+    """)
+    return "".join(parts)
+
+
+@register("mmr_topk", _mmr_oracle_sql(m=5, pool=10, k=5, lam=0.7))
+def mmr_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR (lam=0.7) selects 5 of the cosine
+    top-10 for each of 5 query vectors — each pick trades relevance
+    against redundancy with what is already selected."""
+    from vector_search_question_answer_api_spark.operators.diversify import mmr_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    return mmr_topk(q, idx, k=5, pool=10, lam=0.7).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

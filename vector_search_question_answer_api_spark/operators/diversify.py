@@ -1,0 +1,108 @@
+"""Maximal-marginal-relevance (MMR) diversified top-k (Carbonell &
+Goldstein 1998): re-rank a relevance-ordered candidate pool so each pick
+trades relevance against redundancy with what is already selected —
+``argmax lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``.
+
+The reference engine returns plain cosine top-k
+(services/qa_service.py:150-160); MMR is the standard diversification
+layer a retrieval stack adds on top, and the shape matters at scale: the
+GREEDY loop is inherently sequential, but only over the per-query
+candidate pool (tens of rows), so the distributed plan is
+
+  1. exact/ANN top-``pool`` per query — all the usual kNN machinery,
+     corpus never moves (broadcast queries, WindowGroupLimit prune);
+  2. one ``applyInPandas`` over query_id groups — each group is ``pool``
+     rows with their vectors; the greedy selection runs vectorized in
+     numpy on a pool x pool similarity matrix.
+
+Nothing iterates over the corpus; the quadratic term is pool^2 per
+query, not corpus^2.  Cross-engine determinism: similarities are rounded
+to 6 decimals BEFORE selection (both here and in the DuckDB oracle), so
+the argmax never sits on a sub-rounding float boundary; score ties break
+by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+
+
+def mmr_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    lam: float = 0.7,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, sim, rank): ``k`` MMR-selected docs per query
+    from the exact cosine top-``pool`` candidates.  Expects both vector
+    columns L2-normalized (dot == cosine).  ``rank`` is the SELECTION
+    order (1 = most relevant, later ranks trade relevance for novelty),
+    which is the order a result page shows."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > pool:
+        raise ValueError("k must be <= pool (the candidate cutoff)")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    scored = index.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(index_id_col).alias("doc_id"),
+        (F.round(V.dot(F.col("qvec"), F.col(index_vec_col)), 6) + F.lit(0.0)).alias(
+            "sim"
+        ),
+        F.col(index_vec_col).cast("array<double>").alias("cvec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .drop("_rn")
+    )
+
+    oml = 1.0 - lam
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sim", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        sims = pdf["sim"].to_numpy(dtype=np.float64)
+        mat = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+        pair = np.round(mat @ mat.T, 6)
+        chosen = np.zeros(n, dtype=bool)
+        order: list[int] = []
+        for _ in range(min(k, n)):
+            if order:
+                max_pair = pair[:, order].max(axis=1)
+            else:
+                max_pair = np.zeros(n)
+            score = lam * sims - oml * max_pair
+            score[chosen] = -np.inf
+            best_val = score.max()
+            # ties: the smallest doc_id among max scorers (pdf is sorted
+            # by doc_id within equal sim, but mmr ties can cross sims)
+            tied = np.flatnonzero(score == best_val)
+            best = tied[np.argmin(pdf["doc_id"].to_numpy()[tied])]
+            chosen[best] = True
+            order.append(best)
+        out = pdf.iloc[order][["query_id", "doc_id", "sim"]].copy()
+        out["rank"] = np.arange(1, len(order) + 1, dtype=np.int32)
+        return out
+
+    return cand.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, doc_id long, sim double, rank int"
+    )
