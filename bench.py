@@ -42,6 +42,9 @@ HEADLINE = [
     "text_metrics",
     "events_asof_join",
     "stratified_sample",
+    "filter_funnel",
+    "mixture_sample",
+    "mmr_topk",
 ]
 
 

@@ -2245,6 +2245,12 @@ def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.countDistinct("user_id").alias("n_users"),
             F.approx_count_distinct("user_id", rsd).alias("n_users_hll"),
+            # the named 100 TB percentile tier (Greenwald-Khanna via
+            # percentile_approx), computed in the SAME agg and
+            # drift-checked below against the exact values — never part
+            # of the hashed relation
+            F.expr("percentile_approx(value, 0.5D, 1000)").alias("p50_gk"),
+            F.expr("percentile_approx(value, 0.99D, 1000)").alias("p99_gk"),
         )
     )
     both = caching.persist_tracked(both)
@@ -2256,7 +2262,19 @@ def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"approx={r['n_users_hll']} exact={r['n_users']} "
                 f"rel_err={rel_err:.3f} > {3 * rsd}"
             )
-    return both.drop("n_users_hll").orderBy("event_type")
+        # GK returns an OBSERVED value, exact interpolates between two —
+        # so the sketch can differ from exact by at most the local
+        # inter-observation gap; 5% of the group's value spread is a
+        # generous bound that still catches a broken sketch
+        spread = abs(r["p99"] - r["p50"]) or 1.0
+        for approx, exact, q in ((r["p50_gk"], r["p50"], "p50"),
+                                 (r["p99_gk"], r["p99"], "p99")):
+            if abs(approx - exact) > 0.05 * spread:
+                raise ValueError(
+                    f"percentile_approx drift for {r['event_type']} {q}: "
+                    f"approx={approx} exact={exact} spread={spread}"
+                )
+    return both.drop("n_users_hll", "p50_gk", "p99_gk").orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
