@@ -145,3 +145,18 @@ def test_load_table_dst_fallback_hour_exact(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert got == expected
     assert len(set(got)) == len(got)  # injective: no collapsed instants
+
+
+def test_liveness_and_corpus_guards(spark, sf_dir):
+    """S2/S3 liveness (connection ping + point read) and the empty-corpus
+    guard (reference services/database_service.py:24,
+    controllers/health_controller.py:13, services/index_service.py:57-58)."""
+    from vector_search_question_answer_api_spark.sources.tables import (
+        corpus_nonempty,
+        liveness_check,
+    )
+
+    assert liveness_check(spark) is True
+    docs = load_table(spark, sf_dir, "documents")
+    assert corpus_nonempty(docs) is True
+    assert corpus_nonempty(docs.filter("doc_id < 0")) is False
