@@ -126,3 +126,38 @@ def test_topk_subset_and_order(rows, k):
         (topk[i][1], topk[i][0]) <= (topk[i + 1][1], topk[i + 1][0])
         for i in range(len(topk) - 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota apportionment (operators/pipeline.mixture_quotas)
+
+@given(
+    weights=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    total=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_mixture_quotas_properties(weights, total):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        mixture_quotas,
+    )
+
+    if sum(weights.values()) <= 0:
+        return  # rejected by the validator, covered in test_pipeline
+    q = mixture_quotas(weights, total)
+    # quotas exhaust the budget exactly and are never negative
+    assert sum(q.values()) == total
+    assert all(v >= 0 for v in q.values())
+    assert set(q) == set(weights)
+    # each quota is within 1 of its exact proportional share (the
+    # largest-remainder guarantee)
+    wsum = sum(weights.values())
+    for d, v in q.items():
+        exact = total * weights[d] / wsum
+        assert exact - 1 < v < exact + 1
+    # determinism
+    assert mixture_quotas(dict(weights), total) == q
