@@ -81,6 +81,9 @@ SCALE_QUERIES = [
     "dedup_embedding",           # auto-routed broadcast/LSH near-dup
     "text_metrics",               # map-only text analytics
     "search_pipeline_e2e",       # embed (Arrow UDF) + kNN + doc join
+    "filter_funnel",             # one scan + fp window + single agg (r4)
+    "mixture_sample",            # domain-quota window draw (r4)
+    "mmr_topk",                  # fixed queries x Nx corpus pool + greedy (r4)
 ]
 
 UNSCALED = ["region", "nation", "supplier", "part"]
@@ -108,6 +111,9 @@ EXPECT_CONST_ROWS = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "search_pipeline_e2e",
+    "filter_funnel",   # 5 report rows at any scale; n_docs counts inside scale
+    "mixture_sample",  # fixed 40-row mix from fixed quotas at any corpus size
+    "mmr_topk",        # 5 queries x k=5 selections regardless of corpus
 }
 
 
