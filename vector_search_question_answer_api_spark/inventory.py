@@ -2248,9 +2248,17 @@ def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the named 100 TB percentile tier (Greenwald-Khanna via
             # percentile_approx), computed in the SAME agg and
             # drift-checked below against the exact values — never part
-            # of the hashed relation
+            # of the hashed relation.  The check is RANK-based (the only
+            # distribution-free guarantee GK makes): the sketch value
+            # must land inside the exact [q-1%, q+1%] quantile window,
+            # so heavy-tailed value gaps can't false-alarm and a broken
+            # sketch still can't hide.
             F.expr("percentile_approx(value, 0.5D, 1000)").alias("p50_gk"),
             F.expr("percentile_approx(value, 0.99D, 1000)").alias("p99_gk"),
+            F.expr("percentile(value, array(0.49D, 0.51D, 0.98D))").alias(
+                "_rank_win"
+            ),
+            F.max("value").alias("_vmax"),
         )
     )
     both = caching.persist_tracked(both)
@@ -2262,19 +2270,24 @@ def events_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"approx={r['n_users_hll']} exact={r['n_users']} "
                 f"rel_err={rel_err:.3f} > {3 * rsd}"
             )
-        # GK returns an OBSERVED value, exact interpolates between two —
-        # so the sketch can differ from exact by at most the local
-        # inter-observation gap; 5% of the group's value spread is a
-        # generous bound that still catches a broken sketch
-        spread = abs(r["p99"] - r["p50"]) or 1.0
-        for approx, exact, q in ((r["p50_gk"], r["p50"], "p50"),
-                                 (r["p99_gk"], r["p99"], "p99")):
-            if abs(approx - exact) > 0.05 * spread:
+        # GK returns an observed value with a bounded RANK error
+        # (n/accuracy); a value-space bound would false-alarm on
+        # heavy-tailed groups where adjacent order statistics near p99
+        # sit far apart.  So: the sketch's p50 must lie in the exact
+        # [p49, p51] value window, its p99 in [p98, max].
+        p49, p51, p98 = r["_rank_win"]
+        for approx, lo, hi, q in (
+            (r["p50_gk"], p49, p51, "p50"),
+            (r["p99_gk"], p98, r["_vmax"], "p99"),
+        ):
+            if not lo <= approx <= hi:
                 raise ValueError(
-                    f"percentile_approx drift for {r['event_type']} {q}: "
-                    f"approx={approx} exact={exact} spread={spread}"
+                    f"percentile_approx rank drift for {r['event_type']} "
+                    f"{q}: approx={approx} outside [{lo}, {hi}]"
                 )
-    return both.drop("n_users_hll", "p50_gk", "p99_gk").orderBy("event_type")
+    return both.drop(
+        "n_users_hll", "p50_gk", "p99_gk", "_rank_win", "_vmax"
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
