@@ -32,10 +32,12 @@ from vector_search_question_answer_api_spark.sources.tables import load_table
 @pytest.fixture(scope="module")
 def normed(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select(
+    d = e.select(
         "vec_id",
         V.l2_normalize(F.col("embedding")).cast("array<double>").alias("nv"),
     ).cache()
+    yield d
+    d.unpersist()  # plan-level cache leak shadows later identical scans
 
 
 @pytest.fixture(scope="module")
@@ -49,10 +51,12 @@ def clustered(spark):
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     pts = cents[np.arange(500) % 10] + 0.05 * rng.standard_normal((500, 64))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    return spark.createDataFrame(
+    d = spark.createDataFrame(
         [(i, [float(x) for x in pts[i]]) for i in range(500)],
         "vec_id long, nv array<double>",
     ).cache()
+    yield d
+    d.unpersist()
 
 
 def _topk_sets(df):
@@ -241,6 +245,7 @@ def test_ivf_ondisk_layout_prunes_partitions(spark, sf_dir, tmp_path):
     m = re.search(r"INSET ([0-9, ]+?), isnotnull", pf[0])
     assert m, f"no INSET in PartitionFilters: {pf[0][:200]}"
     assert len(m.group(1).split(",")) < n_dirs
+    index.unpersist()  # plan-level cache would shadow later identical scans
 
 
 def test_lsh_signature_arrow_equals_expr(spark, normed):

@@ -20,7 +20,14 @@ from vector_search_question_answer_api_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    d = load_table(spark, sf_dir, "documents").cache()
+    yield d
+    # Unpersist at module teardown: the shared session's CacheManager
+    # matches by LOGICAL PLAN, so a leaked cache of the raw documents
+    # scan silently substitutes an InMemoryRelation into every later
+    # load_table("documents") query — killing filter pushdown and column
+    # pruning in the plan-audit tests (found as an order-dependent flake).
+    d.unpersist()
 
 
 def test_exact_survivors_count(spark, docs):
