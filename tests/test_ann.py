@@ -218,34 +218,38 @@ def test_ivf_ondisk_layout_prunes_partitions(spark, sf_dir, tmp_path):
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").alias("qvec"),
     )
-    path = str(tmp_path / "ivf_index")
-    write_ivf_index(index, path)
+    try:
+        path = str(tmp_path / "ivf_index")
+        write_ivf_index(index, path)
 
-    got = ivf_topk_ondisk(spark, queries, path, k=3)
-    want = ivf_topk(queries, index, k=3)
+        got = ivf_topk_ondisk(spark, queries, path, k=3)
+        want = ivf_topk(queries, index, k=3)
 
-    def rows(df):
-        return [
-            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
-            for r in df.orderBy("query_id", "rank").collect()
-        ]
+        def rows(df):
+            return [
+                (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+                for r in df.orderBy("query_id", "rank").collect()
+            ]
 
-    assert rows(got) == rows(want)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    assert scans, "no parquet FileScan in the plan"
-    pf = [l for l in scans if "PartitionFilters: [cell" in l]
-    assert pf, f"probed-cell set not in PartitionFilters: {scans}"
-    # pruning is real: the probed INSET is a strict subset of on-disk cells
-    import os
-    import re
+        assert rows(got) == rows(want)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+        assert scans, "no parquet FileScan in the plan"
+        pf = [l for l in scans if "PartitionFilters: [cell" in l]
+        assert pf, f"probed-cell set not in PartitionFilters: {scans}"
+        # pruning is real: the probed INSET is a strict subset of on-disk cells
+        import os
+        import re
 
-    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
-    assert n_dirs == 16
-    m = re.search(r"INSET ([0-9, ]+?), isnotnull", pf[0])
-    assert m, f"no INSET in PartitionFilters: {pf[0][:200]}"
-    assert len(m.group(1).split(",")) < n_dirs
-    index.unpersist()  # plan-level cache would shadow later identical scans
+        n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+        assert n_dirs == 16
+        m = re.search(r"INSET ([0-9, ]+?), isnotnull", pf[0])
+        assert m, f"no INSET in PartitionFilters: {pf[0][:200]}"
+        assert len(m.group(1).split(",")) < n_dirs
+    finally:
+        # even on assert failure: a leaked plan-level cache would shadow
+        # later identical scans (the order-dependent flake class)
+        index.unpersist()
 
 
 def test_lsh_signature_arrow_equals_expr(spark, normed):

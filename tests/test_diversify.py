@@ -129,3 +129,19 @@ def test_mmr_short_pool_and_validation(spark):
         mmr_topk(q, idx, k=5, pool=3)
     with pytest.raises(ValueError):
         mmr_topk(q, idx, lam=1.5)
+
+
+def test_mmr_lam_zero_first_pick_still_relevance(spark):
+    """At lam=0 the score formula alone would degenerate the first pick
+    to the smallest doc_id; the contract (and the SQL oracle's sel1) is
+    that rank 1 is ALWAYS the relevance argmax."""
+    idx = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.6, 0.8])],
+        "doc_id long, norm_embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, qvec array<double>")
+    got = mmr_topk(q, idx, k=2, pool=3, lam=0.0).orderBy("rank").collect()
+    assert got[0]["doc_id"] == 2  # the cosine argmax, not doc_id 1
+    # second pick at lam=0 maximizes pure novelty: doc 1 (orthogonal to
+    # doc 2) beats doc 3 (similar to doc 2)
+    assert got[1]["doc_id"] == 1

@@ -224,3 +224,28 @@ def test_filter_funnel_dedup_stage_counts_survivors_only(spark):
     assert rows["length"] == 4 and rows["quality"] == 4
     # three exact copies collapse to one survivor
     assert rows["dedup"] == 2
+
+
+def test_filter_funnel_dedups_within_stage_survivors(spark):
+    """The dedup stage marks survivors among the docs that PASSED the
+    earlier stages: if a duplicate group's lowest-id member was already
+    dropped (here: the German twin), the passing member must survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared duplicated text body for the funnel check", "de"),
+            (2, "shared duplicated text body for the funnel check", "en"),
+            (3, "a unique english document body", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        filter_funnel,
+    )
+
+    rows = {r["stage_name"]: r["n_docs"] for r in filter_funnel(
+        df, lang="en", min_tokens=0, min_quality=0.0
+    ).collect()}
+    assert rows["lang"] == 2
+    # doc 2 is NOT a duplicate within the surviving set — both en docs
+    # must come through the dedup stage
+    assert rows["dedup"] == 2

@@ -48,6 +48,10 @@ def mmr_topk(
     columns L2-normalized (dot == cosine).  ``rank`` is the SELECTION
     order (1 = most relevant, later ranks trade relevance for novelty),
     which is the order a result page shows."""
+    from vector_search_question_answer_api_spark.operators.search import (
+        topk_per_query,
+    )
+
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
     if k > pool:
@@ -64,16 +68,21 @@ def mmr_topk(
         ),
         F.col(index_vec_col).cast("array<double>").alias("cvec"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("doc_id").asc()
-    )
+    # the shared per-query top-k recipe (WindowGroupLimit-friendly window +
+    # prune); order by similarity DESC via its negation as the "distance"
     cand = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= pool)
-        .drop("_rn")
+        topk_per_query(scored.withColumn("_negsim", -F.col("sim")), pool,
+                       dist_col="_negsim")
+        .drop("rank", "_negsim")
     )
 
     oml = 1.0 - lam
+
+    def _round6_half_up(x: np.ndarray) -> np.ndarray:
+        # DuckDB's round() and Spark's F.round are HALF-AWAY-FROM-ZERO;
+        # np.round is half-even — match the engines so a pairwise sim on
+        # a .5e-6 boundary rounds the same way everywhere
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -82,14 +91,16 @@ def mmr_topk(
         n = len(pdf)
         sims = pdf["sim"].to_numpy(dtype=np.float64)
         mat = np.array(pdf["cvec"].tolist(), dtype=np.float64)
-        pair = np.round(mat @ mat.T, 6)
+        pair = _round6_half_up(mat @ mat.T)
         chosen = np.zeros(n, dtype=bool)
-        order: list[int] = []
-        for _ in range(min(k, n)):
-            if order:
-                max_pair = pair[:, order].max(axis=1)
-            else:
-                max_pair = np.zeros(n)
+        # first pick is ALWAYS the relevance argmax (row 0 after the
+        # sort) — defining it through the score formula would degenerate
+        # to the doc_id tiebreak at lam=0, diverging from the oracle's
+        # sel1 step and the documented rank-1 contract
+        order: list[int] = [0]
+        chosen[0] = True
+        for _ in range(min(k, n) - 1):
+            max_pair = pair[:, order].max(axis=1)
             score = lam * sims - oml * max_pair
             score[chosen] = -np.inf
             best_val = score.max()

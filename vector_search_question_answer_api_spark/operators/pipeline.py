@@ -272,7 +272,18 @@ def mixture_sample(
     motion.  Emits ``mix_rank`` (1-based rank within the domain draw) so a
     downstream consumer can take a prefix to shrink the mix consistently.
     """
-    quotas = mixture_quotas(weights, total_n)
+    quotas = {
+        d: q for d, q in mixture_quotas(weights, total_n).items() if q > 0
+    }
+    # zero-quota domains (legitimately produced by tiny weights) are
+    # excluded from the scan filter entirely — otherwise their full row
+    # sets would be hashed and shuffled only for the CASE to drop them
+    if not quotas:
+        return (
+            df.filter(F.lit(False))
+            .withColumn("mix_rank", F.lit(0))
+            .select(*df.columns, "mix_rank")
+        )
     quota_expr = F.lit(0)
     for d, q in sorted(quotas.items()):
         quota_expr = F.when(F.col(domain_col) == d, q).otherwise(quota_expr)
@@ -284,7 +295,7 @@ def mixture_sample(
     # WindowGroupLimit (the rule needs a literal rank limit — a CASE
     # expression alone defeats it): every partition's sort is pruned to
     # the largest quota, then the per-domain CASE trims to exact quotas.
-    max_quota = max(quotas.values(), default=0)
+    max_quota = max(quotas.values())
     return (
         df.filter(F.col(domain_col).isin(*quotas.keys()))
         .withColumn("_rn", F.row_number().over(w))
@@ -313,45 +324,35 @@ def filter_funnel(
     counts through declared-lang -> min-token-length -> quality-score ->
     exact-dedup stages.  ``retained_frac`` is vs the full corpus (stage 0).
 
-    The quality score is the same composite heuristic as
-    ``text_analysis.quality_scores`` (shared fn): the funnel is the
-    DECISION view of those metrics, not a new metric family.
+    The quality score is ``text_analysis.quality_components`` — the one
+    shared definition — so the funnel's keep/drop decisions can never
+    drift from the published quality_score.  The dedup stage marks
+    survivors WITHIN the set that passed the earlier stages (partitioning
+    the survivor window on the pass flag), matching what a real pipeline
+    does: if a duplicate group's lowest-id member was already dropped by
+    an earlier rule, the surviving member still represents its group.
     """
     from vector_search_question_answer_api_spark.functions import text as TXT
     from vector_search_question_answer_api_spark.operators.text_analysis import (
-        _stop_hits,
         _toks,
+        quality_components,
     )
 
     proc = TXT.preprocess_text(F.col("text"))
     toks = _toks(proc)
-    n = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
-    stop_ratio = F.when(
-        n > 0, _stop_hits(toks, "en").cast("double") / n
-    ).otherwise(0.0)
-    uniq_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
-    ).otherwise(0.0)
+    q = quality_components(toks)
     # round(score, 6) BEFORE the threshold compare, mirrored in the oracle
     # SQL: the comparison then never sits on an unrounded float boundary,
     # so both engines make identical keep/drop decisions.
-    score = F.round(
-        F.when((n >= 10) & (n <= 2000), 0.25).otherwise(0.0)
-        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
-        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
-        + 0.25 * uniq_ratio,
-        6,
-    )
+    score = F.round(q["score"], 6)
     flagged = documents.select(
         "doc_id",
         (F.col("lang") == lang).alias("b_lang"),
-        (n >= min_tokens).alias("b_len"),
+        (q["n"] >= min_tokens).alias("b_len"),
         (score >= min_quality).alias("b_q"),
         F.md5(proc).alias("fp"),
-    )
-    surv_w = Window.partitionBy("fp").orderBy("doc_id")
+    ).withColumn("b_pass", F.col("b_lang") & F.col("b_len") & F.col("b_q"))
+    surv_w = Window.partitionBy("fp", "b_pass").orderBy("doc_id")
     flagged = flagged.withColumn(
         "b_surv", F.row_number().over(surv_w) == 1
     )
@@ -360,10 +361,8 @@ def filter_funnel(
         F.count("*").alias("n0"),
         c(F.col("b_lang")).alias("n1"),
         c(F.col("b_lang") & F.col("b_len")).alias("n2"),
-        c(F.col("b_lang") & F.col("b_len") & F.col("b_q")).alias("n3"),
-        c(
-            F.col("b_lang") & F.col("b_len") & F.col("b_q") & F.col("b_surv")
-        ).alias("n4"),
+        c(F.col("b_pass")).alias("n3"),
+        c(F.col("b_pass") & F.col("b_surv")).alias("n4"),
     )
     stages = F.array(
         *[

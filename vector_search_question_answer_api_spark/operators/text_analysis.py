@@ -195,14 +195,14 @@ def winnowing_fingerprints(
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Composite document-quality heuristic in [0,1]:
-    0.25*(10<=n_tokens<=2000) + 0.25*(3<=mean_tok_len<=10)
-    + 0.25*(stopword_ratio>=0.01) + 0.25*uniq_ratio.
-    (Gopher/C4-style length & repetition filters, reduced to a
-    deterministic, SQL-checkable formula.)"""
-    proc = TXT.preprocess_text(F.col("text"))
-    toks = _toks(proc)
+def quality_components(toks: Column) -> dict[str, Column]:
+    """The composite quality heuristic's ingredients over a token-array
+    column: n / mean_len / stop_ratio / uniq_ratio / score (un-rounded).
+    ONE definition shared by quality_scores, text_metrics, and the
+    pipeline filter funnel, so the published quality_score and the
+    funnel's keep/drop decisions can never drift apart.  The expression
+    shapes (when-chains, operand order) are part of the oracle contract —
+    both engines must perform the identical float operations."""
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
@@ -217,6 +217,27 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
         + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
         + 0.25 * uniq_ratio
+    )
+    return {
+        "n": n,
+        "mean_len": mean_len,
+        "stop_ratio": stop_ratio,
+        "uniq_ratio": uniq_ratio,
+        "score": score,
+    }
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Composite document-quality heuristic in [0,1]:
+    0.25*(10<=n_tokens<=2000) + 0.25*(3<=mean_tok_len<=10)
+    + 0.25*(stopword_ratio>=0.01) + 0.25*uniq_ratio.
+    (Gopher/C4-style length & repetition filters, reduced to a
+    deterministic, SQL-checkable formula.)"""
+    proc = TXT.preprocess_text(F.col("text"))
+    toks = _toks(proc)
+    q = quality_components(toks)
+    n, mean_len, stop_ratio, uniq_ratio, score = (
+        q["n"], q["mean_len"], q["stop_ratio"], q["uniq_ratio"], q["score"],
     )
     return documents.select(
         "doc_id",
@@ -258,9 +279,10 @@ def text_metrics(documents: DataFrame) -> DataFrame:
         .alias("bg"),
     )
     toks = F.col("toks")
-    n = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    q = quality_components(toks)
+    n, mean_len, stop_ratio, uniq_ratio, score = (
+        q["n"], q["mean_len"], q["stop_ratio"], q["uniq_ratio"], q["score"],
+    )
     en, es, fr, de = (_stop_hits(toks, L) for L in ("en", "es", "fr", "de"))
     guess = (
         F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
@@ -268,16 +290,6 @@ def text_metrics(documents: DataFrame) -> DataFrame:
         .when((fr >= de) & (fr > 0), "fr")
         .when(de > 0, "de")
         .otherwise("unknown")
-    )
-    stop_ratio = F.when(n > 0, en.cast("double") / n).otherwise(0.0)
-    uniq_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
-    ).otherwise(0.0)
-    score = (
-        F.when((n >= 10) & (n <= 2000), 0.25).otherwise(0.0)
-        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
-        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
-        + 0.25 * uniq_ratio
     )
 
     def _top_frac(col: str) -> Column:
