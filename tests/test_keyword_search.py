@@ -121,3 +121,99 @@ def test_rrf_tiebreak_by_doc_id(spark):
     rows = rrf_fuse([a, b], k=10).orderBy("rank").collect()
     # identical fused scores -> lower doc_id first
     assert [r["doc_id"] for r in rows] == [3, 7]
+
+
+def test_blended_rerank_reference_and_limits(spark, sf_dir):
+    """Blend vs a python reference on real docs; alpha=1 reduces to the
+    dense ordering, alpha=0 to pure lexical Jaccard."""
+    import math
+
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        blended_rerank,
+    )
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    qv = normed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    cand = (
+        normed.join(F.broadcast(qv))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (F.round(V.dot(F.col("qvec"), F.col("nv")), 6) + F.lit(0.0)).alias(
+                "dense_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dense_sim").desc(), F.col("doc_id").asc()
+    )
+    pool = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 8
+    ).drop("_rn")
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+    got = blended_rerank(pool, d, queries, k=4, alpha=0.6).collect()
+
+    # python reference
+    import re as _re
+
+    def toks(t):
+        t = _re.sub(r"[^\w\s%]", " ", t.lower())
+        t = _re.sub(r"\s+", " ", t).strip()
+        return set(t.split())
+
+    dtext = {r["doc_id"]: r["text"] for r in d.collect()}
+    pool_rows = [(r["query_id"], r["doc_id"], r["dense_sim"]) for r in pool.collect()]
+    for qid in range(3):
+        qt = toks(dtext[qid])
+        scores = {}
+        for q, doc, dense in pool_rows:
+            if q != qid:
+                continue
+            dt = toks(dtext[doc])
+            inter = len(qt & dt)
+            uni = len(qt) + len(dt) - inter
+            jac = inter / uni if uni else 0.0
+            scores[doc] = round(0.6 * dense + 0.4 * jac, 9)
+        want = sorted(scores, key=lambda i: (-scores[i], i))[:4]
+        have = [
+            r["doc_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert have == want, f"query {qid}: {have} != {want}"
+
+    # alpha=1: pure dense ordering of the pool
+    dense_only = blended_rerank(pool, d, queries, k=4, alpha=1.0).collect()
+    for qid in range(3):
+        want = [
+            doc
+            for _, doc, _ in sorted(
+                (r for r in pool_rows if r[0] == qid),
+                key=lambda r: (-r[2], r[1]),
+            )
+        ][:4]
+        have = [
+            r["doc_id"]
+            for r in sorted(
+                (r for r in dense_only if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert have == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blended_rerank(pool, d, queries, alpha=1.5)

@@ -221,3 +221,75 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "rank")
     )
+
+
+def blended_rerank(
+    candidates: DataFrame,
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    alpha: float = 0.5,
+    dense_col: str = "dense_sim",
+    text_col: str = "text",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, blend_score, rank): score-level blend of the
+    dense similarity already attached to each candidate with a lexical
+    token-set Jaccard between query and document —
+    ``alpha * dense + (1 - alpha) * jaccard`` — re-ranked top-k.
+
+    This is the deterministic tier of the cross-encoder re-rank stage a
+    retrieval stack runs after candidate generation (the learned model
+    would slot in behind the same seam pattern as the embedder, U1):
+    rank fusion (``rrf_fuse``) combines RANKS and ignores score
+    calibration; the blend combines the SCORES, which preserves margin
+    information when the two signals are on comparable [0,1] scales.
+
+    Scale shape: candidates are per-query top-pool rows (tiny); the doc
+    token sets attach by one equi-join on doc_id (semi-join sized — only
+    candidate docs are tokenized after Catalyst pushes the join), the
+    query token sets broadcast, the Jaccard is a pure HOF expression, and
+    the re-rank is the usual rounded-measure window.  Nothing touches
+    non-candidate corpus rows.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    dtoks = documents.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            TXT.tokens(TXT.preprocess_text(F.col(text_col)))
+        ).alias("_dt"),
+    )
+    qtoks = queries.select(
+        F.col("query_id"),
+        F.array_distinct(
+            TXT.tokens(TXT.preprocess_text(F.col(query_text_col)))
+        ).alias("_qt"),
+    )
+    inter = F.size(F.array_intersect(F.col("_qt"), F.col("_dt")))
+    uni = F.size(F.col("_qt")) + F.size(F.col("_dt")) - inter
+    jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(0.0)
+    scored = (
+        candidates.join(dtoks, "doc_id")
+        .join(F.broadcast(qtoks), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.round(
+                    F.lit(alpha) * F.col(dense_col)
+                    + F.lit(1.0 - alpha) * jac,
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("blend_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("blend_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "blend_score", "rank")
+    )
