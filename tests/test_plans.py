@@ -165,3 +165,14 @@ def test_filter_funnel_single_fp_exchange(spark, sf_dir):
     ]
     assert len(hash_exchanges) == 1, plan
     assert "Exchange SinglePartition" in plan, plan
+
+
+def test_mmr_pool_broadcasts_and_prunes(spark, sf_dir):
+    """MMR's candidate stage must keep the kNN shape: queries broadcast
+    (corpus never moves), the pool cutoff pruned as a WindowGroupLimit,
+    and the greedy selection Arrow-batched per query group."""
+    df = inventory.queries()["mmr_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
