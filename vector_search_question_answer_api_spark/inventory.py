@@ -105,39 +105,61 @@ def oracle_sql() -> dict[str, str]:
 # Relational core (the generic operators the engine is built from: scans,
 # filters, hash aggs, joins, windows — SURVEY.md §2.2/2.5/2.6/2.7)
 
-@register(
-    "q1_pricing_summary",
-    """
+# Money aggregates sum as DECIMAL, not DOUBLE (r4): a double sum's value
+# depends on addition ORDER (partial aggs vs sequential), and at sf0.1 the
+# ~1e8-magnitude revenue sums carry ~0.1 of order-dependent noise — more
+# than the 2-decimal rounding grain, so the same query could hash-mismatch
+# between engines.  DECIMAL addition is exact and associative: both
+# engines produce the bit-identical sum regardless of order, and the
+# cast-to-double + round afterwards is then boundary-stable.  DECIMAL(12,2)
+# / (4,2) inputs keep the 3-factor product within both engines' 38-digit cap with
+# no scale loss (data is exact 2-decimal; the tight CAST(1 AS DECIMAL(3,2))
+# keeps Spark's product-precision arithmetic out of precision-loss territory).
+_Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) + 0 AS sum_qty,
-           round(sum(l_extendedprice), 2) + 0 AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0 AS sum_charge,
-           round(avg(l_quantity), 6) + 0 AS avg_qty,
-           round(avg(l_extendedprice), 6) + 0 AS avg_price,
-           round(avg(l_discount), 6) + 0 AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) + 0 AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) + 0 AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) + 0 AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                          * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) + 0 AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) + 0 AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) + 0 AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) + 0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@register("q1_pricing_summary", _Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan+filter+hash-agg (pushdown-audited in tests)."""
+    """TPC-H Q1 shape: scan+filter+hash-agg (pushdown-audited in tests).
+    Money sums aggregate as exact DECIMAL (order-independent), cast to
+    double only after — see the _Q1_SQL comment."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _r(F.sum(disc_price), 2).alias("sum_disc_price"),
-            _r(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
-            _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            _r(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            _r(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            _r(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            _r(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            _r(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+            _r(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
+            _r(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -148,7 +170,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     """
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) + 0 AS revenue,
            epoch_ms(o.o_orderdate) AS orderdate_ms,
            o.o_orderpriority
     FROM customer c
@@ -179,9 +202,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact decimal sum (order-independent) — see _Q1_SQL comment
+            _r(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(3,2)")
+                       - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -198,7 +227,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) + 0 AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -227,9 +257,15 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact decimal sum (order-independent) — see _Q1_SQL comment
+            _r(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(3,2)")
+                       - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
