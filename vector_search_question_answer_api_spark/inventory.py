@@ -8,6 +8,10 @@ comparison holds:
 - every computed column is aliased identically;
 - doubles that cross the boundary are ``round(x, N) + 0`` (the ``+ 0``
   canonicalizes IEEE ``-0.0`` to ``0.0``);
+- money SUMS aggregate as exact DECIMAL and cast to double only after
+  the aggregate: double addition is order-dependent (partial aggs vs
+  sequential), and above ~1e8 the noise exceeds a 2-decimal rounding
+  grain — see the ``_Q1_SQL`` comment;
 - rankings order by the ROUNDED measure with an id tiebreak, so float noise
   below the rounding grain cannot flip row order;
 - timestamps cross as ``unix_millis`` bigints (Spark session TZ is UTC);
