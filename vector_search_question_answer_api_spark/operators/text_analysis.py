@@ -195,19 +195,28 @@ def winnowing_fingerprints(
     )
 
 
-def quality_components(toks: Column) -> dict[str, Column]:
+def quality_components(
+    toks: Column, stop_hits: Column | None = None
+) -> dict[str, Column]:
     """The composite quality heuristic's ingredients over a token-array
     column: n / mean_len / stop_ratio / uniq_ratio / score (un-rounded).
     ONE definition shared by quality_scores, text_metrics, and the
     pipeline filter funnel, so the published quality_score and the
     funnel's keep/drop decisions can never drift apart.  The expression
     shapes (when-chains, operand order) are part of the oracle contract —
-    both engines must perform the identical float operations."""
+    both engines must perform the identical float operations.
+
+    ``stop_hits``: pass an already-built English stop-hit count when the
+    caller also emits it as its own column (text_metrics) — inlining a
+    second copy of the array_intersect would double the heaviest
+    subexpression's codegen."""
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    if stop_hits is None:
+        stop_hits = _stop_hits(toks, "en")
     stop_ratio = F.when(
-        n > 0, _stop_hits(toks, "en").cast("double") / n
+        n > 0, stop_hits.cast("double") / n
     ).otherwise(0.0)
     uniq_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -279,11 +288,11 @@ def text_metrics(documents: DataFrame) -> DataFrame:
         .alias("bg"),
     )
     toks = F.col("toks")
-    q = quality_components(toks)
+    en, es, fr, de = (_stop_hits(toks, L) for L in ("en", "es", "fr", "de"))
+    q = quality_components(toks, stop_hits=en)
     n, mean_len, stop_ratio, uniq_ratio, score = (
         q["n"], q["mean_len"], q["stop_ratio"], q["uniq_ratio"], q["score"],
     )
-    en, es, fr, de = (_stop_hits(toks, L) for L in ("en", "es", "fr", "de"))
     guess = (
         F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
         .when((es >= fr) & (es >= de) & (es > 0), "es")
