@@ -112,7 +112,12 @@ EXPECT_CONST_ROWS = {
     "ann_ivf_topk",
     "search_pipeline_e2e",
     "filter_funnel",   # 5 report rows at any scale; n_docs counts inside scale
-    "mixture_sample",  # fixed 40-row mix from fixed quotas at any corpus size
+    # mixture_sample: fixed 40-row mix from fixed quotas.  ASSUMES every
+    # domain's population >= its quota at the smallest swept scale (true
+    # for the sf0.01 base this harness sweeps; the operator's own contract
+    # is "at most quota[d] rows", so at a smaller base a domain shortfall
+    # would fail this invariant without the operator being wrong — ADVICE r4)
+    "mixture_sample",
     "mmr_topk",        # 5 queries x k=5 selections regardless of corpus
 }
 

@@ -251,6 +251,11 @@ def blended_rerank(
     query token sets broadcast, the Jaccard is a pure HOF expression, and
     the re-rank is the usual rounded-measure window.  Nothing touches
     non-candidate corpus rows.
+
+    A candidate whose doc_id is absent from ``documents`` is KEPT and
+    scored with jaccard = 0 (left join; ADVICE r4 — the inner-join form
+    silently dropped it), so a dense-index/doc-store sync lag degrades a
+    candidate's lexical evidence to zero instead of deleting the row.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
@@ -268,9 +273,11 @@ def blended_rerank(
     )
     inter = F.size(F.array_intersect(F.col("_qt"), F.col("_dt")))
     uni = F.size(F.col("_qt")) + F.size(F.col("_dt")) - inter
-    jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(0.0)
+    jac = F.when(F.col("_dt").isNull(), 0.0).otherwise(
+        F.when(uni > 0, inter.cast("double") / uni).otherwise(0.0)
+    )
     scored = (
-        candidates.join(dtoks, "doc_id")
+        candidates.join(dtoks, "doc_id", "left")
         .join(F.broadcast(qtoks), "query_id")
         .select(
             "query_id",
