@@ -223,12 +223,19 @@ def main() -> None:
         fn = qs.get(name) or extra.get(name)
         if fn is None:
             continue
-        # Best-of-2: single-shot timings on this box swing +-40% with
-        # scheduler noise; the min of two full executions is a stable
-        # estimate of the query's actual cost.  Caches are released
-        # between attempts so both runs do the full work.
-        best = None
-        for _ in range(2):
+        # Adaptive best-of-N (r5, VERDICT r4 #2): single-shot timings on
+        # this box swing +-40% with scheduler noise, and best-of-2 was
+        # not enough — BENCH_r04 recorded dedup_exact +74% / minhash
+        # +53% "regressions" that a same-code re-run placed back at the
+        # r3 values while OTHER queries swung +150%.  The work per run
+        # is fixed, so noise only ever INFLATES a timing; the min is the
+        # true cost, but it is only trustworthy once reproduced.  Keep
+        # re-running (max 5) until the two fastest runs agree within
+        # 15%, then report the min — a certified-reproducible cost, not
+        # a lucky or unlucky draw.  Caches are released between attempts
+        # so every run does the full work.
+        runs: list[float] = []
+        for _ in range(5):
             # cache_scope releases only the caches THIS attempt creates —
             # unpersist_all() would drain the process-global registry and
             # could yank caches out from under other live plans if bench
@@ -236,9 +243,12 @@ def main() -> None:
             with caching.cache_scope():
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2:
+                lo, lo2 = sorted(runs)[:2]
+                if lo2 <= lo * 1.15:
+                    break
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

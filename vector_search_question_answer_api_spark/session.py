@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-lived sessions (the bench loop, the driver's 50-gate
+        # correctness sweep) degrade measurably as the status stores
+        # accumulate retained executions/jobs/stages — our plans carry
+        # MB-scale literal/codegen strings (simhash's 64-case expr, the
+        # embedded oracle centroid literals), so the DEFAULT retention
+        # (1000 SQL executions) is heap + listener-bus bloat that showed
+        # up as monotonically inflating timings within one process
+        # (r5 bench reconciliation; distributions in SCALE.md).  Nothing
+        # reads the UI state (spark.ui.enabled=false), so retain the
+        # minimum the stores accept.
+        .config("spark.sql.ui.retainedExecutions", "2")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
