@@ -244,3 +244,85 @@ def test_recall_monitor_counts_missing_queries_as_zero(spark):
     got = {r["query_id"]: (r["hits"], r["want"], r["recall"])
            for r in recall_per_query(exact, approx).collect()}
     assert got == {1: (1, 2, 0.5), 2: (0, 1, 0.0)}
+
+
+def test_ivfpq_ondisk_matches_inmemory_and_defers_vectors(
+    spark, clustered, tmp_path
+):
+    """The on-disk composition (codes-table scan + deferred vector fetch)
+    emits exactly what the in-memory ``ivfpq_topk`` emits, its codes scan
+    physically cannot read vector bytes (the artifact has no vector
+    column), the probed-cell filter reaches the scan as a partition
+    filter, and the codes artifact is materially smaller than the
+    full-vector inverted file."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        train_centroids,
+        write_ivf_index,
+    )
+    from vector_search_question_answer_api_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_ondisk,
+        write_ivfpq_index,
+    )
+    from vector_search_question_answer_api_spark.sources.compaction import (
+        layout_stats,
+    )
+
+    q, idx = _qi(clustered, 10)
+    cbs = train_pq_codebooks(idx, dim=64, m=8, n_codes=16, n_iters=3)
+    cents = train_centroids(
+        clustered.select(
+            F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+        ),
+        dim=64,
+        n_cells=8,
+        n_iters=3,
+    )
+    path = str(tmp_path / "ivfpq_codes")
+    write_ivfpq_index(idx, path, cbs, centroids=cents, dim=64, n_cells=8)
+
+    # the artifact has NO vector column — deferred fetch is physical
+    artifact = spark.read.parquet(path)
+    assert set(artifact.columns) == {"doc_id", "codes", "cell"}
+
+    got = ivfpq_topk_ondisk(
+        spark, q, path, idx, cbs, centroids=cents,
+        k=5, dim=64, n_cells=8, nprobe=2, refine=8,
+    )
+    want = ivfpq_topk(
+        q, idx, cbs, centroids=cents,
+        k=5, dim=64, n_cells=8, nprobe=2, refine=8,
+    )
+    grows = {
+        (r["query_id"], r["doc_id"], r["rank"], round(r["distance"], 9))
+        for r in got.collect()
+    }
+    wrows = {
+        (r["query_id"], r["doc_id"], r["rank"], round(r["distance"], 9))
+        for r in want.collect()
+    }
+    assert grows == wrows and grows
+
+    # recall vs exact unchanged by the on-disk path
+    exact = _topk_sets(knn_exact_expr(q, idx, k=5))
+    assert _recall(exact, _topk_sets(got)) >= 0.9
+
+    # plan pins: partition filter on cell at the codes scan, and the codes
+    # scan's read schema carries codes+doc_id only (no vector column to
+    # read even by name)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    # the ONLY file scan in this plan is the codes table (queries/index are
+    # in-memory relations)
+    assert scans, plan
+    pf = [ln for ln in scans if "PartitionFilters: [cell" in ln]
+    assert pf, f"probed-cell set not in PartitionFilters: {scans}"
+    assert all("ReadSchema" not in ln or "codes" in ln for ln in scans), scans
+    assert not any("nv" in ln or "norm_embedding" in ln for ln in scans), scans
+
+    # bytes accounting: codes artifact ≪ the full-vector inverted file
+    vec_path = str(tmp_path / "ivf_vectors")
+    write_ivf_index(idx, vec_path, centroids=cents, dim=64, n_cells=8)
+    codes_bytes = layout_stats(path)["bytes_total"]
+    vec_bytes = layout_stats(vec_path)["bytes_total"]
+    assert codes_bytes * 3 < vec_bytes, (codes_bytes, vec_bytes)
