@@ -552,15 +552,64 @@ def test_index_stream_matches_batch_build(spark, tmpdir):
     }
     assert got == want
 
-    # log holds originals + updates (>= 510 rows across generations)
-    assert spark.read.parquet(out).count() == 510
+    # log holds originals + updates (>= 510 rows across micro-batches)
+    assert spark.read.parquet(f"{out}/log").count() == 510
 
-    compact_index(spark, out, n_files=2)
+    # Mid-compaction visibility (VERDICT r4 #4): a reader BETWEEN the
+    # new-generation write and the manifest swap must still resolve the
+    # complete index (it sees the old state: no manifest + full log)
+    mid: dict = {}
+
+    def read_mid_compaction():
+        mid["rows"] = {
+            (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+            for r in read_index_latest(spark, out).collect()
+        }
+
+    compact_index(spark, out, n_files=2, _pre_publish_hook=read_mid_compaction)
+    assert mid["rows"] == want
+
     stats = layout_stats(out)
     assert stats["n_files"] <= 4
-    assert spark.read.parquet(out).count() == 500  # one generation
+    with open(f"{out}/MANIFEST", encoding="utf-8") as f:
+        gen = f.read().strip()
+    assert spark.read.parquet(f"{out}/{gen}").count() == 500  # one generation
     got2 = {
         (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
         for r in read_index_latest(spark, out).collect()
     }
     assert got2 == want
+
+    # a second cycle: rows appended to the log AFTER the first compaction
+    # must win over the generation rows (gen carries _batch=-1), and a
+    # second compaction rolls gen-000000 -> gen-000001 with the same
+    # resolved relation.  The appended rows are shaped exactly like a
+    # micro-batch (index_stream is the same map-only expressions batch or
+    # stream).
+    more = updates.select(
+        "doc_id",
+        (F.col("ts") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        F.concat(F.lit("again "), F.col("text")).alias("text"),
+    )
+    index_stream(more).withColumn("_batch", F.lit(99)).coalesce(
+        1
+    ).write.mode("append").parquet(f"{out}/log")
+    final2 = docs.filter("doc_id >= 10").unionByName(more)
+    want2 = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in build_index(final2).collect()
+    }
+    got3 = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in read_index_latest(spark, out).collect()
+    }
+    assert got3 == want2
+
+    compact_index(spark, out, n_files=2)
+    with open(f"{out}/MANIFEST", encoding="utf-8") as f:
+        assert f.read().strip() == "gen-000001"
+    got4 = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in read_index_latest(spark, out).collect()
+    }
+    assert got4 == want2
