@@ -145,3 +145,68 @@ def test_mmr_lam_zero_first_pick_still_relevance(spark):
     # second pick at lam=0 maximizes pure novelty: doc 1 (orthogonal to
     # doc 2) beats doc 3 (similar to doc 2)
     assert got[1]["doc_id"] == 1
+
+
+def test_mmr_over_ann_pool_matches_exact_at_full_recall(spark, sf_dir):
+    """The 100 TB composition: mmr_topk(candidates=<ANN pool>) must equal
+    the exact-pool MMR whenever the pool's recall is 1.0.  Exercised two
+    ways: (a) candidates = the exact top-pool itself (recall 1.0 by
+    construction), (b) candidates = IVF with nprobe = n_cells (exhaustive
+    probing ≡ exact)."""
+    from vector_search_question_answer_api_spark.operators.ivf import ivf_topk
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+
+    def rows(df):
+        return [
+            (r["query_id"], r["doc_id"], round(r["sim"], 9), r["rank"])
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    want = rows(mmr_topk(q, idx, k=5, pool=10, lam=0.7))
+
+    exact_pool = knn_exact_expr(q, idx, k=10).select("query_id", "doc_id")
+    got_a = rows(mmr_topk(q, idx, k=5, pool=10, lam=0.7, candidates=exact_pool))
+    assert got_a == want and len(want) == 25
+
+    ivf_pool = ivf_topk(q, idx, k=10, n_cells=16, nprobe=16).select(
+        "query_id", "doc_id"
+    )
+    got_b = rows(mmr_topk(q, idx, k=5, pool=10, lam=0.7, candidates=ivf_pool))
+    assert got_b == want
+
+
+def test_mmr_over_partial_pool_diversifies_the_pool(spark, sf_dir):
+    """With a deliberately lossy pool (a strict subset of the exact
+    top-pool), MMR selects only from the given candidates — the contract
+    under imperfect ANN recall."""
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
+    q = normed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qvec")
+    )
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    lossy = knn_exact_expr(q, idx, k=10).filter(F.col("rank") % 2 == 1).select(
+        "query_id", "doc_id"
+    )
+    allowed = {
+        (r["query_id"], r["doc_id"]) for r in lossy.collect()
+    }
+    got = mmr_topk(q, idx, k=5, pool=10, lam=0.7, candidates=lossy).collect()
+    assert got and all((r["query_id"], r["doc_id"]) in allowed for r in got)
