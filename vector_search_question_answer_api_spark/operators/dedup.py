@@ -663,6 +663,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     max_broadcast_rows: int = 500_000,
     strategy: str | None = None,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs on the vector table — auto-routed by size.
 
@@ -678,10 +680,22 @@ def embedding_near_dup_pairs(
     - ``lsh`` (the 100 TB path, auto-selected above the cap): SRP-LSH
       self-join — signatures are map-only, the bucket equi-join shuffles
       (id, signature) pairs ONLY, vectors join back just for the surviving
-      candidate pairs, verified with the exact dot product.  Near-linear;
-      recall is governed by (n_planes, n_tables) exactly as in
-      operators/ann.py (at sim >= 0.95 with the 8x8 default the per-pair
-      miss probability is ~1%).
+      candidate pairs, verified with the exact dot product.  Recall is
+      governed by (n_planes, n_tables) exactly as in operators/ann.py
+      (at sim >= 0.95 with the 8x8 default the per-pair miss probability
+      is ~1%).
+
+      **Sizing rule (r5, measured in SCALING.md):** a RANDOM pair shares
+      a band w.p. ~n_tables x 2^-n_planes, so the candidate count carries
+      an n^2 x n_tables/2^n_planes term from the structureless bulk of a
+      corpus — with a FIXED signature length any LSH self-join is
+      quadratic-with-small-constant once n^2 outgrows 2^n_planes.  Scale
+      n_planes with log2(n) (target: 2^n_planes >= ~n_tables x n x c for
+      c candidates-per-row of budget); at sim >= 0.95, 16 planes x 8
+      tables still has per-pair miss ~21% per the SRP product formula —
+      raise n_tables together with n_planes when recall matters.
+      ``n_planes``/``n_tables`` pass straight through to the signature
+      kernel for exactly this tuning.
 
     The auto-routing (one ``count()`` probe) means a caller can point this
     at any corpus without knowing whether the vector side still fits a
@@ -722,7 +736,7 @@ def embedding_near_dup_pairs(
     elif strategy == "broadcast":
         n = _persist(n)
     if strategy == "lsh":
-        return _embedding_near_dup_pairs_lsh(n, min_sim)
+        return _embedding_near_dup_pairs_lsh(n, min_sim, n_planes, n_tables)
 
     rows = n.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
@@ -747,13 +761,20 @@ def embedding_near_dup_pairs(
     return n.mapInPandas(block, schema="vec_a long, vec_b long, sim double")
 
 
-def _embedding_near_dup_pairs_lsh(n: DataFrame, min_sim: float) -> DataFrame:
+def _embedding_near_dup_pairs_lsh(
+    n: DataFrame,
+    min_sim: float,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> DataFrame:
     """LSH-bucketed near-dup self-join over (id, nv) with nv L2-normalized.
 
     Candidate generation shuffles ids only (the heavy vectors ride in the
     map-only signature stage and join back per surviving pair), mirroring
-    the minhash/simhash banding shape above.
+    the minhash/simhash banding shape above.  See the caller's sizing rule
+    for choosing (n_planes, n_tables) by corpus size.
     """
+    from vector_search_question_answer_api_spark.operators import ann
     from vector_search_question_answer_api_spark.operators.ann import with_lsh_signatures
 
     first = n.select(F.size("nv")).first()
@@ -762,7 +783,13 @@ def _embedding_near_dup_pairs_lsh(n: DataFrame, min_sim: float) -> DataFrame:
             [], "vec_a long, vec_b long, sim double"
         )
     dim = int(first[0])
-    sig_ids = with_lsh_signatures(n, "nv", dim).select(
+    sig_ids = with_lsh_signatures(
+        n,
+        "nv",
+        dim,
+        n_planes=n_planes or ann.DEFAULT_N_PLANES,
+        n_tables=n_tables or ann.DEFAULT_N_TABLES,
+    ).select(
         "id", F.explode("lsh_sigs").alias("sig")
     )
     a = sig_ids.select(F.col("id").alias("vec_a"), "sig")
