@@ -163,6 +163,55 @@ def _r4_tier_fns():
     return {"ann_pq_topk": ann_pq, "dedup_embedding_semdedup": semdedup}
 
 
+def _ivfpq_ondisk_fn(spark, sf_dir):
+    """r5 bench entry: queries against the MATERIALIZED IVFPQ codes table
+    (cell-partitioned, no vector column, deferred vector fetch — see
+    operators/pq.write_ivfpq_index).  The artifact is built ONCE here,
+    outside the timed loop: in production the codes table is ingest-time
+    work amortized over every query batch, so the per-query number is the
+    scan+ADC+refine cost — the number that matters.  Returns (fns, cleanup
+    path)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        ivfpq_topk_ondisk,
+        write_ivfpq_index,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_ivfpq_")
+    path = root + "/codes"
+    cbs = codebook_grid(64, 8, 16)
+
+    def _normed(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize(F.col("embedding"))
+            .cast("array<double>")
+            .alias("norm_embedding"),
+        )
+
+    write_ivfpq_index(_normed(spark, sf_dir), path, cbs, dim=64, n_cells=16)
+
+    def ann_ivfpq_ondisk(spark, sf_dir):
+        idx = _normed(spark, sf_dir)
+        q = idx.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("norm_embedding").alias("qvec"),
+        )
+        return ivfpq_topk_ondisk(
+            spark, q, path, idx, cbs, k=5, dim=64, n_cells=16,
+            nprobe=4, refine=8,
+        )
+
+    return {"ann_ivfpq_ondisk": ann_ivfpq_ondisk}, root
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -195,6 +244,8 @@ def main() -> None:
     assert a == b and a, f"zipf top-k strategy mismatch ({len(a)} vs {len(b)})"
 
     extra.update(_r4_tier_fns())
+    ondisk_fns, ondisk_root = _ivfpq_ondisk_fn(spark, sf_dir)
+    extra.update(ondisk_fns)
     # one-time subset pin: the cell-scoped dedup tier must emit a nonempty
     # subset of the exact broadcast relation (false pairs are impossible)
     from vector_search_question_answer_api_spark.operators.dedup import (
@@ -250,6 +301,9 @@ def main() -> None:
                     break
         timings[name] = round(min(runs), 3)
 
+    import shutil
+
+    shutil.rmtree(ondisk_root, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

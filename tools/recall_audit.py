@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Measured recall@k of every ANN tier against the exact kNN oracle, via
+the production recall monitor (operators/quality.recall_summary).
+
+The approximate tiers trade recall for pruning, and recall depends on the
+corpus geometry — so it must be MEASURED per corpus, not quoted from the
+paper.  This audit runs each tier over the driver testdata (and optionally
+a clustered fixture resembling real embedding geometry) and prints one
+JSON line per (corpus, tier): micro/macro/worst recall plus the tier's
+pruning parameters.  The same `recall_summary` call is what a deployment
+would alert on.
+
+Usage::
+
+    python -m tools.recall_audit [--sf /root/testdata/sf0.1] [--k 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.operators.quality import recall_summary
+from vector_search_question_answer_api_spark.operators.search import knn_exact_expr
+from vector_search_question_answer_api_spark.session import get_spark
+from vector_search_question_answer_api_spark.sources.tables import load_table
+
+
+def _clustered(spark, n=2000, dim=64, n_modes=20, seed=7):
+    """Synthetic clustered geometry (tight modes on the unit sphere) — the
+    shape real sentence embeddings take, where coarse quantizers earn
+    their keep."""
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_modes, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents[np.arange(n) % n_modes] + 0.08 * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def audit(spark, emb, corpus_name, k, n_queries=10):
+    from vector_search_question_answer_api_spark.operators.ann import lsh_candidates
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+    from vector_search_question_answer_api_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from vector_search_question_answer_api_spark.operators.search import (
+        topk_per_query,
+    )
+
+    normed = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding")).cast("array<double>").alias(
+            "norm_embedding"
+        ),
+    )
+    normed.persist()
+    normed.count()
+    q = normed.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    exact = knn_exact_expr(q, normed, k=k)
+    exact.persist()
+    exact.count()
+
+    out = []
+
+    def rec(tier, df, params):
+        s = recall_summary(exact, df)
+        out.append(
+            {
+                "corpus": corpus_name,
+                "tier": tier,
+                "k": k,
+                **{m: round(v, 3) for m, v in s.items() if m != "n_queries"},
+                "params": params,
+            }
+        )
+
+    # SRP-LSH (bucket join + exact re-rank)
+    idx_nv = normed.select("doc_id", F.col("norm_embedding").alias("norm_embedding"))
+    cand = lsh_candidates(
+        q,
+        idx_nv.withColumnRenamed("norm_embedding", "norm_embedding"),
+        dim=64,
+        n_planes=3,
+        n_tables=16,
+    )
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    rec("lsh", topk_per_query(scored, k), {"n_planes": 3, "n_tables": 16})
+
+    # IVF, grid + trained centroids
+    rec("ivf_grid", ivf_topk(q, normed, k=k, n_cells=16, nprobe=4),
+        {"n_cells": 16, "nprobe": 4, "centroids": "grid"})
+    trained = train_centroids(normed, dim=64, n_cells=16, n_iters=4)
+    rec("ivf_trained", ivf_topk(q, normed, centroids=trained, k=k,
+                                n_cells=16, nprobe=4),
+        {"n_cells": 16, "nprobe": 4, "centroids": "trained"})
+
+    # PQ: ADC only, then with exact refine; grid + trained codebooks
+    cbs_g = __import__(
+        "vector_search_question_answer_api_spark.operators.pq", fromlist=["codebook_grid"]
+    ).codebook_grid(64, 8, 16)
+    codes_g = pq_encode(normed, cbs_g)
+    rec("pq_adc_grid", pq_topk(q, codes_g, cbs_g, k=k),
+        {"m": 8, "n_codes": 16, "refine": 0, "codebooks": "grid"})
+    rec("pq_refine_grid", pq_topk(q, codes_g, cbs_g, k=k, refine=8, index=normed),
+        {"m": 8, "n_codes": 16, "refine": 8, "codebooks": "grid"})
+    cbs_t = train_pq_codebooks(normed, dim=64, m=8, n_codes=16, n_iters=4)
+    codes_t = pq_encode(normed, cbs_t)
+    rec("pq_refine_trained", pq_topk(q, codes_t, cbs_t, k=k, refine=8, index=normed),
+        {"m": 8, "n_codes": 16, "refine": 8, "codebooks": "trained"})
+
+    # the recovery levers: shortlist depth (refine) and probe width both
+    # buy recall back linearly in extra bytes touched — the table should
+    # show the knob, not just the operating point
+    rec("pq_refine24_trained",
+        pq_topk(q, codes_t, cbs_t, k=k, refine=24, index=normed),
+        {"m": 8, "n_codes": 16, "refine": 24, "codebooks": "trained"})
+
+    # IVFPQ composition (trained both levels), nprobe sweep
+    for nprobe in (4, 8):
+        rec(
+            f"ivfpq_trained_p{nprobe}",
+            ivfpq_topk(q, normed, cbs_t, centroids=trained, k=k,
+                       n_cells=16, nprobe=nprobe, refine=8),
+            {"n_cells": 16, "nprobe": nprobe, "m": 8, "refine": 8,
+             "centroids": "trained", "codebooks": "trained"},
+        )
+    normed.unpersist()
+    exact.unpersist()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=5)
+    args = ap.parse_args()
+    spark = get_spark(app_name="recall_audit")
+    rows = []
+    rows += audit(spark, load_table(spark, args.sf, "embeddings"),
+                  os.path.basename(args.sf.rstrip("/")), args.k)
+    rows += audit(spark, _clustered(spark), "clustered_synthetic", args.k)
+    for r in rows:
+        print(json.dumps(r))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
