@@ -368,3 +368,35 @@ def test_embedding_near_dup_clustered_cell_cap(spark):
         embedding_near_dup_pairs_clustered(
             emb, min_sim=0.99, n_cells=4, max_cell_rows=10
         ).collect()
+
+
+def test_embedding_near_dup_lsh_signature_params_pass_through(spark):
+    """r5: (n_planes, n_tables) reach the signature kernel.  At the sf0.01
+    near-dup band (min_sim=0.45, the gate's threshold — angle ~63 deg) the
+    8x8 DEFAULT signature recalls only ~20% of pairs (p_band = 0.648^8),
+    while 1 plane x 64 tables recalls ~100% (miss 0.35^64).  Equality with
+    the exact relation at 1x64 therefore PROVES the parameters take
+    effect; any configuration must stay a subset (never a false pair)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"], round(r["sim"], 9))
+        for r in embedding_near_dup_pairs(
+            emb, min_sim=0.45, strategy="broadcast"
+        ).collect()
+    }
+    assert len(exact) == 14  # the gate's band — non-trivial by design
+    wide = {
+        (r["vec_a"], r["vec_b"], round(r["sim"], 9))
+        for r in embedding_near_dup_pairs(
+            emb, min_sim=0.45, strategy="lsh", n_planes=1, n_tables=64
+        ).collect()
+    }
+    assert wide == exact
+    narrow = {
+        (r["vec_a"], r["vec_b"], round(r["sim"], 9))
+        for r in embedding_near_dup_pairs(
+            emb, min_sim=0.45, strategy="lsh", n_planes=16, n_tables=8
+        ).collect()
+    }
+    assert narrow <= exact
+    assert len(narrow) < len(exact)  # 16-plane bands cannot span 63 deg
