@@ -176,21 +176,26 @@ def test_ivf_kmeans_recall_and_pruning_clustered(spark, clustered):
 
 
 def test_hnsw_tier_gated_or_correct(spark, normed):
-    """Tier B: skipped unless hnswlib is present; when present, per-partition
-    graphs + global merge must agree with exact top-1 on recall>=0.9."""
+    """Tier B on the numpy backend (always available since r5): graphs are
+    built per partition, queried with the reference's ef=50, and globally
+    merged; recall vs exact must be >=0.9 at k=1 AND k=5 on the driver
+    corpus.  The hnswlib backend, when importable, must meet the same bar
+    (same assertion body runs for it)."""
     from vector_search_question_answer_api_spark.operators import ann_hnsw
 
     q, idx = _qi(normed, 10)
+    backends = ["numpy"] + (["hnswlib"] if ann_hnsw.HNSW_AVAILABLE else [])
+    for backend in backends:
+        graphs = ann_hnsw.build_partitioned_hnsw(idx, dim=64, backend=backend)
+        for k in (1, 5):
+            got = _topk_sets(ann_hnsw.hnsw_topk(spark, graphs, q, k=k))
+            exact = _topk_sets(knn_exact_expr(q, idx, k=k))
+            assert _recall(exact, got) >= 0.9, (backend, k)
     if not ann_hnsw.HNSW_AVAILABLE:
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            ann_hnsw.build_partitioned_hnsw(idx, dim=64)
-        return
-    graphs = ann_hnsw.build_partitioned_hnsw(idx, dim=64)
-    got = _topk_sets(ann_hnsw.hnsw_topk(spark, graphs, q, k=1))
-    exact = _topk_sets(knn_exact_expr(q, idx, k=1))
-    assert _recall(exact, got) >= 0.9
+            ann_hnsw.build_partitioned_hnsw(idx, dim=64, backend="hnswlib")
 
 
 def test_ivf_ondisk_layout_prunes_partitions(spark, sf_dir, tmp_path):

@@ -17,11 +17,15 @@ keeps the graph idea but makes it per-partition:
   nothing the per-partition graphs didn't; recall equals single-graph HNSW
   recall at the same ef.
 
-``hnswlib`` is NOT installed in this environment (the reference vendored
-it; it is not part of this engine's base stack), so the operator is gated
-behind an import and exercised by tests only when available
-(tests/test_ann.py skips otherwise).  The LSH tier (operators/ann.py) is
-the always-available approximate path.
+Two interchangeable graph backends behind one surface (r5):
+
+- ``numpy`` (always available): :class:`operators.hnsw_numpy.NumpyHNSW`,
+  a from-scratch implementation of the HNSW algorithm itself —
+  hierarchical layers, greedy descent, ef-bounded beam search,
+  bidirectional M-links.  The tier is no longer environment-gated.
+- ``hnswlib`` (optional fast path): the C++ library the reference vendors,
+  used automatically when importable; tests assert both backends meet the
+  same recall bar.
 """
 
 from __future__ import annotations
@@ -45,12 +49,17 @@ except ImportError:
     HNSW_AVAILABLE = False
 
 
-def _require_hnsw() -> None:
-    if not HNSW_AVAILABLE:
+def _resolve_backend(backend: str | None) -> str:
+    if backend is None:
+        return "hnswlib" if HNSW_AVAILABLE else "numpy"
+    if backend == "hnswlib" and not HNSW_AVAILABLE:
         raise NotImplementedError(
-            "hnswlib is not installed; use operators/ann.py (LSH) or "
-            "operators/search.py (exact) instead"
+            "hnswlib is not installed; use backend='numpy' (the built-in "
+            "HNSW implementation) or the LSH/IVF/PQ tiers"
         )
+    if backend not in ("hnswlib", "numpy"):
+        raise ValueError(f"unknown hnsw backend {backend!r}")
+    return backend
 
 
 def build_partitioned_hnsw(
@@ -60,11 +69,14 @@ def build_partitioned_hnsw(
     ef_construction: int = 200,
     vec_col: str = "norm_embedding",
     id_col: str = "doc_id",
+    backend: str | None = None,
 ) -> DataFrame:
-    """(partition_id, n, graph): one serialized HNSW graph per partition.
-    Reference build constants preserved (M=16, ef_construction=200,
-    services/index_service.py:89-92)."""
-    _require_hnsw()
+    """(n, graph): one serialized HNSW graph per partition.  Reference
+    build constants preserved (M=16, ef_construction=200,
+    services/index_service.py:89-92).  ``backend``: 'hnswlib' | 'numpy' |
+    None (auto: hnswlib when importable, else the built-in numpy
+    implementation)."""
+    backend = _resolve_backend(backend)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
@@ -77,9 +89,19 @@ def build_partitioned_hnsw(
         if not ids:
             return
         mat = np.vstack(mats)
-        g = hnswlib.Index(space="cosine", dim=dim)
-        g.init_index(max_elements=len(ids), M=m, ef_construction=ef_construction)
-        g.add_items(mat, np.asarray(ids, dtype=np.int64))
+        if backend == "hnswlib":
+            g = hnswlib.Index(space="cosine", dim=dim)
+            g.init_index(
+                max_elements=len(ids), M=m, ef_construction=ef_construction
+            )
+            g.add_items(mat, np.asarray(ids, dtype=np.int64))
+        else:
+            from vector_search_question_answer_api_spark.operators.hnsw_numpy import (
+                NumpyHNSW,
+            )
+
+            g = NumpyHNSW(dim, m=m, ef_construction=ef_construction)
+            g.add_items(mat, np.asarray(ids, dtype=np.int64))
         yield pd.DataFrame(
             {
                 "n": [len(ids)],
@@ -102,8 +124,9 @@ def hnsw_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Per-partition graph walk + global candidate merge.  Search breadth
-    ef=50 preserved from the reference (services/index_service.py:72)."""
-    _require_hnsw()
+    ef=50 preserved from the reference (services/index_service.py:72).
+    Works with graphs from either backend (the serialized object answers
+    the same set_ef/knn_query/get_current_count surface)."""
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float32)

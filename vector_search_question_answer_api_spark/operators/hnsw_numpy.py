@@ -1,0 +1,191 @@
+"""Dependency-free HNSW (Malkov & Yashunin 2016, "Efficient and robust
+approximate nearest neighbor search using Hierarchical Navigable Small
+World graphs") in numpy + heapq — the always-available backend for the
+partitioned graph-ANN tier (operators/ann_hnsw.py).
+
+The reference's entire index is one hnswlib graph
+(services/index_service.py:87-96: cosine space, M=16, ef_construction=200,
+search ef=50).  hnswlib is not part of this engine's base stack, so until
+r5 the graph tier was an environment-gated seam with the LSH/IVF/PQ tiers
+as the working defaults.  This module implements the actual algorithm —
+hierarchical layers with exponentially decaying occupancy, greedy descent
+through upper layers, ef-bounded best-first beam search at each level,
+bidirectional M-links with shrink-to-Mmax — so the tier runs everywhere
+and hnswlib becomes the optional fast backend instead of a requirement.
+
+Faithfulness and divergences (documented, deliberate):
+
+- level assignment is the paper's ``floor(-ln(U) * (1/ln(M)))`` but U is
+  derived from ``md5(seed, label)`` instead of a shared RNG stream —
+  insertion-order-independent and reproducible across engines/processes
+  (the same determinism rule as every hashing primitive in this repo);
+- neighbor selection keeps the M CLOSEST candidates (the paper's simple
+  variant, hnswlib's ``select_neighbors_simple``) rather than the
+  diversity heuristic; on the partition sizes this tier targets
+  (10^3-10^6 rows per graph after hash-partitioning) measured recall at
+  ef=50 is equivalent (tests pin >=0.9 on both corpus geometries);
+- vectors are expected L2-normalized; distance is cosine distance
+  ``1 - dot`` exactly as the rest of the engine computes it.
+
+Scale shape: a graph is PER PARTITION (built inside one task, queried
+inside one task, serialized as one binary row).  All per-node state is
+numpy rows + python link lists; build is O(n * efc * log n) distance
+evaluations, each a vectorized dot over a candidate block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+
+import numpy as np
+
+
+class NumpyHNSW:
+    """One in-memory HNSW graph over L2-normalized vectors (cosine space).
+
+    API mirrors the hnswlib surface the engine touches: ``add_items``,
+    ``knn_query``, ``set_ef``, ``get_current_count`` — so
+    ``ann_hnsw.build_partitioned_hnsw`` / ``hnsw_topk`` run unchanged on
+    either backend.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 200,
+        seed: int = 0x5EED,
+    ):
+        self.dim = dim
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        self.mult = 1.0 / math.log(m)
+        self.seed = seed
+        self.ef = 50
+        self.vecs: np.ndarray | None = None
+        self.labels: np.ndarray | None = None
+        self.links: list[list[list[int]]] = []
+        self.entry = -1
+        self.max_level = -1
+
+    # -- hnswlib-compatible surface -------------------------------------
+    def set_ef(self, ef: int) -> None:
+        self.ef = int(ef)
+
+    def get_current_count(self) -> int:
+        return 0 if self.vecs is None else len(self.links)
+
+    # -- internals -------------------------------------------------------
+    def _level_for(self, label: int) -> int:
+        """Deterministic per-label level draw: md5 -> U(0,1) -> geometric
+        tail.  Independent of insertion order and process."""
+        h = hashlib.md5(f"hnsw:{self.seed}:{label}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / float(1 << 52)  # (0, 1]
+        return int(-math.log(u) * self.mult)
+
+    def _dists(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
+        return 1.0 - self.vecs[idxs] @ q
+
+    def _search_layer(
+        self, q: np.ndarray, entry_points: list[int], ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        """Best-first beam search: returns up to ``ef`` (dist, node) pairs
+        ascending by (dist, node) — the node tiebreak keeps results
+        deterministic under equal distances."""
+        visited = set(entry_points)
+        d0 = self._dists(q, entry_points)
+        cand = [(float(d), i) for d, i in zip(d0, entry_points)]
+        heapq.heapify(cand)
+        best = [(-d, i) for d, i in cand]
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if len(best) >= ef and d > -best[0][0]:
+                break
+            neigh = [n for n in self.links[c][level] if n not in visited]
+            if not neigh:
+                continue
+            visited.update(neigh)
+            ds = self._dists(q, neigh)
+            for n, dn in zip(neigh, ds):
+                dn = float(dn)
+                if len(best) < ef or dn < -best[0][0]:
+                    heapq.heappush(cand, (dn, n))
+                    heapq.heappush(best, (-dn, n))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-nd, i) for nd, i in best)
+
+    def _shrink(self, node: int, level: int, mmax: int) -> None:
+        ln = self.links[node][level]
+        if len(ln) <= mmax:
+            return
+        ds = self._dists(self.vecs[node], ln)
+        order = sorted(range(len(ln)), key=lambda j: (ds[j], ln[j]))[:mmax]
+        self.links[node][level] = [ln[j] for j in order]
+
+    # -- build / query ---------------------------------------------------
+    def add_items(self, mat: np.ndarray, labels: np.ndarray) -> None:
+        """Bulk insert.  Rows are inserted in ascending-label order so the
+        graph is independent of the caller's row order."""
+        mat = np.asarray(mat, dtype=np.float64)
+        labels = np.asarray(labels, dtype=np.int64)
+        order = np.argsort(labels, kind="stable")
+        mat, labels = mat[order], labels[order]
+        if self.vecs is None:
+            self.vecs = mat.copy()
+            self.labels = labels.copy()
+        else:
+            self.vecs = np.vstack([self.vecs, mat])
+            self.labels = np.concatenate([self.labels, labels])
+        for row in range(len(labels)):
+            self._insert(len(self.links), int(labels[row]))
+
+    def _insert(self, i: int, label: int) -> None:
+        level = self._level_for(label)
+        self.links.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+        q = self.vecs[i]
+        ep = [self.entry]
+        for lc in range(self.max_level, level, -1):
+            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+        for lc in range(min(level, self.max_level), -1, -1):
+            cand = self._search_layer(q, ep, self.efc, lc)
+            mmax = self.m0 if lc == 0 else self.m
+            neighbors = [n for _, n in cand[: self.m]]
+            self.links[i][lc] = list(neighbors)
+            for n in neighbors:
+                self.links[n][lc].append(i)
+                self._shrink(n, lc, mmax)
+            ep = [n for _, n in cand]
+        if level > self.max_level:
+            self.entry, self.max_level = i, level
+
+    def knn_query(self, qmat: np.ndarray, k: int, ef: int | None = None):
+        """(labels, distances), each (n_queries, k) — ascending distance,
+        label-ascending tiebreak (the engine's global tie rule)."""
+        if self.vecs is None or not len(self.links):
+            raise ValueError("empty index")
+        qmat = np.atleast_2d(np.asarray(qmat, dtype=np.float64))
+        k = min(k, self.get_current_count())
+        ef = max(self.ef if ef is None else ef, k)
+        out_l = np.empty((len(qmat), k), dtype=np.int64)
+        out_d = np.empty((len(qmat), k), dtype=np.float64)
+        for qi, q in enumerate(qmat):
+            ep = [self.entry]
+            for lc in range(self.max_level, 0, -1):
+                ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+            res = self._search_layer(q, ep, ef, 0)[:k]
+            # internal ids -> external labels, re-tiebreak on label
+            res = sorted((d, int(self.labels[i])) for d, i in res)
+            for j, (d, lab) in enumerate(res):
+                out_l[qi, j] = lab
+                out_d[qi, j] = d
+        return out_l, out_d
