@@ -163,6 +163,44 @@ def _r4_tier_fns():
     return {"ann_pq_topk": ann_pq, "dedup_embedding_semdedup": semdedup}
 
 
+def _hnsw_fn(spark, sf_dir):
+    """r5 bench entry: top-k against partitioned HNSW graphs (numpy
+    backend unless hnswlib is importable).  Graphs are built and cached
+    once outside the timed loop (index-build work, amortized in
+    production exactly like the ivfpq codes table); the timed number is
+    the broadcast-queries graph walk + global candidate merge.  Returns
+    (fns, cached graphs frame for teardown)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding")).cast("array<float>").alias(
+            "norm_embedding"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    graphs = ann_hnsw.build_partitioned_hnsw(idx, dim=64).persist()
+    graphs.count()
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            V.l2_normalize(F.col("embedding"))
+            .cast("array<double>")
+            .alias("qvec"),
+        )
+    )
+
+    def ann_hnsw_topk(spark, sf_dir):
+        return ann_hnsw.hnsw_topk(spark, graphs, q, k=5)
+
+    return {"ann_hnsw_topk": ann_hnsw_topk}, graphs
+
+
 def _ivfpq_ondisk_fn(spark, sf_dir):
     """r5 bench entry: queries against the MATERIALIZED IVFPQ codes table
     (cell-partitioned, no vector column, deferred vector fetch — see
@@ -246,6 +284,8 @@ def main() -> None:
     extra.update(_r4_tier_fns())
     ondisk_fns, ondisk_root = _ivfpq_ondisk_fn(spark, sf_dir)
     extra.update(ondisk_fns)
+    hnsw_fns, hnsw_graphs = _hnsw_fn(spark, sf_dir)
+    extra.update(hnsw_fns)
     # one-time subset pin: the cell-scoped dedup tier must emit a nonempty
     # subset of the exact broadcast relation (false pairs are impossible)
     from vector_search_question_answer_api_spark.operators.dedup import (
@@ -304,6 +344,7 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(ondisk_root, ignore_errors=True)
+    hnsw_graphs.unpersist()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -149,6 +149,17 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
             {"n_cells": 16, "nprobe": nprobe, "m": 8, "refine": 8,
              "centroids": "trained", "codebooks": "trained"},
         )
+
+    # partitioned HNSW graphs (numpy backend unless hnswlib is present)
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    graphs = ann_hnsw.build_partitioned_hnsw(normed, dim=64)
+    rec(
+        "hnsw_partitioned",
+        ann_hnsw.hnsw_topk(spark, graphs, q, k=k),
+        {"m": 16, "ef_construction": 200, "ef": 50,
+         "backend": "hnswlib" if ann_hnsw.HNSW_AVAILABLE else "numpy"},
+    )
     normed.unpersist()
     exact.unpersist()
     return out

@@ -663,7 +663,31 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "doc_id", "distance", "rank")
         )
 
-    return _assert_twin(primary, twin, "knn_topk").orderBy("query_id", "rank")
+    primary = _assert_twin(primary, twin, "knn_topk")
+    if RUN_TWIN_CHECKS:
+        # r5: the partitioned GRAPH tier (numpy-HNSW backend, M=16/efc=200/
+        # ef=50 per the reference) recall-checked against this gate's exact
+        # relation on every correctness run — the graph algorithm itself is
+        # driver-verified, not only pytest'd
+        from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+        idx = normed.select(
+            F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+        )
+        graphs = ann_hnsw.build_partitioned_hnsw(idx, dim=64, backend="numpy")
+        got: dict[int, set] = {}
+        for r in ann_hnsw.hnsw_topk(spark, graphs, q, k=5).collect():
+            got.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
+        want: dict[int, set] = {}
+        for r in primary.collect():
+            want.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
+        hits = sum(len(want[qq] & got.get(qq, set())) for qq in want)
+        total = sum(len(want[qq]) for qq in want)
+        if total == 0 or hits / total < 0.9:
+            raise ValueError(
+                f"partitioned-HNSW twin recall {hits}/{total} below 0.9"
+            )
+    return primary.orderBy("query_id", "rank")
 
 
 @register(
