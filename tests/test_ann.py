@@ -272,3 +272,54 @@ def test_lsh_signature_arrow_equals_expr(spark, normed):
         F.col("a.lsh_sigs") != F.col("e.lsh_sigs")
     )
     assert diff.count() == 0
+
+
+def test_numpy_hnsw_insertion_order_independent():
+    """The graph answers identically regardless of the row order handed to
+    one add_items call (rows are sorted by label before insertion, and
+    level draws hash the label, not the position) — the property that
+    makes per-partition builds deterministic under Spark's arbitrary
+    batch order."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators.hnsw_numpy import NumpyHNSW
+
+    rng = np.random.RandomState(11)
+    pts = rng.standard_normal((300, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    labels = np.arange(300)
+
+    def build(order):
+        g = NumpyHNSW(64, m=16, ef_construction=100)
+        g.add_items(pts[order], labels[order])
+        return g
+
+    a = build(np.arange(300))
+    b = build(rng.permutation(300))
+    q = pts[:15]
+    la, da = a.knn_query(q, k=5, ef=50)
+    lb, db = b.knn_query(q, k=5, ef=50)
+    assert (la == lb).all()
+    assert np.allclose(da, db)
+
+
+def test_numpy_hnsw_exactness_on_tiny_corpus():
+    """With ef >= n the beam search degenerates to exhaustive scan: the
+    result must equal the brute-force ranking exactly, ties broken by
+    label."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators.hnsw_numpy import NumpyHNSW
+
+    rng = np.random.RandomState(3)
+    pts = rng.standard_normal((60, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    g = NumpyHNSW(16, m=8, ef_construction=60)
+    g.add_items(pts, np.arange(60))
+    labels, dists = g.knn_query(pts[:10], k=5, ef=60)
+    sims = pts[:10] @ pts.T
+    for i in range(10):
+        d = 1.0 - sims[i]
+        want = np.lexsort((np.arange(60), d))[:5]
+        assert labels[i].tolist() == want.tolist()
+        assert np.allclose(dists[i], d[want])
