@@ -613,3 +613,112 @@ def test_index_stream_matches_batch_build(spark, tmpdir):
         for r in read_index_latest(spark, out).collect()
     }
     assert got4 == want2
+
+
+def test_neardup_stream_signature_matches_batch(spark):
+    """The stream's map-only MinHash signature must be bit-identical to the
+    batch minhash_signatures values (same md5 double-hash family, same
+    distinct shingle sets)."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        minhash_signatures,
+        unpersist_all,
+    )
+    from vector_search_question_answer_api_spark.streaming.neardup_stream import (
+        minhash_sig_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.timestamp_millis(F.col("doc_id") * 60000).alias("ts"), "text"
+    )
+    want = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(
+            docs.select("doc_id", "text"), n_hashes=16, k=3
+        ).select("doc_id", "sig").collect()
+    }
+    unpersist_all()
+    got = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_sig_stream(docs, n_hashes=16, k=3).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_neardup_stream_matches_batch_banding(spark, tmpdir):
+    """Streaming near-dup over micro-batches finds exactly the batch LSH
+    candidate pairs whose signature-estimated jaccard clears the bar —
+    including pairs that STRADDLE micro-batches (one side already in
+    state).  Estimates must equal the numpy-computed component-agreement
+    fraction."""
+    from vector_search_question_answer_api_spark.functions import hashing as H
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        minhash_signatures,
+        unpersist_all,
+    )
+    from vector_search_question_answer_api_spark.streaming.neardup_stream import (
+        neardup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.timestamp_millis(F.col("doc_id") * 60000).alias("ts"), "text"
+    )
+
+    # batch-side expectation: band-sharing pairs with est >= 0.8
+    sig_rows = (
+        minhash_signatures(docs.select("doc_id", "text"), n_hashes=16, k=3)
+        .select(
+            "doc_id",
+            "sig",
+            H.band_keys(F.col("sig"), 4, 4).alias("bands"),
+        )
+        .collect()
+    )
+    unpersist_all()
+    sigs = {r["doc_id"]: list(r["sig"]) for r in sig_rows}
+    by_band: dict = {}
+    for r in sig_rows:
+        for b in r["bands"]:
+            by_band.setdefault(b, []).append(r["doc_id"])
+    expected: dict = {}
+    for members in by_band.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                x, y = (a, b) if a < b else (b, a)
+                est = sum(
+                    u == v for u, v in zip(sigs[x], sigs[y])
+                ) / 16.0
+                if est >= 0.8:
+                    expected[(x, y)] = est
+    assert expected, "sf0.01 must contain near-dup pairs at est>=0.8"
+
+    # stream side: 3 micro-batches split by doc_id
+    src = f"{tmpdir}/nd_docs"
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(f"{src}/p0")
+    docs.filter("doc_id % 3 = 1").coalesce(1).write.parquet(f"{src}/p1")
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.parquet(f"{src}/p2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = neardup_stream(stream, min_est=0.8, horizon="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/nd_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "neardup stream did not finish"
+    got = {}
+    for r in spark.sql(
+        "SELECT DISTINCT doc_a, doc_b, est_jaccard FROM nd_stream"
+    ).collect():
+        got[(r["doc_a"], r["doc_b"])] = r["est_jaccard"]
+    assert set(got) == set(expected), (
+        sorted(set(expected) - set(got))[:5],
+        sorted(set(got) - set(expected))[:5],
+    )
+    for p, est in expected.items():
+        assert abs(got[p] - est) < 1e-12

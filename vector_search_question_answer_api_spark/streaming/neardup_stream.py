@@ -1,0 +1,225 @@
+"""Streaming NEAR-duplicate detection — the MinHash-LSH tier as a
+continuous operator (the fuzzy sibling of ``dedup_stream.dedup_stream_exact``;
+batch twin: ``operators/dedup.minhash_lsh_pairs``).
+
+A training-data ingest pipeline wants "is this document a near-copy of
+anything already admitted?" answered AS documents arrive.  The batch tier
+answers it with a self-join; the streaming shape inverts it into keyed
+state:
+
+- **signature** (:func:`minhash_sig_stream`): canonical text → distinct
+  k-shingles → 16-component MinHash, all Catalyst expressions, map-only —
+  no groupBy, so it runs unchanged under Structured Streaming.  The
+  double-hash family is the SAME ``(ha + i*hb) mod 2^32`` construction as
+  the batch ``minhash_signatures`` (one md5 per shingle, Kirsch-
+  Mitzenmacher), so stream and batch signatures are bit-identical
+  (pinned in tests);
+- **banding**: each doc explodes into its ``n_bands`` band keys
+  (``functions/hashing.band_keys`` — same keys as batch LSH);
+- **stateful match** (:func:`neardup_stream`): ``groupBy(band)`` +
+  ``applyInPandasWithState`` — per band-key state holds the (doc_id,
+  signature) entries previously routed to that bucket; an arriving doc
+  emits one match row per stored neighbor whose SIGNATURE-ESTIMATED
+  jaccard (fraction of agreeing components — the standard unbiased
+  MinHash estimator) clears ``min_est``, then joins the bucket.
+
+Semantics vs the batch tier, stated honestly:
+
+- candidate generation is IDENTICAL (same signatures, same band keys);
+- the batch tier verifies candidates with TRUE jaccard on the shingle
+  sets; the stream verifies with the signature ESTIMATE, because state
+  holds signatures (16 longs/doc), not shingle sets — bounded-state by
+  construction.  At n_hashes=16 the estimator's std-err is ~0.1 near
+  j=0.8; callers wanting exact confirmation join the emitted pair stream
+  back to the corpus (the same join-back the batch tier does inline);
+- a pair sharing several bands emits once per shared band — downstream
+  consumers ``dropDuplicates(["doc_a","doc_b"])`` (events, not a set);
+- state eviction is event-time: a band bucket idle past ``horizon`` is
+  dropped whole (the ``dropDuplicatesWithinWatermark`` trade — exact-
+  forever matching of an unbounded stream is unbounded state), and
+  ``max_band_entries`` FIFO-caps any pathological hot bucket (a bucket
+  that hot means the banding is mis-sized — see the LSH sizing rule in
+  operators/dedup.embedding_near_dup_pairs).
+
+Scale shape: everything before the stateful stage is map-only; the one
+shuffle is groupBy(band) of (band, doc_id, sig) rows — ids + 16 longs,
+never text; state per band is ≤ max_band_entries × (8 + 8×n_hashes)
+bytes.  Retries are idempotent: a doc_id already present in its bucket's
+state is not re-matched and not re-appended.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from vector_search_question_answer_api_spark.functions import hashing as H
+from vector_search_question_answer_api_spark.functions import text as TXT
+
+OUTPUT_SCHEMA = (
+    "band string, doc_a long, doc_b long, est_jaccard double, ts timestamp"
+)
+STATE_SCHEMA = "doc_ids array<long>, sigs array<array<long>>"
+
+
+def minhash_sig_stream(
+    documents: DataFrame, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, ts, sig): map-only MinHash signatures over a (doc_id, ts,
+    text) frame, batch or stream.  Values are bit-identical to the batch
+    ``operators/dedup.minhash_signatures`` (same md5 double-hash family,
+    min over the same distinct shingle set); docs with fewer than ``k``
+    tokens are dropped (they have no shingles, exactly as the batch
+    tier's joins drop them)."""
+    toks = documents.select(
+        "doc_id",
+        "ts",
+        TXT.tokens(TXT.preprocess_text(F.col("text"))).alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id",
+        "ts",
+        F.array_distinct(
+            TXT.word_shingles_from_tokens(F.col("toks"), k)
+        ).alias("shingles"),
+    )
+    # one md5 per shingle, split into the two 32-bit family seeds
+    hs = sh.select(
+        "doc_id",
+        "ts",
+        "shingles",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("long")
+                .alias("ha"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+                .cast("long")
+                .alias("hb"),
+            ),
+        ).alias("_hs"),
+    )
+    m = F.lit(4294967296)
+
+    def _comp(i: int):
+        # NB: the lambda must be single-arg — a two-arg lambda is
+        # transform's (element, index) form and would shadow ``i`` with
+        # the array index
+        il = F.lit(i)
+        return F.array_min(
+            F.transform(F.col("_hs"), lambda p: (p["ha"] + il * p["hb"]) % m)
+        )
+
+    sig = F.array(*[_comp(i) for i in range(n_hashes)])
+    return hs.filter(F.size("shingles") > 0).select(
+        "doc_id", "ts", sig.alias("sig")
+    )
+
+
+def _make_neardup_fn(n_hashes: int, min_est: float, max_band_entries: int,
+                     horizon_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (band,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        sigs: list[list[int]] = []
+        if state.exists:
+            s_ids, s_sigs = state.get
+            ids = [int(x) for x in (s_ids or [])]
+            sigs = [[int(v) for v in s] for s in (s_sigs or [])]
+        seen = set(ids)
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: (r["ts"], r["doc_id"]))
+        out: list[dict[str, Any]] = []
+        last_ts = None
+        for r in rows:
+            did = int(r["doc_id"])
+            last_ts = r["ts"]
+            if did in seen:  # batch retry / duplicate routing: idempotent
+                continue
+            sig = [int(v) for v in r["sig"]]
+            for pid, psig in zip(ids, sigs):
+                eq = sum(a == b for a, b in zip(sig, psig))
+                est = eq / n_hashes
+                if est >= min_est:
+                    a, b = (pid, did) if pid < did else (did, pid)
+                    out.append(
+                        {
+                            "band": band,
+                            "doc_a": a,
+                            "doc_b": b,
+                            "est_jaccard": est,
+                            "ts": r["ts"],
+                        }
+                    )
+            ids.append(did)
+            sigs.append(sig)
+            seen.add(did)
+        if len(ids) > max_band_entries:  # FIFO cap on pathological buckets
+            ids = ids[-max_band_entries:]
+            sigs = sigs[-max_band_entries:]
+        state.update((ids, sigs))
+        if last_ts is not None:
+            last_ms = int(pd.Timestamp(last_ts).timestamp() * 1000)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + horizon_ms, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def neardup_stream(
+    doc_stream: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+    min_est: float = 0.8,
+    horizon: str = "1 hour",
+    max_band_entries: int = 100_000,
+) -> DataFrame:
+    """Near-dup match events over a (doc_id, ts, text) stream: one row
+    (band, doc_a, doc_b, est_jaccard, ts) per newly-arrived doc × stored
+    bucket neighbor with estimated jaccard >= ``min_est``.  See module
+    docstring for the exact batch-tier correspondence and state bounds."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_sig_stream(doc_stream, n_hashes, k)
+    banded = sigs.select(
+        "doc_id",
+        "ts",
+        "sig",
+        F.explode(H.band_keys(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band"
+        ),
+    )
+    horizon_ms = _interval_ms(horizon)
+    return banded.withWatermark("ts", horizon).groupBy("band").applyInPandasWithState(
+        _make_neardup_fn(n_hashes, min_est, max_band_entries, horizon_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_ms(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(n) * mult
