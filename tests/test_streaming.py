@@ -722,3 +722,61 @@ def test_neardup_stream_matches_batch_banding(spark, tmpdir):
     )
     for p, est in expected.items():
         assert abs(got[p] - est) < 1e-12
+
+
+def test_neardup_stream_verified_equals_batch_tier(spark, tmpdir):
+    """stream (all candidates) + true-jaccard verification == the batch
+    minhash_lsh_pairs relation exactly: same pairs, same jaccard values.
+    min_est=0 emits every band-sharing candidate event; verify_matches
+    joins the shingle sets back (stream-static) and applies the batch
+    threshold."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_all,
+    )
+    from vector_search_question_answer_api_spark.streaming.neardup_stream import (
+        neardup_stream,
+        verify_matches,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.timestamp_millis(F.col("doc_id") * 60000).alias("ts"), "text"
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            docs.select("doc_id", "text"), n_hashes=16, n_bands=4, k=3,
+            threshold=0.8,
+        ).collect()
+    }
+    unpersist_all()
+    assert want
+
+    src = f"{tmpdir}/ndv_docs"
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(f"{src}/p0")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(f"{src}/p1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    events = neardup_stream(stream, min_est=0.0, horizon="365 days")
+    verified = verify_matches(
+        events, docs.select("doc_id", "text"), k=3, threshold=0.8
+    )
+    q = (
+        verified.writeStream.format("memory")
+        .queryName("ndv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ndv_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "verified neardup stream did not finish"
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in spark.sql(
+            "SELECT DISTINCT doc_a, doc_b, jaccard FROM ndv_stream"
+        ).collect()
+    }
+    assert got == want

@@ -213,6 +213,57 @@ def neardup_stream(
     )
 
 
+def verify_matches(
+    pairs: DataFrame,
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """TRUE-jaccard verification of emitted match events: join both sides
+    of each (doc_a, doc_b) pair back to the static corpus's shingle sets
+    and compute the exact jaccard — the same verification the batch tier
+    does inline.  ``pairs`` may be the live match-event STREAM
+    (stream-static equi-joins are stateless and fully supported) or a
+    collected batch of events.  Returns (doc_a, doc_b, est_jaccard,
+    jaccard), optionally filtered to ``jaccard >= threshold``; with
+    ``threshold`` equal to the batch tier's, stream + verify emits exactly
+    the ``minhash_lsh_pairs`` relation (pinned in tests).
+
+    Scale shape: two broadcast-able equi-joins sized by the MATCH RATE
+    (pairs are rare events), never by the corpus; the corpus-side shingle
+    relation is the reusable (doc_id, shingles) table any LSH pipeline
+    materializes."""
+    from vector_search_question_answer_api_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(documents, k)
+    out = (
+        pairs.select("doc_a", "doc_b", "est_jaccard")
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+    out = out.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def _interval_ms(spec: str) -> int:
     n, unit = spec.split()
     mult = {
