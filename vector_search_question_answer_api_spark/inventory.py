@@ -2189,9 +2189,10 @@ def _pq_ivfpq_twin_check(normed: DataFrame) -> None:
         return {int(ids[j]) for j in fin}
 
     want_pq, want_ivfpq = {}, {}
-    for qid, qv in zip(qids, qvecs):
+    qpos = np.flatnonzero(qmask)  # row positions, NOT doc ids (ids may be
+    for pos, qid, qv in zip(qpos, qids, qvecs):  # non-contiguous in general)
         want_pq[int(qid)] = ref_topk(qid, qv, np.ones(len(ids), dtype=bool))
-        probe_order = np.lexsort((np.arange(n_cells), -cell_scores[qid]))
+        probe_order = np.lexsort((np.arange(n_cells), -cell_scores[pos]))
         probed = set(probe_order[:nprobe].tolist())
         want_ivfpq[int(qid)] = ref_topk(qid, qv, np.isin(cells, list(probed)))
 
