@@ -1135,24 +1135,26 @@ def search_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").cast("array<double>").alias("qvec"),
     )
-    # Self-check (5 rows): Spark embed+normalize vs the numpy reference.
-    sample = {
-        r["doc_id"]: r["pt"]
-        for r in docs.filter(F.col("doc_id") < 5)
-        .select("doc_id", TXT.preprocess_text(F.col("text")).alias("pt"))
-        .collect()
-    }
-    got = {r["query_id"]: np.asarray(r["qvec"]) for r in qindex.collect()}
-    ids = sorted(sample)
-    ref = hashing_embed_numpy([sample[i] for i in ids]).astype(np.float64)
-    norms = np.linalg.norm(ref, axis=1, keepdims=True)
-    ref = np.divide(ref, norms, out=np.zeros_like(ref), where=norms > 0)
-    for row, i in zip(ref, ids):
-        if not np.allclose(got[i], row, atol=1e-5):
-            raise ValueError(f"embed drift vs numpy reference at doc_id={i}")
     if RUN_TWIN_CHECKS:
         # same toggle as _assert_twin: bench times the production search
-        # path, not the artifact-roundtrip verification
+        # path, not the verification work.  (r5: the numpy embed-drift
+        # check moved under the toggle too — its two driver collects were
+        # the one verification job still leaking into the timed path.)
+        # Self-check (5 rows): Spark embed+normalize vs the numpy reference.
+        sample = {
+            r["doc_id"]: r["pt"]
+            for r in docs.filter(F.col("doc_id") < 5)
+            .select("doc_id", TXT.preprocess_text(F.col("text")).alias("pt"))
+            .collect()
+        }
+        got = {r["query_id"]: np.asarray(r["qvec"]) for r in qindex.collect()}
+        ids = sorted(sample)
+        ref = hashing_embed_numpy([sample[i] for i in ids]).astype(np.float64)
+        norms = np.linalg.norm(ref, axis=1, keepdims=True)
+        ref = np.divide(ref, norms, out=np.zeros_like(ref), where=norms > 0)
+        for row, i in zip(ref, ids):
+            if not np.allclose(got[i], row, atol=1e-5):
+                raise ValueError(f"embed drift vs numpy reference at doc_id={i}")
         _index_refresh_roundtrip_check(spark, index, docs)
         # S2/S3 (liveness ping + point read / non-empty corpus guard,
         # reference services/database_service.py:8-26,
