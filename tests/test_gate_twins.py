@@ -1,0 +1,104 @@
+"""The r5 in-gate twins must be able to FAIL: each test corrupts the
+component under verification (monkeypatching the symbol the gate imports
+at call time) and asserts the gate raises.  A twin that cannot fail is
+vacuous — these are the mutation tests for the driver-visible guards.
+
+All runs use sf0.001 (the smallest corpus the twins accept) so the whole
+file stays cheap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark import inventory
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_twin_detects_wrong_ids(spark, monkeypatch):
+    import vector_search_question_answer_api_spark.operators.pq as pq
+
+    real = pq.pq_topk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn("doc_id", F.col("doc_id") + 1)
+
+    monkeypatch.setattr(pq, "pq_topk", corrupted)
+    with pytest.raises(ValueError, match="pq_topk differs from numpy"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_ivfpq_twin_detects_wrong_ids(spark, monkeypatch):
+    import vector_search_question_answer_api_spark.operators.pq as pq
+
+    real = pq.ivfpq_topk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).filter(F.col("rank") > 1)  # drop every rank-1 hit
+
+    monkeypatch.setattr(pq, "ivfpq_topk", corrupted)
+    with pytest.raises(ValueError, match="ivfpq_topk differs from numpy"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_semdedup_twin_detects_false_pair(spark, monkeypatch):
+    import vector_search_question_answer_api_spark.operators.dedup as dedup
+
+    def false_pair(*a, **k):
+        return a[0].sparkSession.createDataFrame(
+            [(1, 2, 0.99)], "vec_a long, vec_b long, sim double"
+        )
+
+    monkeypatch.setattr(
+        dedup, "embedding_near_dup_pairs_clustered", false_pair
+    )
+    with pytest.raises(ValueError, match="false pairs"):
+        inventory.queries()["dedup_embedding"](spark, SF).count()
+
+
+def test_blended_twin_detects_reordering(spark, monkeypatch):
+    import vector_search_question_answer_api_spark.operators.keyword_search as ks
+
+    real = ks.blended_rerank
+
+    def corrupted(*a, **k):
+        df = real(*a, **k)
+        # reverse the rank order: rank r -> k+1-r
+        mx = 5 + 1
+        return df.withColumn("rank", F.lit(mx) - F.col("rank"))
+
+    monkeypatch.setattr(ks, "blended_rerank", corrupted)
+    with pytest.raises(ValueError, match="blended_rerank twin mismatch"):
+        inventory.queries()["hybrid_rrf_topk"](spark, SF).count()
+
+
+def test_hnsw_twin_detects_recall_collapse(spark, monkeypatch):
+    import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
+
+    real = ah.hnsw_topk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).filter(F.col("doc_id") < 0)  # empty result
+
+    monkeypatch.setattr(ah, "hnsw_topk", corrupted)
+    with pytest.raises(ValueError, match="HNSW twin recall"):
+        inventory.queries()["knn_topk"](spark, SF).count()
+
+
+def test_compact_layout_check_detects_overlap(spark, monkeypatch):
+    """Corrupt the layout writer so range clustering silently degrades to
+    round-robin: the footer-disjointness assert in the e2e gate must
+    fire."""
+    import vector_search_question_answer_api_spark.sources.compaction as comp
+
+    real = comp.compact_write
+
+    def no_clustering(df, path, **kwargs):
+        kwargs.pop("sort_by", None)
+        return real(df, path, **kwargs)
+
+    # the gate imports compact_write inside _index_refresh_roundtrip_check
+    monkeypatch.setattr(comp, "compact_write", no_clustering)
+    with pytest.raises(ValueError, match="overlapping doc_id footer"):
+        inventory.queries()["search_pipeline_e2e"](spark, SF).count()
