@@ -323,3 +323,60 @@ def test_numpy_hnsw_exactness_on_tiny_corpus():
         want = np.lexsort((np.arange(60), d))[:5]
         assert labels[i].tolist() == want.tolist()
         assert np.allclose(dists[i], d[want])
+
+
+def test_celled_hnsw_exhaustive_probe_equals_ivf(spark, clustered):
+    """With ef >= cell size the per-cell graph walk is exhaustive inside
+    the probed cells, so the cell-routed composition must reproduce
+    ivf_topk for the same (centroids, nprobe) — same ids and ranks,
+    distances within float rounding."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    q, idx = _qi(clustered, 10)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["distance"])
+        for r in ann_hnsw.celled_hnsw_topk(
+            spark, graphs, q, centroids=cents, k=5, ef=600,
+            dim=64, n_cells=8, nprobe=2,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["distance"])
+        for r in ivf_topk(
+            q, idx, centroids=cents, k=5, n_cells=8, nprobe=2
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for key, (doc, dist) in want.items():
+        assert got[key][0] == doc, (key, got[key], (doc, dist))
+        assert abs(got[key][1] - dist) < 1e-9
+
+
+def test_celled_hnsw_recall_at_working_ef(spark, clustered):
+    """At the reference's working ef=50 the cell-routed walk keeps
+    recall >= 0.9 vs exact on the clustered corpus (trained coarse
+    routing, nprobe=4/8)."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    q, idx = _qi(clustered, 25)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    )
+    got = _topk_sets(
+        ann_hnsw.celled_hnsw_topk(
+            spark, graphs, q, centroids=cents, k=10, ef=50,
+            dim=64, n_cells=8, nprobe=4,
+        )
+    )
+    exact = _topk_sets(knn_exact_expr(q, idx, k=10))
+    assert _recall(exact, got) >= 0.9

@@ -114,6 +114,148 @@ def build_partitioned_hnsw(
     )
 
 
+def build_celled_hnsw(
+    index: DataFrame,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    m: int = 16,
+    ef_construction: int = 200,
+    vec_col: str = "norm_embedding",
+    id_col: str = "doc_id",
+    backend: str | None = None,
+) -> DataFrame:
+    """(cell, n, graph): one HNSW graph per IVF coarse cell — the
+    composed graph-ANN layout for scale (r5).  ``hnsw_topk``'s flat
+    partitioned form walks EVERY partition's graph for every query; here
+    the coarse quantizer routes each query to its ``nprobe`` best cells
+    (``celled_hnsw_topk``) so only those cells' graphs are walked — the
+    same coarse-prune × local-index multiply as IVFPQ, with a graph walk
+    instead of ADC codes inside the cell.  Cell graph sizes are bounded
+    by the same rule as every IVF layout: pick n_cells so corpus/n_cells
+    fits one task."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+    )
+
+    backend = _resolve_backend(backend)
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    assigned = index.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("nv"),
+        assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(pdf["doc_id"], dtype=np.int64)
+        if backend == "hnswlib":
+            mat = np.array(list(pdf["nv"]), dtype=np.float32)
+            g = hnswlib.Index(space="cosine", dim=dim)
+            g.init_index(
+                max_elements=len(ids), M=m, ef_construction=ef_construction
+            )
+            g.add_items(mat, ids)
+        else:
+            from vector_search_question_answer_api_spark.operators.hnsw_numpy import (
+                NumpyHNSW,
+            )
+
+            # float64 end-to-end: the numpy backend's distances then match
+            # the engine's HOF doubles to ~1e-15, so the ef>=cell-size
+            # walk reproduces ivf_topk within rounding (pinned in tests)
+            mat = np.array(list(pdf["nv"]), dtype=np.float64)
+            g = NumpyHNSW(dim, m=m, ef_construction=ef_construction)
+            g.add_items(mat, ids)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [len(ids)],
+                "graph": [pickle.dumps(g)],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        build, schema="cell int, n long, graph binary"
+    )
+
+
+def celled_hnsw_topk(
+    spark: SparkSession,
+    graphs: DataFrame,
+    queries: DataFrame,
+    centroids=None,
+    k: int = 3,
+    ef: int = 50,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    query_vec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Coarse-routed graph walk: each query is answered only by the
+    graphs of its ``nprobe`` best cells (nprobe/n_cells of the corpus'
+    graphs touched per query), then the per-cell candidates merge through
+    the usual global top-k.  With ``ef`` >= the probed cells' sizes the
+    walk is exhaustive within them, so the result equals ``ivf_topk`` for
+    the same (centroids, nprobe) — pinned in tests; recall vs exact is
+    governed by the probe exactly as in IVF."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+        probe_cells,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    ).withColumn("cells", probe_cells(F.col("qvec"), centroids, nprobe))
+    q_rows = q.select("query_id", "qvec", "cells").collect()
+    by_cell: dict[int, list] = {}
+    for r in q_rows:
+        for c in r["cells"]:
+            by_cell.setdefault(int(c), []).append(
+                (int(r["query_id"]), r["qvec"])
+            )
+    probed = sorted(by_cell)
+
+    def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell, blob in zip(pdf["cell"], pdf["graph"]):
+                routed = by_cell.get(int(cell))
+                if not routed:
+                    continue
+                g = pickle.loads(bytes(blob))
+                g.set_ef(max(ef, k + 1))
+                q_ids = np.array([qid for qid, _ in routed], dtype=np.int64)
+                q_mat = np.array([qv for _, qv in routed], dtype=np.float64)
+                labels, dists = g.knn_query(
+                    q_mat, k=min(k, g.get_current_count())
+                )
+                out_q, out_id, out_d = [], [], []
+                for qi in range(labels.shape[0]):
+                    out_q.extend([q_ids[qi]] * labels.shape[1])
+                    out_id.extend(labels[qi].tolist())
+                    out_d.extend(dists[qi].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "doc_id": out_id, "distance": out_d}
+                )
+
+    candidates = graphs.filter(F.col("cell").isin(probed)).mapInPandas(
+        search, schema="query_id long, doc_id long, distance double"
+    )
+    top = topk_per_query(candidates, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
 def hnsw_topk(
     spark: SparkSession,
     graphs: DataFrame,
