@@ -380,3 +380,60 @@ def test_celled_hnsw_recall_at_working_ef(spark, clustered):
     )
     exact = _topk_sets(knn_exact_expr(q, idx, k=10))
     assert _recall(exact, got) >= 0.9
+
+
+def test_numpy_hnsw_short_reach_pads_with_sentinel():
+    """ADVICE r5 (medium): when the level-0 beam reaches fewer than k
+    nodes (shrink-to-Mmax can disconnect a region), the output tail must
+    be label=-1 / dist=+inf sentinels — NOT uninitialized memory, which
+    could sort to rank 1 in an ascending merge.  Force the condition by
+    severing every level-0 link so only the entry node is reachable."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators.hnsw_numpy import NumpyHNSW
+
+    rng = np.random.RandomState(7)
+    pts = rng.standard_normal((20, 8))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    g = NumpyHNSW(8, m=4, ef_construction=20)
+    g.add_items(pts, np.arange(20))
+    for links in g.links:  # simulate a fully disconnected level 0
+        links[0] = []
+    labels, dists = g.knn_query(pts[:3], k=5, ef=50)
+    assert labels.shape == (3, 5)
+    # exactly one real result per query (the greedy-descent entry point)
+    assert np.isfinite(dists[:, 0]).all()
+    assert (labels[:, 0] >= 0).all()
+    assert (labels[:, 1:] == -1).all()
+    assert np.isinf(dists[:, 1:]).all()
+
+
+def test_hnsw_topk_drops_disconnection_padding(spark):
+    """The Spark-side walk must FILTER the sentinel rows: a graph whose
+    beam returns fewer than k candidates contributes only its real rows
+    to the merge — no doc_id=-1, no inf distances in the result."""
+    import pickle
+
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.hnsw_numpy import NumpyHNSW
+
+    rng = np.random.RandomState(9)
+    pts = rng.standard_normal((20, 8))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    g = NumpyHNSW(8, m=4, ef_construction=20)
+    g.add_items(pts, np.arange(20))
+    for links in g.links:
+        links[0] = []
+    graphs = spark.createDataFrame(
+        [(20, bytearray(pickle.dumps(g)))], "n long, graph binary"
+    )
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(3)],
+        "query_id long, qvec array<double>",
+    )
+    rows = ann_hnsw.hnsw_topk(spark, graphs, queries, k=5).collect()
+    assert len(rows) == 3  # one reachable node per query, not 3*k
+    assert all(r["doc_id"] >= 0 for r in rows)
+    assert all(np.isfinite(r["distance"]) for r in rows)

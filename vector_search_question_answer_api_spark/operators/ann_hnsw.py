@@ -236,9 +236,12 @@ def celled_hnsw_topk(
                 )
                 out_q, out_id, out_d = [], [], []
                 for qi in range(labels.shape[0]):
-                    out_q.extend([q_ids[qi]] * labels.shape[1])
-                    out_id.extend(labels[qi].tolist())
-                    out_d.extend(dists[qi].tolist())
+                    # drop the numpy backend's disconnection padding
+                    # (label -1 / dist +inf) so short results stay short
+                    keep = np.isfinite(dists[qi])
+                    out_q.extend([q_ids[qi]] * int(keep.sum()))
+                    out_id.extend(labels[qi][keep].tolist())
+                    out_d.extend(dists[qi][keep].tolist())
                 yield pd.DataFrame(
                     {"query_id": out_q, "doc_id": out_id, "distance": out_d}
                 )
@@ -281,9 +284,12 @@ def hnsw_topk(
                 labels, dists = g.knn_query(q_mat, k=min(k, g.get_current_count()))
                 out_q, out_id, out_d = [], [], []
                 for qi in range(labels.shape[0]):
-                    out_q.extend([q_ids[qi]] * labels.shape[1])
-                    out_id.extend(labels[qi].tolist())
-                    out_d.extend(dists[qi].tolist())
+                    # drop the numpy backend's disconnection padding
+                    # (label -1 / dist +inf) so short results stay short
+                    keep = np.isfinite(dists[qi])
+                    out_q.extend([q_ids[qi]] * int(keep.sum()))
+                    out_id.extend(labels[qi][keep].tolist())
+                    out_d.extend(dists[qi][keep].tolist())
                 yield pd.DataFrame(
                     {"query_id": out_q, "doc_id": out_id, "distance": out_d}
                 )

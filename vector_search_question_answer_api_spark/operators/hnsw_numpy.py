@@ -170,14 +170,21 @@ class NumpyHNSW:
 
     def knn_query(self, qmat: np.ndarray, k: int, ef: int | None = None):
         """(labels, distances), each (n_queries, k) — ascending distance,
-        label-ascending tiebreak (the engine's global tie rule)."""
+        label-ascending tiebreak (the engine's global tie rule).
+
+        If the level-0 beam reaches fewer than k nodes (possible when
+        shrink-to-Mmax disconnects a region), the tail is PADDED with
+        label ``-1`` / distance ``+inf`` — never uninitialized memory —
+        so a short result can neither outrank real candidates in an
+        ascending merge nor leak garbage labels.  Callers filter the
+        sentinel."""
         if self.vecs is None or not len(self.links):
             raise ValueError("empty index")
         qmat = np.atleast_2d(np.asarray(qmat, dtype=np.float64))
         k = min(k, self.get_current_count())
         ef = max(self.ef if ef is None else ef, k)
-        out_l = np.empty((len(qmat), k), dtype=np.int64)
-        out_d = np.empty((len(qmat), k), dtype=np.float64)
+        out_l = np.full((len(qmat), k), -1, dtype=np.int64)
+        out_d = np.full((len(qmat), k), np.inf, dtype=np.float64)
         for qi, q in enumerate(qmat):
             ep = [self.entry]
             for lc in range(self.max_level, 0, -1):
