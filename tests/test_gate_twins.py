@@ -102,3 +102,53 @@ def test_compact_layout_check_detects_overlap(spark, monkeypatch):
     monkeypatch.setattr(comp, "compact_write", no_clustering)
     with pytest.raises(ValueError, match="overlapping doc_id footer"):
         inventory.queries()["search_pipeline_e2e"](spark, SF).count()
+
+
+def test_ivfpq_ondisk_twin_detects_wrong_ids(spark, monkeypatch):
+    """r6: the on-disk IVFPQ roundtrip twin must fire when the on-disk
+    path's ids drift from the in-memory composition."""
+    import vector_search_question_answer_api_spark.operators.pq as pq
+
+    real = pq.ivfpq_topk_ondisk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn("doc_id", F.col("doc_id") + 1)
+
+    monkeypatch.setattr(pq, "ivfpq_topk_ondisk", corrupted)
+    with pytest.raises(ValueError, match="ivfpq_topk_ondisk differs"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_celled_hnsw_twin_detects_drift(spark, monkeypatch):
+    """r6: the cell-routed HNSW twin must fire when the composed walk
+    stops reproducing ivf_topk (here: distances shifted)."""
+    import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
+
+    real = ah.celled_hnsw_topk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn(
+            "distance", F.col("distance") + F.lit(0.5)
+        )
+
+    monkeypatch.setattr(ah, "celled_hnsw_topk", corrupted)
+    with pytest.raises(ValueError, match="celled_hnsw twin"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_minhash_stream_twin_detects_signature_drift(spark, monkeypatch):
+    """r6: the streaming-signature twin must fire when the stream's hash
+    family diverges from the batch signatures."""
+    import vector_search_question_answer_api_spark.streaming.neardup_stream as ns
+
+    real = ns.minhash_sig_stream
+
+    def corrupted(documents, n_hashes=16, k=3):
+        df = real(documents, n_hashes=n_hashes, k=k)
+        return df.withColumn(
+            "sig", F.transform(F.col("sig"), lambda x: x + F.lit(1))
+        )
+
+    monkeypatch.setattr(ns, "minhash_sig_stream", corrupted)
+    with pytest.raises(ValueError, match="streaming minhash signature drift"):
+        inventory.queries()["dedup_minhash_lsh"](spark, SF).count()

@@ -92,7 +92,7 @@ def register(name: str, sql: str | None):
 
 
 def queries() -> dict[str, QueryFn]:
-    """Registration order, except the (three) rows-only gates without an
+    """Registration order, except the (two) rows-only gates without an
     oracle sort last: the driver records correctness rows in this order,
     so if a recording cap ever bites again (r3: 50 of 60 recorded), the
     rows it drops are the weakest-signal ones."""
@@ -1727,14 +1727,53 @@ _SIG_SQL = f"""
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4x4) candidates verified at jaccard>=0.8 — every hash
-    bit replicated in the oracle (seeded md5 minima, banded)."""
+    bit replicated in the oracle (seeded md5 minima, banded).
+
+    In-gate twin (r6, VERDICT r5 #6): the STREAMING signature expression
+    (streaming/neardup_stream.minhash_sig_stream — the map-only core of
+    streaming near-dup detection) is asserted bit-identical to the batch
+    ``minhash_signatures`` on the gate's own corpus, so the stream's hash
+    math is driver-visible through this oracle-green gate."""
     from vector_search_question_answer_api_spark.operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    if RUN_TWIN_CHECKS:
+        _minhash_stream_sig_twin_check(d)
     pairs = minhash_lsh_pairs(d, n_hashes=16, n_bands=4, k=3, threshold=0.8)
     return pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_stream_sig_twin_check(documents: DataFrame) -> None:
+    """Streaming-vs-batch MinHash signature equivalence, in-gate: the
+    streaming expression is batch-evaluable (same Catalyst expressions a
+    readStream plan would run), so evaluate it on the gate corpus and
+    require BIT-IDENTICAL (doc_id, sig) rows vs the batch signature agg.
+    Docs with <k tokens are dropped identically on both sides."""
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from vector_search_question_answer_api_spark.streaming.neardup_stream import (
+        minhash_sig_stream,
+    )
+
+    batch = minhash_signatures(documents, n_hashes=16, k=3).select(
+        "doc_id", "sig"
+    )
+    streamed = minhash_sig_stream(
+        documents.withColumn("ts", F.timestamp_seconds(F.col("doc_id"))),
+        n_hashes=16,
+        k=3,
+    ).select("doc_id", "sig")
+    diff = batch.exceptAll(streamed).unionByName(streamed.exceptAll(batch))
+    bad = diff.limit(3).collect()
+    if bad:
+        raise ValueError(
+            f"streaming minhash signature drift vs batch, e.g. {bad}"
+        )
+    if batch.limit(1).count() == 0:
+        raise ValueError("minhash stream twin: empty signature relation")
 
 
 def _simhash_sql_expr() -> str:
@@ -2231,6 +2270,106 @@ def _pq_ivfpq_twin_check(normed: DataFrame) -> None:
                 f"recall monitor drift for {name}: spark={spark_recall} "
                 f"reference={hits / total}"
             )
+    # r6 (VERDICT r5 #1): the ON-DISK IVFPQ composition — codes-only scan,
+    # cell partition filters, deferred vector fetch — must emit exactly what
+    # the in-memory ivfpq_topk emitted above (same ids, ranks, distances).
+    # The write→read roundtrip makes the physical layout itself part of the
+    # driver-recorded correctness surface.
+    import shutil
+    import tempfile
+
+    from vector_search_question_answer_api_spark.operators.pq import (
+        ivfpq_topk_ondisk,
+        write_ivfpq_index,
+    )
+
+    spark = normed.sparkSession
+    tmp = tempfile.mkdtemp(prefix="gate_ivfpq_codes_")
+    try:
+        write_ivfpq_index(idx, tmp, cbs, centroids=cents, dim=dim,
+                          n_cells=n_cells)
+        ondisk = ivfpq_topk_ondisk(
+            spark, q, tmp, idx, cbs, centroids=cents, k=k, dim=dim,
+            n_cells=n_cells, nprobe=nprobe, refine=refine,
+        )
+        orows = {
+            (int(r["query_id"]), int(r["doc_id"]), int(r["rank"]),
+             round(float(r["distance"]), 9))
+            for r in ondisk.collect()
+        }
+        mrows = {
+            (int(r["query_id"]), int(r["doc_id"]), int(r["rank"]),
+             round(float(r["distance"]), 9))
+            for r in ivfpq_df.collect()
+        }
+        if orows != mrows or not orows:
+            raise ValueError(
+                "ivfpq_topk_ondisk differs from in-memory ivfpq_topk: "
+                f"{sorted(orows ^ mrows)[:4]}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _celled_hnsw_twin_check(normed: DataFrame) -> None:
+    """Driver-visible correctness for the r5 cell-routed HNSW composition
+    (VERDICT r5 #1), run in-gate by ann_ivf_topk: with ``ef`` >= the
+    corpus size the per-cell graph walk is exhaustive inside the probed
+    cells, so ``celled_hnsw_topk`` must reproduce ``ivf_topk`` EXACTLY for
+    the same (centroids, nprobe) — same ids and ranks, distances within
+    float rounding.  This is the geometry-free predicate the pytest pin
+    (tests/test_ann.py::test_celled_hnsw_exhaustive_probe_equals_ivf)
+    established, promoted into the driver-recorded gate; recall vs exact
+    is governed by the coarse probe exactly as in IVF, which the gate's
+    oracle already verifies."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+        ivf_topk,
+    )
+
+    spark = normed.sparkSession
+    dim, n_cells, nprobe, k = 64, 16, 4, 5
+    cents = centroid_grid(dim, n_cells)
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("nv").cast("array<double>").alias("norm_embedding"),
+    )
+    q = idx.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    n = idx.count()  # ef >= any cell size -> exhaustive walk per cell
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=dim, n_cells=n_cells, backend="numpy"
+    )
+    got = {
+        (int(r["query_id"]), int(r["rank"])): (int(r["doc_id"]),
+                                               float(r["distance"]))
+        for r in ann_hnsw.celled_hnsw_topk(
+            spark, graphs, q, centroids=cents, k=k, ef=int(n),
+            dim=dim, n_cells=n_cells, nprobe=nprobe,
+        ).collect()
+    }
+    want = {
+        (int(r["query_id"]), int(r["rank"])): (int(r["doc_id"]),
+                                               float(r["distance"]))
+        for r in ivf_topk(
+            q, idx, centroids=cents, k=k, n_cells=n_cells, nprobe=nprobe
+        ).collect()
+    }
+    if set(got) != set(want) or not got:
+        raise ValueError(
+            "celled_hnsw twin: key sets differ from ivf_topk: "
+            f"{sorted(set(got) ^ set(want))[:4]}"
+        )
+    for key, (doc, dist) in want.items():
+        gdoc, gdist = got[key]
+        if gdoc != doc or abs(gdist - dist) > 1e-9:
+            raise ValueError(
+                f"celled_hnsw twin drift at {key}: got {(gdoc, gdist)}, "
+                f"ivf_topk {(doc, dist)}"
+            )
 
 
 @register("ann_ivf_topk", _ivf_oracle_sql(n_cells=16, nprobe=4, k=5))
@@ -2252,9 +2391,11 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("nv"))
     if RUN_TWIN_CHECKS:
         # r5: PQ + IVFPQ + recall monitor verified against a numpy
-        # reference over the same corpus (VERDICT r4 #1); bench times the
-        # production IVF path only
+        # reference over the same corpus (VERDICT r4 #1); r6 adds the
+        # on-disk IVFPQ roundtrip and the cell-routed HNSW composition
+        # (VERDICT r5 #1); bench times the production IVF path only
         _pq_ivfpq_twin_check(normed)
+        _celled_hnsw_twin_check(normed)
     cents = centroid_grid(64, 16)
     docs = normed.select(
         F.col("vec_id").alias("doc_id"), F.col("nv").alias("cvec")
