@@ -607,12 +607,28 @@ def test_index_stream_matches_batch_build(spark, tmpdir):
 
     compact_index(spark, out, n_files=2)
     with open(f"{out}/MANIFEST", encoding="utf-8") as f:
-        assert f.read().strip() == "gen-000001"
+        assert f.read().strip() == ".gen-000001"
     got4 = {
         (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
         for r in read_index_latest(spark, out).collect()
     }
     assert got4 == want2
+    # grace period (r6): the superseded generation is RETIRED, still on
+    # disk until the next compaction, and listed in RETIRED
+    import os
+
+    assert os.path.isdir(f"{out}/.gen-000000")
+    with open(f"{out}/RETIRED", encoding="utf-8") as f:
+        retired = f.read()
+    assert ".gen-000000" in retired
+    # ...and the NEXT compaction physically deletes it
+    compact_index(spark, out, n_files=2)
+    assert not os.path.exists(f"{out}/.gen-000000")
+    got5 = {
+        (r["doc_id"], tuple(r["norm_embedding"]), r["norm"])
+        for r in read_index_latest(spark, out).collect()
+    }
+    assert got5 == want2
 
 
 def test_neardup_stream_signature_matches_batch(spark):
@@ -780,3 +796,55 @@ def test_neardup_stream_verified_equals_batch_tier(spark, tmpdir):
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_grace_period_keeps_inflight_reader_plans_valid(
+    spark, tmpdir
+):
+    """VERDICT r5 #4 (read-after-delete race): a reader that RESOLVES its
+    view before a compaction and lazily EXECUTES its plan after it must
+    still succeed — the superseded generation and folded log files are
+    retired (kept on disk) until the NEXT compaction, not deleted at
+    swap time."""
+    import os
+
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        compact_index,
+        index_stream,
+        read_index_latest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+    )
+    out = f"{tmpdir}/grace_idx"
+    # seed a log-only layout (two "micro-batches"), then compact once so a
+    # generation exists
+    index_stream(docs.filter("doc_id < 300")).withColumn(
+        "_batch", F.lit(0)
+    ).coalesce(1).write.mode("append").parquet(f"{out}/log")
+    index_stream(docs.filter("doc_id >= 300")).withColumn(
+        "_batch", F.lit(1)
+    ).coalesce(1).write.mode("append").parquet(f"{out}/log")
+    compact_index(spark, out, n_files=2)
+    # append more so the next compaction folds fresh log files too
+    index_stream(docs.filter("doc_id < 5")).withColumn(
+        "_batch", F.lit(2)
+    ).coalesce(1).write.mode("append").parquet(f"{out}/log")
+
+    # resolve NOW (references .gen-000000 + the batch-2 log file) ...
+    inflight = read_index_latest(spark, out)
+    # ... compact (supersedes both) ...
+    compact_index(spark, out, n_files=2)
+    assert os.path.isdir(f"{out}/.gen-000000")  # retired, not deleted
+    # ... then execute the pre-swap plan: every file it referenced must
+    # still exist.  Use a fresh count + full collect to force real IO.
+    rows = inflight.collect()
+    assert len(rows) == 500
+    # and a post-swap reader resolves the identical relation
+    post = read_index_latest(spark, out)
+    assert {(r["doc_id"], r["norm"]) for r in rows} == {
+        (r["doc_id"], r["norm"]) for r in post.collect()
+    }
