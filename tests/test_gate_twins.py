@@ -120,8 +120,9 @@ def test_ivfpq_ondisk_twin_detects_wrong_ids(spark, monkeypatch):
 
 
 def test_celled_hnsw_twin_detects_drift(spark, monkeypatch):
-    """r6: the cell-routed HNSW twin must fire when the composed walk
-    stops reproducing ivf_topk (here: distances shifted)."""
+    """r6: the ann_hnsw_celled_topk gate runs the cogrouped serving path
+    as primary with the collected form as strategy twin; corrupting the
+    collected form must trip the in-gate compare."""
     import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
 
     real = ah.celled_hnsw_topk
@@ -132,8 +133,8 @@ def test_celled_hnsw_twin_detects_drift(spark, monkeypatch):
         )
 
     monkeypatch.setattr(ah, "celled_hnsw_topk", corrupted)
-    with pytest.raises(ValueError, match="celled_hnsw twin"):
-        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+    with pytest.raises(ValueError, match="ann_hnsw_celled_topk: twin"):
+        inventory.queries()["ann_hnsw_celled_topk"](spark, SF).count()
 
 
 def test_minhash_stream_twin_detects_signature_drift(spark, monkeypatch):
