@@ -198,7 +198,28 @@ def _hnsw_fn(spark, sf_dir):
     def ann_hnsw_topk(spark, sf_dir):
         return ann_hnsw.hnsw_topk(spark, graphs, q, k=5)
 
-    return {"ann_hnsw_topk": ann_hnsw_topk}, graphs
+    # r6: the cell-routed composition through the COGROUPED serving path
+    # (query relation never collected to the driver) at the reference's
+    # working ef=50 — the offline-batch serving shape for 100 TB
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+
+    cents = centroid_grid(64, 16)
+    celled = ann_hnsw.build_celled_hnsw(
+        idx.select("doc_id", F.col("norm_embedding").alias("nv")),
+        centroids=cents, dim=64, n_cells=16, vec_col="nv",
+    ).persist()
+    celled.count()
+
+    def ann_hnsw_celled(spark, sf_dir):
+        return ann_hnsw.celled_hnsw_topk_cogrouped(
+            celled, q, centroids=cents, k=5, ef=50, dim=64,
+            n_cells=16, nprobe=4,
+        )
+
+    return (
+        {"ann_hnsw_topk": ann_hnsw_topk, "ann_hnsw_celled": ann_hnsw_celled},
+        [graphs, celled],
+    )
 
 
 def _ivfpq_ondisk_fn(spark, sf_dir):
@@ -355,7 +376,8 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(ondisk_root, ignore_errors=True)
-    hnsw_graphs.unpersist()
+    for g in hnsw_graphs:
+        g.unpersist()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

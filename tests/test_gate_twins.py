@@ -120,21 +120,35 @@ def test_ivfpq_ondisk_twin_detects_wrong_ids(spark, monkeypatch):
 
 
 def test_celled_hnsw_twin_detects_drift(spark, monkeypatch):
-    """r6: the ann_hnsw_celled_topk gate runs the cogrouped serving path
-    as primary with the collected form as strategy twin; corrupting the
-    collected form must trip the in-gate compare."""
+    """r6: the cell-routed HNSW twin (cogrouped serving path vs ivf_topk,
+    in-gate in ann_ivf_topk) must fire when the composed walk drifts."""
     import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
 
-    real = ah.celled_hnsw_topk
+    real = ah.celled_hnsw_topk_cogrouped
 
     def corrupted(*a, **k):
         return real(*a, **k).withColumn(
             "distance", F.col("distance") + F.lit(0.5)
         )
 
+    monkeypatch.setattr(ah, "celled_hnsw_topk_cogrouped", corrupted)
+    with pytest.raises(ValueError, match="celled_hnsw twin"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_celled_hnsw_serving_shape_twin_detects_drift(spark, monkeypatch):
+    """r6: the collected-vs-cogrouped serving-shape compare must fire when
+    the collected small-batch form diverges."""
+    import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
+
+    real = ah.celled_hnsw_topk
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn("doc_id", F.col("doc_id") + 1)
+
     monkeypatch.setattr(ah, "celled_hnsw_topk", corrupted)
-    with pytest.raises(ValueError, match="ann_hnsw_celled_topk: twin"):
-        inventory.queries()["ann_hnsw_celled_topk"](spark, SF).count()
+    with pytest.raises(ValueError, match="serving-shape mismatch"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
 
 
 def test_minhash_stream_twin_detects_signature_drift(spark, monkeypatch):

@@ -17,6 +17,16 @@ keeps the graph idea but makes it per-partition:
   nothing the per-partition graphs didn't; recall equals single-graph HNSW
   recall at the same ef.
 
+Serving shapes (the queries≪corpus broadcast contract, and beyond it):
+
+- ``hnsw_topk`` / ``celled_hnsw_topk``: small interactive batches — the
+  query matrix is collected once and closed over (bounded by contract);
+- ``celled_hnsw_topk_cogrouped`` (r6): offline batches of ANY size — the
+  query relation is routed to cells map-side and COGROUPED with the
+  graphs, never collected to the driver;
+- ``hnsw_topk_chunked`` (r6): the flat tier under a large batch —
+  bounded driver chunks, exact union of per-chunk top-k.
+
 Two interchangeable graph backends behind one surface (r5):
 
 - ``numpy`` (always available): :class:`operators.hnsw_numpy.NumpyHNSW`,
