@@ -176,3 +176,41 @@ def test_mmr_pool_broadcasts_and_prunes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_celled_hnsw_cogrouped_plan_shape(spark):
+    """The r6 cogrouped graph walk must execute as a true cogroup: one
+    FlatMapCoGroupsInPandas over BOTH relations hash-partitioned on cell
+    (graphs AND routed queries shuffled by the same key — the corpus
+    graphs never broadcast, the queries never collected), feeding the
+    usual window top-k merge."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+
+    rng = np.random.RandomState(5)
+    pts = rng.standard_normal((120, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    idx = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(120)],
+        "doc_id long, norm_embedding array<double>",
+    )
+    cents = centroid_grid(16, 4)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=16, n_cells=4, backend="numpy"
+    )
+    q = idx.limit(5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    df = ann_hnsw.celled_hnsw_topk_cogrouped(
+        graphs, q, centroids=cents, k=3, ef=200, dim=16, n_cells=4, nprobe=2
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    # both cogroup inputs arrive hash-partitioned on cell
+    assert plan.count("hashpartitioning(cell") >= 2, plan
+    # the graphs side is never broadcast
+    assert "BroadcastExchange" not in plan.split("FlatMapCoGroupsInPandas")[1], plan
