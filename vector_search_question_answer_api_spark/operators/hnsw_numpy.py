@@ -87,7 +87,10 @@ class NumpyHNSW:
         return int(-math.log(u) * self.mult)
 
     def _dists(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
-        return 1.0 - self.vecs[idxs] @ q
+        # np.intp conversion first: fancy-indexing with a python list pays
+        # a per-element conversion that dominates build time on small
+        # candidate blocks.  Same elements, same arithmetic, same output.
+        return 1.0 - self.vecs[np.asarray(idxs, dtype=np.intp)] @ q
 
     def _search_layer(
         self, q: np.ndarray, entry_points: list[int], ef: int, level: int
