@@ -485,3 +485,48 @@ def test_hnsw_chunked_equals_monolithic(spark, clustered):
         for r in ann_hnsw.hnsw_topk(spark, graphs, q, k=5, ef=60).collect()
     }
     assert got == want and got
+
+
+def test_celled_hnsw_index_roundtrip_and_partition_pruning(
+    spark, clustered, tmp_path
+):
+    """The materialized graph index (cell-partitioned parquet of blobs)
+    answers identically to the in-memory graphs frame, and the collected
+    walk's probed-cell filter reaches the scan as a partition filter."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    q, idx = _qi(clustered, 10)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    )
+    path = str(tmp_path / "hnsw_cells")
+    ann_hnsw.write_celled_hnsw_index(graphs, path)
+    reread = ann_hnsw.read_celled_hnsw_index(spark, path)
+    kwargs = dict(centroids=cents, k=5, ef=50, dim=64, n_cells=8, nprobe=4)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+        for r in ann_hnsw.celled_hnsw_topk(spark, graphs, q, **kwargs).collect()
+    }
+    got_df = ann_hnsw.celled_hnsw_topk(spark, reread, q, **kwargs)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+        for r in got_df.collect()
+    }
+    assert got == want and got
+    # probed-cell pruning is physical: the scan carries a cell partition
+    # filter, so unprobed cell directories are never read
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and any("PartitionFilters: [cell" in ln for ln in scans), scans
+    # the cogrouped form reads the same artifact identically
+    cg = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+        for r in ann_hnsw.celled_hnsw_topk_cogrouped(
+            reread, q, **kwargs
+        ).collect()
+    }
+    assert cg == want

@@ -269,6 +269,25 @@ def celled_hnsw_topk(
     )
 
 
+def write_celled_hnsw_index(graphs: DataFrame, path: str) -> None:
+    """Materialize the cell-routed graph index: ``(n, graph)`` parquet
+    ``partitionBy("cell")`` — the cell directories ARE the coarse index
+    (the same layout rule as ``ivf.write_ivf_index`` /
+    ``pq.write_ivfpq_index``), one serialized graph blob per cell, so a
+    query batch lists and reads only its probed cells' directories.
+    Graph blobs round-trip byte-identically through parquet binary
+    columns (pinned in tests)."""
+    graphs.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_celled_hnsw_index(spark: SparkSession, path: str) -> DataFrame:
+    """Re-open a materialized cell-routed graph index.  The returned
+    frame drops straight into ``celled_hnsw_topk[_cogrouped]``; passing
+    it through ``filter(F.col("cell").isin(...))`` (as `celled_hnsw_topk`
+    does) prunes to partition directories at the scan."""
+    return spark.read.parquet(path).select("cell", "n", "graph")
+
+
 def celled_hnsw_topk_cogrouped(
     graphs: DataFrame,
     queries: DataFrame,
