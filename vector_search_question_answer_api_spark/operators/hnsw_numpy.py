@@ -19,11 +19,13 @@ Faithfulness and divergences (documented, deliberate):
   derived from ``md5(seed, label)`` instead of a shared RNG stream —
   insertion-order-independent and reproducible across engines/processes
   (the same determinism rule as every hashing primitive in this repo);
-- neighbor selection keeps the M CLOSEST candidates (the paper's simple
-  variant, hnswlib's ``select_neighbors_simple``) rather than the
-  diversity heuristic; on the partition sizes this tier targets
-  (10^3-10^6 rows per graph after hash-partitioning) measured recall at
-  ef=50 is equivalent (tests pin >=0.9 on both corpus geometries);
+- neighbor selection uses the paper's Algorithm 4 diversity heuristic
+  (hnswlib's ``getNeighborsByHeuristic2``): accept a candidate only if
+  it is strictly closer to the query than to every already-selected
+  neighbor (r6 — the earlier keep-M-closest simplification plateaued at
+  recall ~0.94 on clustered geometry at n=8k; the heuristic restores
+  the cross-cluster edges, measured curves in SCALE.md / tools/
+  ef_curve.py); both insertion and shrink-to-Mmax re-select with it;
 - vectors are expected L2-normalized; distance is cosine distance
   ``1 - dot`` exactly as the rest of the engine computes it.
 
@@ -124,13 +126,35 @@ class NumpyHNSW:
                         heapq.heappop(best)
         return sorted((-nd, i) for nd, i in best)
 
+    def _select_neighbors(
+        self, cand: list[tuple[float, int]], m: int
+    ) -> list[int]:
+        """Algorithm 4 of the paper (hnswlib's getNeighborsByHeuristic2):
+        walk candidates in ascending (dist-to-q, node) order and accept
+        one only if it is STRICTLY closer to q than to every
+        already-selected neighbor — the diversity condition that keeps
+        edges spanning between clusters instead of all pointing into the
+        densest one.  Deterministic: candidate order is the engine's
+        global (dist, node) tie rule and the accept test is pure
+        arithmetic."""
+        selected: list[int] = []
+        for d, e in cand:
+            if len(selected) >= m:
+                break
+            if selected:
+                de = self._dists(self.vecs[e], selected)
+                if bool((de < d).any()):
+                    continue
+            selected.append(e)
+        return selected
+
     def _shrink(self, node: int, level: int, mmax: int) -> None:
         ln = self.links[node][level]
         if len(ln) <= mmax:
             return
         ds = self._dists(self.vecs[node], ln)
-        order = sorted(range(len(ln)), key=lambda j: (ds[j], ln[j]))[:mmax]
-        self.links[node][level] = [ln[j] for j in order]
+        cand = sorted(zip((float(x) for x in ds), ln))
+        self.links[node][level] = self._select_neighbors(cand, mmax)
 
     # -- build / query ---------------------------------------------------
     def add_items(self, mat: np.ndarray, labels: np.ndarray) -> None:
@@ -162,7 +186,7 @@ class NumpyHNSW:
         for lc in range(min(level, self.max_level), -1, -1):
             cand = self._search_layer(q, ep, self.efc, lc)
             mmax = self.m0 if lc == 0 else self.m
-            neighbors = [n for _, n in cand[: self.m]]
+            neighbors = self._select_neighbors(cand, self.m)
             self.links[i][lc] = list(neighbors)
             for n in neighbors:
                 self.links[n][lc].append(i)
