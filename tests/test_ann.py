@@ -530,3 +530,38 @@ def test_celled_hnsw_index_roundtrip_and_partition_pruning(
         ).collect()
     }
     assert cg == want
+
+
+def test_knn_graph_matches_exact_neighbors(spark, clustered):
+    """The corpus k-NN graph (self-query through the cogrouped walk) must
+    recover the exact per-row neighbors at exhaustive settings, never
+    contain a self-match, and emit exactly k rows per corpus row."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    _, idx = _qi(clustered, 1)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    got = ann_hnsw.knn_graph(
+        idx, centroids=cents, k=3, ef=600, dim=64, n_cells=8, nprobe=8
+    ).collect()
+    by_q = {}
+    for r in got:
+        assert r["query_id"] != r["doc_id"], "self-match leaked"
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert len(by_q) == 500
+    assert all(len(v) == 3 for v in by_q.values())
+    # exact reference: brute-force neighbors excluding self
+    rows = sorted(
+        ((r["doc_id"], r["norm_embedding"]) for r in idx.collect())
+    )
+    ids = np.array([i for i, _ in rows])
+    mat = np.array([v for _, v in rows])
+    sims = mat @ mat.T
+    for qpos in range(0, 500, 50):  # sample every 50th row
+        d = 1.0 - sims[qpos]
+        order = np.lexsort((ids, d))
+        want = [int(ids[j]) for j in order if ids[j] != ids[qpos]][:3]
+        have = [doc for _, doc in sorted(by_q[int(ids[qpos])])]
+        assert have == want, (ids[qpos], have, want)

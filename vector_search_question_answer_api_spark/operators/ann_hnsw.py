@@ -418,6 +418,70 @@ def hnsw_topk_chunked(
     return out
 
 
+def knn_graph(
+    index: DataFrame,
+    centroids=None,
+    k: int = 5,
+    ef: int = 50,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "norm_embedding",
+    id_col: str = "doc_id",
+    graphs: DataFrame | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """(query_id, doc_id, distance, score, rank): the corpus k-NN GRAPH —
+    every row's k approximate nearest neighbors, the standard input to
+    SemDeDup-style semantic dedup, graph clustering, and diversity
+    sampling pipelines.
+
+    Built as a SELF-query through the cogrouped cell-routed walk: the
+    corpus is both the graphs' content and the (cell-routed, never
+    collected) query relation, so the whole n×k construction is two
+    cell-keyed shuffles regardless of corpus size — the shape that
+    survives 100 TB, vs the n×n similarity join it replaces.  Recall per
+    row is governed by (nprobe, ef) exactly as in ``celled_hnsw_topk``.
+
+    ``include_self=False`` (default) drops each row's trivial self-match
+    (distance 0) BEFORE the top-k cut, so all k slots hold real
+    neighbors.  Pass a prebuilt ``graphs`` frame (e.g. from
+    ``read_celled_hnsw_index``) to amortize the build across calls."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    if graphs is None:
+        graphs = build_celled_hnsw(
+            index, centroids=centroids, dim=dim, n_cells=n_cells,
+            vec_col=vec_col, id_col=id_col,
+        )
+    q = index.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # ask for one extra neighbor, drop the self-row, re-cut to k
+    kk = k if include_self else k + 1
+    raw = celled_hnsw_topk_cogrouped(
+        graphs, q, centroids=centroids, k=kk, ef=ef, dim=dim,
+        n_cells=n_cells, nprobe=nprobe,
+    )
+    if include_self:
+        return raw
+    pruned = raw.filter(F.col("query_id") != F.col("doc_id")).select(
+        "query_id", "doc_id", "distance"
+    )
+    top = topk_per_query(pruned, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
 def hnsw_topk(
     spark: SparkSession,
     graphs: DataFrame,
