@@ -160,6 +160,19 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
         {"m": 16, "ef_construction": 200, "ef": 50,
          "backend": "hnswlib" if ann_hnsw.HNSW_AVAILABLE else "numpy"},
     )
+    # cell-routed composition through the cogrouped serving path (r6)
+    celled = ann_hnsw.build_celled_hnsw(
+        normed, centroids=trained, dim=64, n_cells=16
+    )
+    rec(
+        "hnsw_celled_cogrouped",
+        ann_hnsw.celled_hnsw_topk_cogrouped(
+            celled, q, centroids=trained, k=k, ef=50, dim=64,
+            n_cells=16, nprobe=4,
+        ),
+        {"n_cells": 16, "nprobe": 4, "m": 16, "ef": 50,
+         "centroids": "trained"},
+    )
     normed.unpersist()
     exact.unpersist()
     return out
