@@ -216,8 +216,22 @@ def _hnsw_fn(spark, sf_dir):
             n_cells=16, nprobe=4,
         )
 
+    # r6: the whole-corpus k-NN graph (n x k neighbors via cogrouped
+    # self-query) — the SemDeDup/cluster-prep primitive, timed over the
+    # FULL corpus as the query relation, not a 10-row sample
+    def knn_graph_full(spark, sf_dir):
+        return ann_hnsw.knn_graph(
+            idx.select("doc_id", F.col("norm_embedding").alias("nv")),
+            centroids=cents, k=5, ef=50, dim=64, n_cells=16, nprobe=4,
+            vec_col="nv", graphs=celled,
+        )
+
     return (
-        {"ann_hnsw_topk": ann_hnsw_topk, "ann_hnsw_celled": ann_hnsw_celled},
+        {
+            "ann_hnsw_topk": ann_hnsw_topk,
+            "ann_hnsw_celled": ann_hnsw_celled,
+            "knn_graph_full": knn_graph_full,
+        },
         [graphs, celled],
     )
 
