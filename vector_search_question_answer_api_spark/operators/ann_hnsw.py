@@ -381,7 +381,13 @@ def hnsw_topk_chunked(
     of per-chunk results IS the monolithic result — pinned in tests.
 
     ``toLocalIterator`` streams one partition at a time, so peak driver
-    memory is max(partition size, chunk size) rows, never the batch."""
+    memory is max(partition size, chunk size) rows, never the batch.
+
+    Known bound: the result is a union of one plan per chunk, so the plan
+    tree grows linearly in the number of chunks — fine for the flat
+    tier's intended regime (up to ~100 chunks); for truly unbounded
+    batches use the cell-routed ``celled_hnsw_topk_cogrouped``, whose
+    plan size is constant in batch size."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
