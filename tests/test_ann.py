@@ -565,3 +565,59 @@ def test_knn_graph_matches_exact_neighbors(spark, clustered):
         want = [int(ids[j]) for j in order if ids[j] != ids[qpos]][:3]
         have = [doc for _, doc in sorted(by_q[int(ids[qpos])])]
         assert have == want, (ids[qpos], have, want)
+
+
+def test_celled_hnsw_salted_equals_unsalted_at_exhaustive_ef(spark, clustered):
+    """cell_salts shards a hot cell into several graphs under the SAME
+    cell key; the shards partition the cell, so at exhaustive ef the
+    salted layout must emit exactly the unsalted result in BOTH serving
+    shapes, and the salted build must emit more graph rows."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    q, idx = _qi(clustered, 10)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    plain = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    ).cache()
+    salted = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy",
+        cell_salts=4,
+    ).cache()
+    assert salted.count() > plain.count()
+    kwargs = dict(centroids=cents, k=5, ef=600, dim=64, n_cells=8, nprobe=2)
+
+    def keyed(df):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+            for r in df.collect()
+        }
+
+    want = keyed(ann_hnsw.celled_hnsw_topk(spark, plain, q, **kwargs))
+    assert keyed(ann_hnsw.celled_hnsw_topk(spark, salted, q, **kwargs)) == want
+    assert keyed(
+        ann_hnsw.celled_hnsw_topk_cogrouped(salted, q, **kwargs)
+    ) == want
+    assert want
+
+
+def test_celled_hnsw_salted_recall_at_working_ef(spark, clustered):
+    """Salting must not dent working-ef recall: each shard's graph walk
+    is still HNSW over its shard, and the union covers the cell."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+
+    q, idx = _qi(clustered, 25)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    salted = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy",
+        cell_salts=4,
+    )
+    got = _topk_sets(
+        ann_hnsw.celled_hnsw_topk_cogrouped(
+            salted, q, centroids=cents, k=10, ef=50,
+            dim=64, n_cells=8, nprobe=4,
+        )
+    )
+    exact = _topk_sets(knn_exact_expr(q, idx, k=10))
+    assert _recall(exact, got) >= 0.9

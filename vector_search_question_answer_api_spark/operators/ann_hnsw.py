@@ -134,6 +134,7 @@ def build_celled_hnsw(
     vec_col: str = "norm_embedding",
     id_col: str = "doc_id",
     backend: str | None = None,
+    cell_salts: int = 1,
 ) -> DataFrame:
     """(cell, n, graph): one HNSW graph per IVF coarse cell — the
     composed graph-ANN layout for scale (r5).  ``hnsw_topk``'s flat
@@ -143,7 +144,17 @@ def build_celled_hnsw(
     same coarse-prune × local-index multiply as IVFPQ, with a graph walk
     instead of ADC codes inside the cell.  Cell graph sizes are bounded
     by the same rule as every IVF layout: pick n_cells so corpus/n_cells
-    fits one task."""
+    fits one task.
+
+    ``cell_salts`` (r6, the hot-cell lever): real corpora are Zipfian
+    across cells, and a dominant cell would otherwise become one giant
+    build task + one giant graph blob.  With salts, each cell shards
+    into ``cell_salts`` independent graphs (deterministic
+    ``doc_id % cell_salts``), emitted as multiple rows with the SAME
+    cell key — the walkers iterate every graph row of a probed cell, so
+    query routing, results, and recall are unchanged (the shards
+    partition the cell exactly; within-cell exhaustiveness is a union
+    over shards).  Per-task memory drops by the salt factor."""
     from vector_search_question_answer_api_spark.operators.ivf import (
         assign_cell,
         centroid_grid,
@@ -156,6 +167,7 @@ def build_celled_hnsw(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("nv"),
         assign_cell(F.col(vec_col), centroids).alias("cell"),
+        (F.col(id_col) % F.lit(max(int(cell_salts), 1))).alias("_salt"),
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -186,7 +198,7 @@ def build_celled_hnsw(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    return assigned.groupBy("cell", "_salt").applyInPandas(
         build, schema="cell int, n long, graph binary"
     )
 
@@ -333,17 +345,23 @@ def celled_hnsw_topk_cogrouped(
                 {"query_id": [], "doc_id": [], "distance": []}
             ).astype({"query_id": "int64", "doc_id": "int64",
                       "distance": "float64"})
-        g = pickle.loads(bytes(gpdf["graph"].iloc[0]))
-        g.set_ef(max(ef, k + 1))
         q_ids = np.asarray(qpdf["query_id"], dtype=np.int64)
         q_mat = np.array(list(qpdf["qvec"]), dtype=np.float64)
-        labels, dists = g.knn_query(q_mat, k=min(k, g.get_current_count()))
         out_q, out_id, out_d = [], [], []
-        for qi in range(labels.shape[0]):
-            keep = np.isfinite(dists[qi])
-            out_q.extend([q_ids[qi]] * int(keep.sum()))
-            out_id.extend(labels[qi][keep].tolist())
-            out_d.extend(dists[qi][keep].tolist())
+        # a cell may hold SEVERAL graph rows (cell_salts shards a hot
+        # cell); the shards partition the cell, so walking each and
+        # merging candidates is exactly the unsalted cell walk
+        for blob in gpdf["graph"]:
+            g = pickle.loads(bytes(blob))
+            g.set_ef(max(ef, k + 1))
+            labels, dists = g.knn_query(
+                q_mat, k=min(k, g.get_current_count())
+            )
+            for qi in range(labels.shape[0]):
+                keep = np.isfinite(dists[qi])
+                out_q.extend([q_ids[qi]] * int(keep.sum()))
+                out_id.extend(labels[qi][keep].tolist())
+                out_d.extend(dists[qi][keep].tolist())
         return pd.DataFrame(
             {"query_id": out_q, "doc_id": out_id, "distance": out_d}
         )
