@@ -214,3 +214,31 @@ def test_celled_hnsw_cogrouped_plan_shape(spark):
     assert plan.count("hashpartitioning(cell") >= 2, plan
     # the graphs side is never broadcast
     assert "BroadcastExchange" not in plan.split("FlatMapCoGroupsInPandas")[1], plan
+
+
+def test_filtered_knn_pushes_predicate_to_scan(spark, sf_dir):
+    """filtered_knn('exact'): the metadata predicate must reach the
+    parquet scan (the filter prunes before any similarity work), and the
+    query side is broadcast as in every kNN plan."""
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators.search import filtered_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = e.select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        V.l2_normalize(F.col("embedding")).cast("array<double>").alias(
+            "norm_embedding"
+        ),
+    )
+    q = idx.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    df = filtered_knn(q, idx, F.col("label") < 5, k=3)
+    df.collect()
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    assert any("label" in l and "Filters" in l for l in scans), scans
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -140,3 +140,99 @@ def test_partitioned_tie_contract(spark):
     b = _rows(knn_exact_partitioned(queries, corpus, k=3))
     assert a == b
     assert [r[1] for r in b] == [3, 7, 18]
+
+
+def test_filtered_knn_exact_matches_bruteforce_on_subset(spark):
+    """filtered_knn('exact') == brute-force kNN over exactly the rows the
+    predicate keeps; rows failing the predicate never appear."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators.search import (
+        filtered_knn,
+        knn_exact_expr,
+    )
+
+    rng = np.random.RandomState(3)
+    pts = rng.standard_normal((200, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    idx = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], "en" if i % 3 else "de")
+         for i in range(200)],
+        "doc_id long, norm_embedding array<double>, lang string",
+    )
+    q = idx.filter(F.col("doc_id") < 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    got = filtered_knn(q, idx, F.col("lang") == "en", k=5).collect()
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+        for r in knn_exact_expr(q, idx.filter("lang = 'en'"), k=5).collect()
+    }
+    assert {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+        for r in got
+    } == want and want
+    en_ids = {r["doc_id"] for r in idx.filter("lang = 'en'").collect()}
+    assert all(r["doc_id"] in en_ids for r in got)
+
+
+def test_filtered_knn_ann_postfilter_recall(spark):
+    """The oversampled-ANN + post-filter strategy recovers the filtered
+    exact top-k on clustered geometry when oversample covers 1/s."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import train_centroids
+    from vector_search_question_answer_api_spark.operators.search import (
+        filtered_knn,
+        knn_exact_expr,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = rng.standard_normal((10, 32))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents[np.arange(400) % 10] + 0.05 * rng.standard_normal((400, 32))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # lang alternates by REPLICA (i // 10), independent of the cluster
+    # (i % 10) — every cluster holds both langs.  A predicate perfectly
+    # anti-correlated with geometry (whole clusters filtered away) is the
+    # documented worst case where post-filtering cannot recover recall at
+    # any reasonable oversample; that regime belongs to the 'exact'
+    # strategy (filter first), not to this one.
+    idx = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], "en" if (i // 10) % 2 else "de")
+         for i in range(400)],
+        "doc_id long, norm_embedding array<double>, lang string",
+    )
+    q = idx.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    tc = train_centroids(idx, dim=32, n_cells=4, n_iters=3)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=tc, dim=32, n_cells=4, backend="numpy"
+    ).cache()
+
+    def tier(queries, kk):
+        return ann_hnsw.celled_hnsw_topk_cogrouped(
+            graphs, queries, centroids=tc, k=kk, ef=100, dim=32,
+            n_cells=4, nprobe=2,
+        )
+
+    got = filtered_knn(
+        q, idx, F.col("lang") == "en", k=5,
+        strategy="ann_postfilter", oversample=4, ann_topk=tier,
+    )
+    exact = knn_exact_expr(q, idx.filter("lang = 'en'"), k=5)
+    exact_sets, got_sets = {}, {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for r in got.collect():
+        assert (r["doc_id"] // 10) % 2 == 1  # 'en' rows only
+        got_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    hits = sum(len(exact_sets[qq] & got_sets.get(qq, set())) for qq in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9, (hits, total)

@@ -168,3 +168,77 @@ def attach_documents(results: DataFrame, documents: DataFrame) -> DataFrame:
     return results.join(
         documents.select("doc_id", "text"), "doc_id", "left"
     )
+
+
+def filtered_knn(
+    queries: DataFrame,
+    index: DataFrame,
+    predicate,
+    k: int = 3,
+    strategy: str = "exact",
+    oversample: int = 4,
+    ann_topk=None,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """k-NN restricted to index rows satisfying ``predicate`` (a Column) —
+    filtered vector search, the pipeline shape behind per-language /
+    per-source / per-license similarity work the reference's global index
+    cannot express.
+
+    Two honest strategies (the known trade-off in filtered ANN):
+
+    - ``"exact"`` (default): filter FIRST, then the exact broadcast top-k
+      over the surviving rows.  Catalyst pushes the predicate into the
+      parquet scan (pinned in tests/test_plans.py), so the similarity
+      work — the expensive part — touches only matching rows.  Always
+      correct at any selectivity; the right choice whenever the predicate
+      is selective, which is the common pipeline case.
+    - ``"ann_postfilter"``: run any ANN tier OVERSAMPLED (k*oversample),
+      then apply the predicate and re-cut to k.  ``ann_topk`` is a
+      callable (queries, k) -> DataFrame[(query_id, doc_id, distance)]
+      wrapping the tier of choice (celled graphs, IVF, PQ...).  Recall
+      degrades with predicate selectivity s roughly until
+      oversample >= 1/s — use for UNSELECTIVE predicates where
+      re-scanning the corpus per predicate would dominate.  The join
+      back to the index applies the predicate to ids only (semi-join
+      sized).  CAVEAT (tested): if the predicate is ANTI-CORRELATED with
+      the geometry (whole clusters/cells fail it), the matching rows sit
+      outside the probed neighborhoods and no reasonable oversample
+      recovers recall — that regime belongs to "exact".
+
+    Graph-native filtered walks (predicate evaluated inside the beam) are
+    deliberately NOT implemented: under selective filters they degrade to
+    disconnected-region searches with unbounded detours (the known
+    failure mode), and the two strategies above cover both selectivity
+    regimes with predictable cost.
+    """
+    if strategy == "exact":
+        return knn_exact_expr(
+            queries,
+            index.filter(predicate),
+            k,
+            query_vec_col=query_vec_col,
+            index_vec_col=index_vec_col,
+            query_id_col=query_id_col,
+            index_id_col=index_id_col,
+        )
+    if strategy != "ann_postfilter":
+        raise ValueError(f"unknown filtered_knn strategy {strategy!r}")
+    if ann_topk is None:
+        raise ValueError("ann_postfilter needs ann_topk=(queries, k) -> DF")
+    raw = ann_topk(queries, max(int(oversample), 1) * k)
+    keep = index.filter(predicate).select(
+        F.col(index_id_col).alias("doc_id")
+    )
+    pruned = raw.join(keep, "doc_id").select("query_id", "doc_id", "distance")
+    top = topk_per_query(pruned, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
