@@ -167,3 +167,40 @@ def test_minhash_stream_twin_detects_signature_drift(spark, monkeypatch):
     monkeypatch.setattr(ns, "minhash_sig_stream", corrupted)
     with pytest.raises(ValueError, match="streaming minhash signature drift"):
         inventory.queries()["dedup_minhash_lsh"](spark, SF).count()
+
+
+def test_filtered_knn_twin_detects_leaked_row(spark, monkeypatch):
+    """r7: the in-gate filtered-search twin must fire when filtered_knn
+    emits a row the predicate should have excluded / wrong ids."""
+    import vector_search_question_answer_api_spark.operators.search as search
+
+    real = search.filtered_knn
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn("doc_id", F.col("doc_id") * 3)
+
+    monkeypatch.setattr(search, "filtered_knn", corrupted)
+    with pytest.raises(ValueError, match="filtered_knn"):
+        inventory.queries()["knn_topk"](spark, SF).count()
+
+
+def test_knn_graph_twin_detects_drift(spark, monkeypatch):
+    """r7: the in-gate corpus-graph twin must fire when knn_graph's
+    neighbor lists drift from exact self-kNN."""
+    import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
+
+    real = ah.knn_graph
+
+    def corrupted(*a, **k):
+        df = real(*a, **k)
+        # swap ranks 1 and 2: same key set, wrong (doc, dist) per key
+        return df.withColumn(
+            "rank",
+            F.when(F.col("rank") == 1, 2)
+            .when(F.col("rank") == 2, 1)
+            .otherwise(F.col("rank")),
+        )
+
+    monkeypatch.setattr(ah, "knn_graph", corrupted)
+    with pytest.raises(ValueError, match="knn_graph twin"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
