@@ -848,3 +848,51 @@ def test_compaction_grace_period_keeps_inflight_reader_plans_valid(
     assert {(r["doc_id"], r["norm"]) for r in rows} == {
         (r["doc_id"], r["norm"]) for r in post.collect()
     }
+
+
+def test_compaction_sweeps_crash_orphan_generations(spark, tmpdir):
+    """ADVICE r6: a compaction that dies between the MANIFEST publish and
+    the RETIRED rewrite strands the superseded .gen-<n> dir (referenced by
+    neither file).  The next compaction must sweep such orphans, must NOT
+    touch the current generation, and RETIRED entries must be realpaths so
+    exclusion/deletion is spelling-insensitive."""
+    import os
+
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        _current_gen,
+        compact_index,
+        read_index_latest,
+    )
+
+    out = f"{tmpdir}/idx"
+    rows = spark.createDataFrame(
+        [(i, i, i, [1.0, 0.0], 1.0, 0) for i in range(20)],
+        "tsm long, vec_id long, doc_id long, norm_embedding array<float>, "
+        "norm double, _batch long",
+    ).select(
+        F.timestamp_millis(F.col("tsm") * 1000).alias("ts"),
+        "vec_id", "doc_id", "norm_embedding", "norm", "_batch",
+    )
+    rows.write.mode("append").parquet(f"{out}/log")
+    compact_index(spark, out)
+    cur = _current_gen(out)
+
+    # simulate the crash leftovers: a generation dir that no MANIFEST or
+    # RETIRED entry references
+    orphan = os.path.join(out, ".gen-999999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+
+    rows.limit(5).write.mode("append").parquet(f"{out}/log")
+    compact_index(spark, out)
+
+    assert not os.path.exists(orphan), "crash orphan not swept"
+    # the properly retired PREVIOUS generation survives its grace period
+    assert os.path.isdir(os.path.join(out, cur)), "grace period violated"
+    with open(os.path.join(out, "RETIRED")) as f:
+        entries = [ln.strip() for ln in f if ln.strip()]
+    assert entries and all(
+        os.path.isabs(p) and p == os.path.realpath(p) for p in entries
+    ), entries
+    assert read_index_latest(spark, out).count() == 20

@@ -69,25 +69,31 @@ def _current_gen(path: str) -> str | None:
 
 
 def _retired(path: str) -> list[str]:
-    """Absolute paths retired by the PREVIOUS compaction (superseded
-    generation dir + the log files it folded in).  They stay on disk for
-    one full compaction cycle — the grace period that keeps lazily
-    executed reader plans valid — and are excluded from new resolves."""
+    """Paths retired by the PREVIOUS compaction (superseded generation dir
+    + the log files it folded in), REALPATH-normalized on read so the
+    retire/exclude bookkeeping is insensitive to how the index path was
+    spelled (relative vs absolute vs symlinked — ADVICE r6).  They stay on
+    disk for one full compaction cycle — the grace period that keeps
+    lazily executed reader plans valid — and are excluded from new
+    resolves."""
     try:
         with open(os.path.join(path, "RETIRED"), encoding="utf-8") as f:
-            return [ln.strip() for ln in f if ln.strip()]
+            return [os.path.realpath(ln.strip()) for ln in f if ln.strip()]
     except FileNotFoundError:
         return []
 
 
 def _log_files(path: str) -> list[str]:
+    # compare realpaths on BOTH sides: a retired file must stay excluded
+    # even when compact_index and this reader spell the index path
+    # differently (ADVICE r6)
     retired = set(_retired(path))
     return sorted(
         f
         for f in glob.glob(
             os.path.join(path, "log", "**", "*.parquet"), recursive=True
         )
-        if f not in retired
+        if os.path.realpath(f) not in retired
     )
 
 
@@ -263,6 +269,20 @@ def compact_index(
                 pass
 
     old_gen = _current_gen(path)
+    # crash-window orphan sweep (ADVICE r6): a compaction that died between
+    # the MANIFEST publish and the RETIRED rewrite leaves the superseded
+    # .gen-<n> referenced by NEITHER file — it would leak forever since no
+    # resolve ever glob-lists generation dirs.  Any .gen-* that is neither
+    # current nor retired is such an orphan; dropping it here preserves the
+    # grace bound (the crash plus this compaction span a full cycle).
+    retired_now = set(_retired(path))
+    for d in glob.glob(os.path.join(path, ".gen-*")):
+        if (
+            os.path.isdir(d)
+            and os.path.basename(d) != old_gen
+            and os.path.realpath(d) not in retired_now
+        ):
+            shutil.rmtree(d, ignore_errors=True)
     snapshot = _log_files(path)
     raw = _raw_log(spark, path, files=snapshot)
     if raw is None:
@@ -300,6 +320,9 @@ def compact_index(
     retire.extend(snapshot)
     if legacy_flat:
         retire.extend(glob.glob(os.path.join(path, "*.parquet")))
+    # realpath-normalize so later exclusions/deletions match regardless of
+    # how the caller spelled the index path (ADVICE r6)
+    retire = [os.path.realpath(p) for p in retire]
     tmp_r = os.path.join(path, ".RETIRED.tmp")
     with open(tmp_r, "w", encoding="utf-8") as f:
         f.write("\n".join(retire) + "\n")
