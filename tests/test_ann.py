@@ -467,24 +467,32 @@ def test_celled_hnsw_cogrouped_equals_collected(spark, clustered):
 
 def test_hnsw_chunked_equals_monolithic(spark, clustered):
     """Chunked query iteration (bounded driver memory) unions to exactly
-    the monolithic result, including a final partial chunk."""
+    the monolithic result, including a final partial chunk — and the
+    returned plan is ONE parquet scan of the eagerly spilled chunks, not
+    a per-chunk union tree (ADVICE r6: the lazy union kept every chunk's
+    closure and local relation alive until execution, so driver memory
+    scaled with the whole batch)."""
     from vector_search_question_answer_api_spark.operators import ann_hnsw
 
     q, idx = _qi(clustered, 23)  # 23 rows -> chunks of 10,10,3
     graphs = ann_hnsw.build_partitioned_hnsw(
         idx.repartition(4, "doc_id"), dim=64, backend="numpy"
     ).cache()
+    res = ann_hnsw.hnsw_topk_chunked(spark, graphs, q, k=5, ef=60, chunk_rows=10)
     got = {
         (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
-        for r in ann_hnsw.hnsw_topk_chunked(
-            spark, graphs, q, k=5, ef=60, chunk_rows=10
-        ).collect()
+        for r in res.collect()
     }
     want = {
         (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
         for r in ann_hnsw.hnsw_topk(spark, graphs, q, k=5, ef=60).collect()
     }
     assert got == want and got
+    # plan-size pin: exactly one FileScan, zero Union nodes — constant in
+    # the number of chunks (3 here)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Union" not in plan, plan
 
 
 def test_celled_hnsw_index_roundtrip_and_partition_pruning(
