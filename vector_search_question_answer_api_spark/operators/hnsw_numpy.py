@@ -134,18 +134,27 @@ class NumpyHNSW:
         one only if it is STRICTLY closer to q than to every
         already-selected neighbor — the diversity condition that keeps
         edges spanning between clusters instead of all pointing into the
-        densest one.  Deterministic: candidate order is the engine's
-        global (dist, node) tie rule and the accept test is pure
-        arithmetic."""
+        densest one.  When the heuristic keeps fewer than ``m``, remaining
+        slots are back-filled with the closest REJECTED candidates (the
+        paper's keepPrunedConnections flag, hnswlib's default) — without
+        it, selected lists can run short of m, which raises the odds that
+        shrink-to-Mmax disconnects a level-0 region (ADVICE r6).
+        Deterministic: candidate order is the engine's global (dist, node)
+        tie rule, the accept test is pure arithmetic, and the back-fill
+        takes pruned candidates in the same order."""
         selected: list[int] = []
+        pruned: list[int] = []
         for d, e in cand:
             if len(selected) >= m:
                 break
             if selected:
                 de = self._dists(self.vecs[e], selected)
                 if bool((de < d).any()):
+                    pruned.append(e)
                     continue
             selected.append(e)
+        if len(selected) < m and pruned:
+            selected.extend(pruned[: m - len(selected)])
         return selected
 
     def _shrink(self, node: int, level: int, mmax: int) -> None:
