@@ -1,0 +1,295 @@
+"""Incremental per-cell maintenance of the on-disk ANN artifacts
+(VERDICT r6 What's-missing #3): upsert batch → only dirty cell partitions
+rewritten; serving ≡ full rebuild; mid-refresh reads safe (generation /
+MANIFEST / grace-period semantics inherited from index_stream)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators.ivf import (
+    centroid_grid,
+)
+from vector_search_question_answer_api_spark.operators.pq import (
+    codebook_grid,
+    ivfpq_topk_ondisk,
+    refresh_ivfpq_index,
+    write_ivfpq_index_managed,
+)
+from vector_search_question_answer_api_spark.sources.cell_store import (
+    cell_store_manifest,
+    cell_store_refresh,
+    open_cell_table,
+)
+
+DIM, N_CELLS = 64, 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(11)
+    pts = rng.standard_normal((300, DIM))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)],
+        "doc_id long, norm_embedding array<double>",
+    ).cache()
+    yield df
+    df.unpersist()
+
+
+def _cells_of(df, cents):
+    from vector_search_question_answer_api_spark.operators.ivf import assign_cell
+
+    return {
+        int(r["doc_id"]): int(r["cell"])
+        for r in df.select(
+            "doc_id", assign_cell(F.col("norm_embedding"), cents).alias("cell")
+        ).collect()
+    }
+
+
+def _part_files(path):
+    """cell value -> sorted parquet file paths currently live for it."""
+    man = cell_store_manifest(path)
+    out = {}
+    for cell, gen in man["cells"].items():
+        d = os.path.join(path, gen, f"{man['partition_col']}={cell}")
+        out[cell] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def _moved_upsert(spark, corpus, cents):
+    """(index_v1, delta): doc X's vector replaced by one from ANOTHER
+    cell, guaranteeing the update moves X between cells."""
+    cells = _cells_of(corpus, cents)
+    x = 0
+    y = next(d for d, c in cells.items() if c != cells[x])
+    yvec = corpus.filter(F.col("doc_id") == y).collect()[0]["norm_embedding"]
+    delta = spark.createDataFrame(
+        [(x, list(yvec))], "doc_id long, norm_embedding array<double>"
+    )
+    v1 = corpus.filter(F.col("doc_id") != x).unionByName(delta)
+    return v1, delta, cells[x], cells[y]
+
+
+def _topk_rows(spark, path, index, cbs, cents):
+    q = index.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    df = ivfpq_topk_ondisk(
+        spark, q, path, index, cbs, centroids=cents, k=5, dim=DIM,
+        n_cells=N_CELLS, nprobe=3, refine=8,
+    )
+    return {
+        (int(r["query_id"]), int(r["rank"])): (int(r["doc_id"]),
+                                               round(float(r["distance"]), 9))
+        for r in df.collect()
+    }
+
+
+def test_managed_ivfpq_serves_like_flat_and_refresh_touches_only_dirty(
+    spark, corpus, tmp_path
+):
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    managed = str(tmp_path / "managed")
+    flat = str(tmp_path / "flat")
+
+    from vector_search_question_answer_api_spark.operators.pq import (
+        write_ivfpq_index,
+    )
+
+    write_ivfpq_index_managed(corpus, managed, cbs, centroids=cents,
+                              dim=DIM, n_cells=N_CELLS)
+    write_ivfpq_index(corpus, flat, cbs, centroids=cents, dim=DIM,
+                      n_cells=N_CELLS)
+    assert _topk_rows(spark, managed, corpus, cbs, cents) == _topk_rows(
+        spark, flat, corpus, cbs, cents
+    )
+
+    before = _part_files(managed)
+    v1, delta, cell_old, cell_new = _moved_upsert(spark, corpus, cents)
+    dirty = refresh_ivfpq_index(
+        spark, managed, v1, delta, cbs, centroids=cents, dim=DIM,
+        n_cells=N_CELLS,
+    )
+    # the move makes BOTH the old and new cell dirty
+    assert cell_old in dirty and cell_new in dirty
+    after = _part_files(managed)
+    for cell, files in after.items():
+        if int(cell) in dirty:
+            assert files != before[cell], f"dirty cell {cell} not rewritten"
+        else:
+            # clean cells keep their EXACT partition files — nothing
+            # was rewritten, moved, or re-encoded for them
+            assert files == before[cell], f"clean cell {cell} touched"
+    # grace period: the superseded dirty partitions are retired, still
+    # on disk until the NEXT write
+    for cell in dirty:
+        for f in before[str(cell)]:
+            assert os.path.exists(f), "grace period violated"
+
+    # serving through the refreshed store == a from-scratch full build
+    # over the post-upsert corpus
+    fresh = str(tmp_path / "fresh")
+    write_ivfpq_index_managed(v1, fresh, cbs, centroids=cents, dim=DIM,
+                              n_cells=N_CELLS)
+    got = _topk_rows(spark, managed, v1, cbs, cents)
+    assert got == _topk_rows(spark, fresh, v1, cbs, cents) and got
+    # the moved doc's stale row is gone: no doc_id appears in two cells
+    pairs = open_cell_table(spark, managed).select("doc_id", "cell").collect()
+    assert len({r["doc_id"] for r in pairs}) == len(pairs)
+
+
+def test_refresh_mid_publish_reader_sees_complete_old_view(
+    spark, corpus, tmp_path
+):
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents,
+                              dim=DIM, n_cells=N_CELLS)
+    want = _topk_rows(spark, path, corpus, cbs, cents)
+    v1, delta, *_ = _moved_upsert(spark, corpus, cents)
+
+    seen = {}
+
+    def probe():
+        # a reader BETWEEN the new-generation write and the manifest
+        # swap must resolve the complete OLD view
+        seen["rows"] = _topk_rows(spark, path, corpus, cbs, cents)
+
+    refresh_ivfpq_index(
+        spark, path, v1, delta, cbs, centroids=cents, dim=DIM,
+        n_cells=N_CELLS, _pre_publish_hook=probe,
+    )
+    assert seen["rows"] == want
+
+
+def test_refresh_rejects_rows_outside_dirty_set(spark, corpus, tmp_path):
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents,
+                              dim=DIM, n_cells=N_CELLS)
+    man_before = cell_store_manifest(path)
+    all_cells = open_cell_table(spark, path)
+    with pytest.raises(ValueError, match="outside the declared dirty set"):
+        cell_store_refresh(spark, path, all_cells, dirty_cells=[0])
+    assert cell_store_manifest(path) == man_before  # nothing published
+
+
+def test_crash_orphan_partitions_swept_and_compact_folds(
+    spark, corpus, tmp_path
+):
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents,
+                              dim=DIM, n_cells=N_CELLS)
+    want = _topk_rows(spark, path, corpus, cbs, cents)
+    # simulate a refresh that died after writing its generation but
+    # before publishing: partitions referenced by neither MANIFEST nor
+    # RETIRED
+    orphan = os.path.join(path, ".gen-000990", "cell=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    v1, delta, *_ = _moved_upsert(spark, corpus, cents)
+    refresh_ivfpq_index(spark, path, v1, delta, cbs, centroids=cents,
+                        dim=DIM, n_cells=N_CELLS)
+    assert not os.path.exists(orphan), "crash orphan not swept"
+
+    # compact: everything folds to one generation, serving unchanged
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_compact,
+    )
+
+    got = _topk_rows(spark, path, v1, cbs, cents)
+    cell_store_compact(spark, path)
+    man = cell_store_manifest(path)
+    assert len(set(man["cells"].values())) == 1
+    assert _topk_rows(spark, path, v1, cbs, cents) == got
+
+
+def test_celled_hnsw_refresh_matches_full_rebuild(spark, corpus, tmp_path):
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "graphs")
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(graphs, path)
+    before = _part_files(path)
+
+    v1, delta, cell_old, cell_new = _moved_upsert(spark, corpus, cents)
+    prev_delta = corpus.join(
+        delta.select("doc_id"), "doc_id", "left_semi"
+    )
+    dirty = ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, v1, delta, prev_delta=prev_delta, centroids=cents,
+        dim=DIM, n_cells=N_CELLS, backend="numpy",
+    )
+    assert cell_old in dirty and cell_new in dirty
+    after = _part_files(path)
+    for cell, files in after.items():
+        if int(cell) in dirty:
+            assert files != before[cell]
+        else:
+            assert files == before[cell], f"clean cell {cell} touched"
+
+    # serving (exhaustive walk, all cells probed) == a full rebuild of
+    # the post-upsert corpus == ivf exact semantics
+    q = v1.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    n = v1.count()
+
+    def rows(g):
+        df = ann_hnsw.celled_hnsw_topk_cogrouped(
+            g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
+            n_cells=N_CELLS, nprobe=N_CELLS,
+        )
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in df.collect()
+        }
+
+    refreshed = rows(ann_hnsw.read_celled_hnsw_index(spark, path))
+    full = rows(
+        ann_hnsw.build_celled_hnsw(
+            v1, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        )
+    )
+    assert refreshed == full and refreshed
+
+
+def test_managed_store_scan_keeps_partition_filters(spark, corpus, tmp_path):
+    """Each live generation's scan must carry BOTH the manifest-cell
+    filter and any downstream probed-cell isin as PARTITION filters —
+    pruning composes, superseded partitions are never listed."""
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents,
+                              dim=DIM, n_cells=N_CELLS)
+    v1, delta, *_ = _moved_upsert(spark, corpus, cents)
+    refresh_ivfpq_index(spark, path, v1, delta, cbs, centroids=cents,
+                        dim=DIM, n_cells=N_CELLS)
+    df = open_cell_table(spark, path).filter(F.col("cell").isin([1, 2]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2  # one per live generation
+    for s in scans:
+        assert "PartitionFilters: [" in s and "DataFilters: []" in s, s

@@ -292,12 +292,101 @@ def write_celled_hnsw_index(graphs: DataFrame, path: str) -> None:
     graphs.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def write_celled_hnsw_index_managed(graphs: DataFrame, path: str) -> None:
+    """The :func:`write_celled_hnsw_index` layout under the managed cell
+    store (``sources/cell_store``): same cell-partitioned blob artifact,
+    plus a per-cell MANIFEST so later upsert batches can re-build ONLY
+    their dirty cells' graphs (:func:`refresh_celled_hnsw_index`) instead
+    of the reference's whole-graph rebuild
+    (services/index_service.py:112-115).  ``read_celled_hnsw_index``
+    serves both layouts transparently."""
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_write_full,
+    )
+
+    cell_store_write_full(graphs, path)
+
+
+def refresh_celled_hnsw_index(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    delta: DataFrame,
+    prev_delta: DataFrame | None = None,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    m: int = 16,
+    ef_construction: int = 200,
+    vec_col: str = "norm_embedding",
+    id_col: str = "doc_id",
+    backend: str | None = None,
+    cell_salts: int = 1,
+    _pre_publish_hook=None,
+) -> list[int]:
+    """Incrementally refresh a MANAGED celled-graph store after an upsert
+    batch: re-build only the dirty cells' graphs and atomically swap their
+    manifest entries (grace-period retirement of the superseded blob
+    partitions).
+
+    ``index`` is the POST-upsert source of truth; ``delta`` the upserted
+    rows' NEW state.  Dirty = cells of the delta's new vectors ∪ cells of
+    ``prev_delta`` (the PRE-upsert state of those doc_ids — e.g. the
+    resolved ``read_index_latest`` view semi-joined on the batch ids
+    BEFORE appending it) — the second set catches updates that MOVE a doc
+    between cells.  The graph artifact stores opaque blobs, so unlike
+    :func:`pq.refresh_ivfpq_index` old cells cannot be recovered from the
+    store itself; omitting ``prev_delta`` is only sound for insert-only
+    batches.  Driver state stays O(n_cells).  Returns the dirty cells."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_refresh,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+
+    def cells_of(df):
+        return {
+            int(r["cell"])
+            for r in df.select(
+                assign_cell(F.col(vec_col), centroids).alias("cell")
+            )
+            .distinct()
+            .collect()
+        }
+
+    dirty = cells_of(delta)
+    if prev_delta is not None:
+        dirty |= cells_of(prev_delta)
+    dirty = sorted(dirty)
+    sub = index.filter(
+        assign_cell(F.col(vec_col), centroids).isin(dirty)
+    )
+    graphs = build_celled_hnsw(
+        sub, centroids=centroids, dim=dim, n_cells=n_cells, m=m,
+        ef_construction=ef_construction, vec_col=vec_col, id_col=id_col,
+        backend=backend, cell_salts=cell_salts,
+    )
+    cell_store_refresh(
+        spark, path, graphs, dirty, _pre_publish_hook=_pre_publish_hook
+    )
+    return dirty
+
+
 def read_celled_hnsw_index(spark: SparkSession, path: str) -> DataFrame:
     """Re-open a materialized cell-routed graph index.  The returned
     frame drops straight into ``celled_hnsw_topk[_cogrouped]``; passing
     it through ``filter(F.col("cell").isin(...))`` (as `celled_hnsw_topk`
     does) prunes to partition directories at the scan."""
-    return spark.read.parquet(path).select("cell", "n", "graph")
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        open_cell_table,
+    )
+
+    return open_cell_table(spark, path).select("cell", "n", "graph")
 
 
 def celled_hnsw_topk_cogrouped(

@@ -229,7 +229,11 @@ def ivf_topk_ondisk(
         for r in q.select(F.explode("cells").alias("cell")).distinct().collect()
     )
     qx = q.select("query_id", "qvec", F.explode("cells").alias("cell"))
-    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        open_cell_table,
+    )
+
+    corpus = open_cell_table(spark, path).filter(F.col("cell").isin(probed))
     cand = corpus.join(F.broadcast(qx), "cell")
     scored = cand.select(
         "query_id",

@@ -394,6 +394,22 @@ def write_ivfpq_index(
     from the artifact by construction, so no read of this table can ever
     touch vector bytes — the deferred-fetch contract of
     :func:`ivfpq_topk_ondisk` is physical, not conventional."""
+    enc = _encode_cells(index, codebooks, centroids, dim, n_cells,
+                        index_vec_col, index_id_col)
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def _encode_cells(
+    index: DataFrame,
+    codebooks,
+    centroids,
+    dim: int,
+    n_cells: int,
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cell, codes) — the IVFPQ artifact relation (map-only:
+    coarse-cell argmax + per-subspace code argmin, all Catalyst HOFs)."""
     from vector_search_question_answer_api_spark.operators.ivf import (
         assign_cell,
         centroid_grid,
@@ -401,14 +417,110 @@ def write_ivfpq_index(
 
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
-    enc = index.select(
+    return index.select(
         F.col(index_id_col).alias("doc_id"),
         assign_cell(F.col(index_vec_col), centroids).alias("cell"),
         pq_encode_col(
             F.col(index_vec_col).cast("array<double>"), codebooks, dim
         ).alias("codes"),
     )
-    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def write_ivfpq_index_managed(
+    index: DataFrame,
+    path: str,
+    codebooks,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+) -> None:
+    """The :func:`write_ivfpq_index` layout under the managed cell store
+    (``sources/cell_store``): same cell-partitioned codes-only artifact,
+    plus a per-cell MANIFEST so later upsert batches can re-encode ONLY
+    their dirty cells (:func:`refresh_ivfpq_index`) instead of the full
+    rebuild the reference's /refresh-index performs
+    (services/index_service.py:112-115).  ``ivfpq_topk_ondisk`` serves
+    both layouts transparently."""
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_write_full,
+    )
+
+    cell_store_write_full(
+        _encode_cells(index, codebooks, centroids, dim, n_cells,
+                      index_vec_col, index_id_col),
+        path,
+    )
+
+
+def refresh_ivfpq_index(
+    spark,
+    path: str,
+    index: DataFrame,
+    delta: DataFrame,
+    codebooks,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    index_vec_col: str = "norm_embedding",
+    index_id_col: str = "doc_id",
+    _pre_publish_hook=None,
+) -> list[int]:
+    """Incrementally refresh a MANAGED codes store after an upsert batch:
+    re-encode only the dirty cells and atomically swap their manifest
+    entries (grace-period retirement of the superseded partitions — the
+    ``index_stream`` reader guarantees, per-cell).
+
+    ``index`` is the POST-upsert source of truth (e.g. the resolved
+    ``read_index_latest`` view); ``delta`` is the upserted rows' NEW
+    state (same columns).  Dirty = cells of the delta's new vectors ∪
+    the cells the artifact CURRENTLY holds those doc_ids in — the second
+    set catches updates that MOVE a doc between cells, whose old cell
+    must be rewritten without the stale row.  Both sets are found with
+    bounded driver collects (distinct cell values ≤ n_cells; the
+    old-cell lookup is a column-pruned codes scan semi-joined on the
+    delta ids).  Returns the dirty cell list (for tests/observability)."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_refresh,
+        open_cell_table,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    new_cells = {
+        int(r["cell"])
+        for r in delta.select(
+            assign_cell(F.col(index_vec_col), centroids).alias("cell")
+        )
+        .distinct()
+        .collect()
+    }
+    ids = delta.select(F.col(index_id_col).alias("doc_id")).distinct()
+    old_cells = {
+        int(r["cell"])
+        for r in open_cell_table(spark, path)
+        .select("doc_id", "cell")
+        .join(F.broadcast(ids), "doc_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    dirty = sorted(new_cells | old_cells)
+    enc = _encode_cells(index, codebooks, centroids, dim, n_cells,
+                        index_vec_col, index_id_col)
+    cell_store_refresh(
+        spark,
+        path,
+        enc.filter(F.col("cell").isin(dirty)),
+        dirty,
+        _pre_publish_hook=_pre_publish_hook,
+    )
+    return dirty
 
 
 def ivfpq_topk_ondisk(
@@ -480,7 +592,11 @@ def ivfpq_topk_ondisk(
     probed = sorted(
         int(r["cell"]) for r in q.select("cell").distinct().collect()
     )
-    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        open_cell_table,
+    )
+
+    codes = open_cell_table(spark, path).filter(F.col("cell").isin(probed))
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"), F.col("lut"), lambda code, lut_s: F.element_at(lut_s, code + 1)

@@ -1,0 +1,255 @@
+"""Cell-partitioned artifact store with INCREMENTAL per-cell refresh —
+the generation/MANIFEST/grace machinery of ``streaming/index_stream``
+generalized from "one table, one generation" to "one generation entry PER
+CELL", so a micro-batch of upserts rewrites only the cell partitions it
+touched (VERDICT r6, What's missing #3).
+
+The reference's POST /refresh-index (services/index_service.py:112-115)
+rebuilds its whole HNSW graph on every refresh; the on-disk ANN artifacts
+here (IVFPQ codes, ``pq.write_ivfpq_index``; celled HNSW graph blobs,
+``ann_hnsw.write_celled_hnsw_index``) were likewise rebuild-only.  At
+100 TB a full re-encode per upsert batch is not a plan; this store makes
+the refresh cost proportional to the DIRTY cells — with a well-chosen
+coarse quantizer that is ``|touched cells| / n_cells`` of the corpus,
+typically the batch's own footprint.
+
+Layout under ``path``::
+
+    MANIFEST            # JSON {"partition_col": "cell",
+                        #       "cells": {"<value>": ".gen-<n>", ...}}
+    RETIRED             # realpaths superseded by the last write; deleted
+                        # by the next one (one-cycle grace period)
+    .gen-<n>/cell=<v>/  # parquet partition dirs; a generation holds only
+                        # the cells (re)written by its write
+
+Semantics (all inherited from ``index_stream.compact_index``, proven
+there and re-tested here):
+
+- **Atomic publish**: the manifest is swapped with ``os.replace``; a
+  reader at any instant resolves a complete, consistent cell set.
+- **Grace period**: a write retires — does not delete — the partition
+  dirs it supersedes; the NEXT write deletes them, so lazily-executed
+  reader plans stay valid for one full write cycle.
+- **Crash-window sweep**: partition dirs referenced by neither MANIFEST
+  nor RETIRED (a write died between gen write and publish, or between
+  publish and the RETIRED rewrite) are deleted at the start of the next
+  write.
+- **Legacy fallback**: ``open_cell_table`` on a path without MANIFEST is
+  a plain partitioned-parquet read, so the flat artifacts written by
+  ``write_ivfpq_index`` / ``write_celled_hnsw_index`` keep serving
+  unchanged.
+
+Scale shape: every driver-side structure here is O(n_cells) (the
+manifest, the dirty set, the retire list) — never O(rows).  The read
+view is one scan per LIVE GENERATION, each pruned to its manifest cells
+via partition filters; ``compact`` folds all generations back to one
+when the union grows past taste.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cell_store_manifest(path: str) -> dict | None:
+    """The parsed MANIFEST, or None when ``path`` is not a managed store
+    (legacy flat artifact or empty dir)."""
+    try:
+        with open(os.path.join(path, "MANIFEST"), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _retired(path: str) -> list[str]:
+    try:
+        with open(os.path.join(path, "RETIRED"), encoding="utf-8") as f:
+            return [os.path.realpath(ln.strip()) for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def _next_gen(path: str) -> str:
+    ns = [
+        int(os.path.basename(d).split("-")[-1])
+        for d in glob.glob(os.path.join(path, ".gen-*"))
+        if os.path.isdir(d)
+    ]
+    return f".gen-{(max(ns) + 1 if ns else 0):06d}"
+
+
+def _partition_dirs(path: str, man: dict) -> dict[str, str]:
+    """cell value -> absolute partition dir for the manifest's mapping."""
+    pcol = man["partition_col"]
+    return {
+        cell: os.path.join(path, gen, f"{pcol}={cell}")
+        for cell, gen in man["cells"].items()
+    }
+
+
+def _housekeep(path: str, man: dict | None) -> None:
+    """Grace-delete what the previous write retired, then sweep partition
+    dirs referenced by neither MANIFEST nor RETIRED (crash leftovers)."""
+    for stale in _retired(path):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+    referenced = set(_retired(path))
+    if man is not None:
+        referenced.update(
+            os.path.realpath(p) for p in _partition_dirs(path, man).values()
+        )
+    for gen in glob.glob(os.path.join(path, ".gen-*")):
+        if not os.path.isdir(gen):
+            continue
+        for part in glob.glob(os.path.join(gen, "*=*")):
+            if os.path.realpath(part) not in referenced:
+                shutil.rmtree(part, ignore_errors=True)
+        if not os.listdir(gen):
+            shutil.rmtree(gen, ignore_errors=True)
+
+
+def _publish(path: str, man: dict, retire: list[str]) -> None:
+    tmp = os.path.join(path, ".MANIFEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "MANIFEST"))  # the atomic publish
+    tmp_r = os.path.join(path, ".RETIRED.tmp")
+    with open(tmp_r, "w", encoding="utf-8") as f:
+        f.write("\n".join(os.path.realpath(p) for p in retire) + "\n")
+    os.replace(tmp_r, os.path.join(path, "RETIRED"))
+
+
+def _written_cells(gen_dir: str, partition_col: str) -> list[str]:
+    return sorted(
+        d.split("=", 1)[1]
+        for d in (
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(gen_dir, f"{partition_col}=*"))
+        )
+    )
+
+
+def cell_store_write_full(
+    df: DataFrame, path: str, partition_col: str = "cell"
+) -> None:
+    """Full (re)build: write EVERY cell of ``df`` into a fresh generation
+    and point the whole manifest at it; all previously-referenced
+    partition dirs are retired (grace-deleted by the next write)."""
+    os.makedirs(path, exist_ok=True)
+    old = cell_store_manifest(path)
+    _housekeep(path, old)
+    gen = _next_gen(path)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(
+        os.path.join(path, gen)
+    )
+    cells = _written_cells(os.path.join(path, gen), partition_col)
+    retire = (
+        list(_partition_dirs(path, old).values()) if old is not None else []
+    )
+    _publish(
+        path,
+        {"partition_col": partition_col, "cells": {c: gen for c in cells}},
+        retire,
+    )
+
+
+def cell_store_refresh(
+    spark: SparkSession,
+    path: str,
+    build_df: DataFrame,
+    dirty_cells,
+    _pre_publish_hook=None,
+) -> None:
+    """Incremental refresh: ``build_df`` holds the NEW full content of the
+    ``dirty_cells`` (and only those — rows outside them are an error
+    caught below); clean cells keep their existing partition dirs
+    untouched.  A dirty cell with no rows in ``build_df`` (emptied by
+    deletes/moves) is dropped from the manifest.
+
+    ``_pre_publish_hook`` is the same test seam ``compact_index`` exposes:
+    invoked after the new generation is written, before the manifest swap
+    — a reader there must still resolve the complete OLD view."""
+    man = cell_store_manifest(path)
+    if man is None:
+        raise FileNotFoundError(
+            f"no managed cell store at {path} (write_full first)"
+        )
+    pcol = man["partition_col"]
+    dirty = {str(c) for c in dirty_cells}
+    _housekeep(path, man)
+    gen = _next_gen(path)
+    build_df.write.mode("overwrite").partitionBy(pcol).parquet(
+        os.path.join(path, gen)
+    )
+    written = set(_written_cells(os.path.join(path, gen), pcol))
+    if not written <= dirty:
+        # refusing to publish: silently absorbing rows for undeclared
+        # cells would leave those cells' manifest entries pointing at
+        # STALE partitions while the fresh rows sit unreferenced
+        shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
+        raise ValueError(
+            f"build_df wrote cells outside the declared dirty set: "
+            f"{sorted(written - dirty)}"
+        )
+    if _pre_publish_hook is not None:
+        _pre_publish_hook()
+    old_parts = _partition_dirs(path, man)
+    cells = {c: g for c, g in man["cells"].items() if c not in dirty}
+    cells.update({c: gen for c in written})
+    retire = [old_parts[c] for c in dirty if c in man["cells"]]
+    _publish(path, {"partition_col": pcol, "cells": cells}, retire)
+
+
+def open_cell_table(spark: SparkSession, path: str) -> DataFrame:
+    """The resolved read view: for a managed store, one pruned scan per
+    live generation (each generation's scan carries a
+    ``cell IN (its manifest cells)`` PARTITION filter, so unreferenced and
+    superseded partitions are never listed); for a legacy flat artifact,
+    the plain partitioned read.  Downstream probed-cell ``isin`` filters
+    compose on top and still prune at the scan."""
+    man = cell_store_manifest(path)
+    if man is None:
+        return spark.read.parquet(path)
+    pcol = man["partition_col"]
+    by_gen: dict[str, list[str]] = {}
+    for cell, gen in man["cells"].items():
+        by_gen.setdefault(gen, []).append(cell)
+    parts = []
+    for gen in sorted(by_gen):
+        vals = [int(c) if c.lstrip("-").isdigit() else c for c in by_gen[gen]]
+        parts.append(
+            spark.read.parquet(os.path.join(path, gen)).filter(
+                F.col(pcol).isin(vals)
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"cell store at {path} has no live cells")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cell_store_compact(spark: SparkSession, path: str) -> None:
+    """Fold every live cell back into ONE generation (bounds the number
+    of per-generation scans ``open_cell_table`` unions).  The copy job
+    executes before the publish, so the source partitions it read are
+    only retired, never deleted under it."""
+    cell_store_write_full(
+        open_cell_table(spark, path),
+        path,
+        partition_col=cell_store_manifest(path)["partition_col"]
+        if cell_store_manifest(path)
+        else "cell",
+    )
