@@ -226,11 +226,41 @@ def _hnsw_fn(spark, sf_dir):
             vec_col="nv", graphs=celled,
         )
 
+    # r7 (VERDICT r6 #5): filtered vector search, both strategies over
+    # the same id-hash predicate (selectivity ~1/3, geometry-independent)
+    from vector_search_question_answer_api_spark.operators.search import (
+        filtered_knn,
+    )
+
+    fidx = idx.select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+        (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3)) == 0).alias("keep"),
+    )
+    fpred = F.col("keep")
+
+    def filtered_knn_exact(spark, sf_dir):
+        return filtered_knn(q, fidx, fpred, k=5, strategy="exact")
+
+    def filtered_knn_postfilter(spark, sf_dir):
+        def tier(queries, kk):
+            return ann_hnsw.celled_hnsw_topk_cogrouped(
+                celled, queries, centroids=cents, k=kk, ef=50, dim=64,
+                n_cells=16, nprobe=4,
+            )
+
+        return filtered_knn(
+            q, fidx, fpred, k=5, strategy="ann_postfilter",
+            oversample=4, ann_topk=tier,
+        )
+
     return (
         {
             "ann_hnsw_topk": ann_hnsw_topk,
             "ann_hnsw_celled": ann_hnsw_celled,
             "knn_graph_full": knn_graph_full,
+            "filtered_knn_exact": filtered_knn_exact,
+            "filtered_knn_postfilter": filtered_knn_postfilter,
         },
         [graphs, celled],
     )

@@ -200,8 +200,12 @@ def filtered_knn(
       then apply the predicate and re-cut to k.  ``ann_topk`` is a
       callable (queries, k) -> DataFrame[(query_id, doc_id, distance)]
       wrapping the tier of choice (celled graphs, IVF, PQ...).  Recall
-      degrades with predicate selectivity s roughly until
-      oversample >= 1/s — use for UNSELECTIVE predicates where
+      degrades with predicate selectivity s; MEASURED rule
+      (tools/filtered_curve.py, SCALE.md r7): oversample ≈ 2/s for a
+      0.95 target (the 1/s back-of-envelope leaves half the queries
+      short), recall is capped by the base tier's own unfiltered
+      recall, and below s ≈ 0.1 the required oversample climbs into
+      that ceiling — use for BROAD predicates (s >= 0.25) where
       re-scanning the corpus per predicate would dominate.  The join
       back to the index applies the predicate to ids only (semi-join
       sized).  CAVEAT (tested): if the predicate is ANTI-CORRELATED with
