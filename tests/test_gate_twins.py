@@ -204,3 +204,20 @@ def test_knn_graph_twin_detects_drift(spark, monkeypatch):
     monkeypatch.setattr(ah, "knn_graph", corrupted)
     with pytest.raises(ValueError, match="knn_graph twin"):
         inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_graph_replay_twin_detects_retrieval_drift(spark, monkeypatch):
+    """r7: the in-gate graph-retrieval replay twin must fire when the
+    graph tier's top-1 drifts from exact retrieval."""
+    import vector_search_question_answer_api_spark.operators.ann_hnsw as ah
+
+    real = ah.celled_hnsw_topk_cogrouped
+
+    def corrupted(*a, **k):
+        # shift every hit to a different doc: the fold then binds wrong
+        # contexts and the replay outputs diverge
+        return real(*a, **k).withColumn("doc_id", F.col("doc_id") + 1)
+
+    monkeypatch.setattr(ah, "celled_hnsw_topk_cogrouped", corrupted)
+    with pytest.raises(ValueError, match="graph-retrieval replay twin"):
+        inventory.queries()["qa_sessions_replay"](spark, SF).count()

@@ -154,3 +154,43 @@ def test_replay_lsh_retrieval_matches_exact(spark, corpus):
             "expired_before",
         ):
             assert lsh[eid][col] == exact[eid][col], f"event {eid} col {col}"
+
+
+def test_replay_graph_retrieval_matches_exact(spark, corpus):
+    """r7 (VERDICT r6 #7): the RAG retrieval seam served by the
+    reference's own index structure — celled HNSW graphs through the
+    cogrouped walk — must reproduce the exact replay on the corpus
+    fixture (identical question vectors self-hit; the walk at ef=50 is
+    exhaustive over these tiny cells)."""
+    rows = [
+        (0, "s1", DOC_A),
+        (1, "s1", DOC_A),
+        (2, "s1", DOC_B),
+        (3, "s2", GIBBERISH),
+        (31 + 3, "s2", DOC_C),
+    ]
+    exact = _replay(spark, corpus, rows)
+    ev = _events(spark, rows)
+    graph = {
+        r["event_id"]: r
+        for r in replay_sessions(ev, corpus, retrieval="graph").collect()
+    }
+    assert set(exact) == set(graph)
+    for eid in exact:
+        for col in (
+            "context_doc_id",
+            "context_changed",
+            "is_new_topic",
+            "used_fallback",
+            "answer",
+            "history_len",
+            "expired_before",
+        ):
+            assert graph[eid][col] == exact[eid][col], f"event {eid} col {col}"
+
+
+def test_replay_unknown_retrieval_raises(spark, corpus):
+    with pytest.raises(ValueError, match="unknown retrieval"):
+        replay_sessions(
+            _events(spark, [(0, "s1", DOC_A)]), corpus, retrieval="nope"
+        ).collect()

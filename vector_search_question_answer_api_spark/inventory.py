@@ -1493,6 +1493,31 @@ def qa_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["used_fallback"] != (r["context_doc_id"] is None):
                 raise ValueError(f"fallback drift at event {r['event_id']}")
             last_ts = r["ts"]
+    if RUN_TWIN_CHECKS:
+        # r7 (VERDICT r6 #7): the retrieval seam served by the
+        # reference's OWN index structure — celled HNSW graphs through
+        # the cogrouped walk (services/index_service.py:87-96, made
+        # distributed) — must reproduce the exact-retrieval replay
+        # column-for-column on the gate corpus (every question is a doc
+        # text, so the self-hit is the top-1 under both tiers and every
+        # fold decision matches).
+        cols = [
+            "session_id", "event_id", "context_doc_id", "context_changed",
+            "is_new_topic", "used_fallback", "answer", "history_len",
+            "expired_before",
+        ]
+        want = {tuple(r) for r in out.select(*cols).collect()}
+        got = {
+            tuple(r)
+            for r in replay_sessions(qa_events, index, retrieval="graph")
+            .select(*cols)
+            .collect()
+        }
+        if got != want or not got:
+            raise ValueError(
+                "graph-retrieval replay twin differs from exact replay: "
+                f"{sorted(want ^ got)[:3]}"
+            )
     return out.select(
         "session_id",
         "event_id",

@@ -159,6 +159,10 @@ def prepare_qa_events(
     index: DataFrame,
     embedder=None,
     retrieval: str = "exact",
+    graphs: DataFrame | None = None,
+    graph_n_cells: int = 16,
+    graph_nprobe: int = 4,
+    graph_ef: int = 50,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
@@ -177,6 +181,14 @@ def prepare_qa_events(
       (every event a query) runs with only linear shuffles.  An event whose
       question misses every hash bucket gets a null candidate, which the
       fold treats exactly like a no-hit retrieval (fallback path).
+    - ``"graph"`` (r7): the reference's OWN index structure — an HNSW
+      graph (services/index_service.py:87-96) — served Spark-side: celled
+      graphs (one per coarse cell) + the COGROUPED cell-routed walk, so
+      like "lsh" neither side is collected or broadcast and the query
+      relation reaches the graphs via two cell-keyed shuffles.  Recall is
+      governed by (nprobe, ef) per the measured sizing rules (SCALE.md);
+      pass ``graphs`` (e.g. from ``ann_hnsw.read_celled_hnsw_index``) to
+      amortize the build across replays.
     """
     from vector_search_question_answer_api_spark.functions import vector as V
     from vector_search_question_answer_api_spark.functions import text as TXT
@@ -211,8 +223,26 @@ def prepare_qa_events(
             (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
         )
         top1 = topk_per_query(scored, 1)
-    else:
+    elif retrieval == "graph":
+        from vector_search_question_answer_api_spark.operators import ann_hnsw
+        from vector_search_question_answer_api_spark.operators.ivf import (
+            centroid_grid,
+        )
+
+        dim = DEFAULT_CONFIG.embedding_dim
+        cents = centroid_grid(dim, graph_n_cells)
+        if graphs is None:
+            graphs = ann_hnsw.build_celled_hnsw(
+                index, centroids=cents, dim=dim, n_cells=graph_n_cells
+            )
+        top1 = ann_hnsw.celled_hnsw_topk_cogrouped(
+            graphs, q, centroids=cents, k=1, ef=graph_ef, dim=dim,
+            n_cells=graph_n_cells, nprobe=graph_nprobe,
+        ).select("query_id", "doc_id", "distance")
+    elif retrieval == "exact":
         top1 = knn_exact_partitioned(q, index, k=1)
+    else:
+        raise ValueError(f"unknown retrieval strategy {retrieval!r}")
     hits = top1.select(
         F.col("query_id").alias("event_id"),
         F.col("doc_id").alias("cand_doc_id"),
@@ -240,6 +270,7 @@ def replay_sessions(
     cfg: EngineConfig = DEFAULT_CONFIG,
     usage: "UsageCounters | None" = None,
     retrieval: str = "exact",
+    graphs: DataFrame | None = None,
 ) -> DataFrame:
     """Batch replay of the stateful /qa pipeline: precompute retrieval
     set-at-a-time, then fold each session in parallel (applyInPandas).
@@ -249,7 +280,9 @@ def replay_sessions(
     analog of the reference's generation resource monitor (U3,
     utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
     polls, readable on the driver after an action."""
-    events = prepare_qa_events(qa_events, index, embedder, retrieval=retrieval)
+    events = prepare_qa_events(
+        qa_events, index, embedder, retrieval=retrieval, graphs=graphs
+    )
     cfg_ = cfg
     ev_acc = usage.events if usage is not None else None
     sess_acc = usage.sessions if usage is not None else None
