@@ -1,0 +1,121 @@
+"""Streaming maintenance of the SERVING-SIDE ANN artifacts — the
+composition of the index log (``streaming/index_stream``) with the
+per-cell incremental refresh (``sources/cell_store``), closing the loop
+the reference's POST /refresh-index only sketches
+(services/index_service.py:112-115: full rebuild per refresh).
+
+Per micro-batch of indexed documents (the ``index_stream`` relation),
+``maintain_search_artifacts``:
+
+1. snapshots the PRE-upsert state of the batch's doc_ids from the
+   resolved index view (the old-cell evidence the graph store needs for
+   cell-moving updates — its blobs are opaque, see
+   ``refresh_celled_hnsw_index``);
+2. appends the batch to the index LSM log exactly as ``maintain_index``
+   does (same restart-safe ``_batch`` tagging);
+3. re-encodes ONLY the dirty cells of the managed IVFPQ codes store and
+   re-builds ONLY the dirty cells' graphs in the managed celled-HNSW
+   store, from the post-append resolved view.
+
+Restart safety: a replayed batch (same checkpointed batch id) re-appends
+rows the read view already deduplicates, and the refreshes are
+IDEMPOTENT — they rebuild dirty cells from the resolved view, so running
+them twice converges to the same artifact (only the generation counter
+advances).  Readers are never broken mid-refresh: each store publishes
+with an atomic manifest swap and grace-retires superseded partitions.
+
+Scale shape: per micro-batch the work is the batch embed/append (map-only)
+plus ``|dirty cells| / n_cells`` of the corpus re-encoded — the batch's
+own footprint under a well-sized coarse quantizer, vs the full rebuild
+the reference performs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def maintain_search_artifacts(
+    indexed_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    codebooks,
+    codes_path: str | None = None,
+    graphs_path: str | None = None,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    trigger_once: bool = False,
+    backend: str | None = None,
+):
+    """Start the composed maintenance query.  ``indexed_stream`` is the
+    ``index_stream`` relation (ts, vec_id, doc_id, norm_embedding, norm);
+    ``path`` the index-log root (``maintain_index`` layout); ``codes_path``
+    / ``graphs_path`` MANAGED stores previously initialized with
+    ``write_ivfpq_index_managed`` / ``write_celled_hnsw_index_managed``
+    (either may be None to maintain just one artifact)."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        read_index_latest,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            ids = batch_df.select("doc_id").distinct()
+            try:
+                prev_delta = (
+                    read_index_latest(spark, path)
+                    .join(F.broadcast(ids), "doc_id", "left_semi")
+                    .select("doc_id", "norm_embedding")
+                    .persist()
+                )
+                prev_delta.count()
+            except FileNotFoundError:
+                prev_delta = None  # first batch: nothing to supersede
+            (
+                batch_df.withColumn("_batch", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(path, "log"))
+            )
+            index = read_index_latest(spark, path)
+            delta = batch_df.select("doc_id", "norm_embedding")
+            if codes_path is not None:
+                from vector_search_question_answer_api_spark.operators.pq import (
+                    refresh_ivfpq_index,
+                )
+
+                refresh_ivfpq_index(
+                    spark, codes_path, index, delta, codebooks,
+                    centroids=centroids, dim=dim, n_cells=n_cells,
+                )
+            if graphs_path is not None:
+                from vector_search_question_answer_api_spark.operators import (
+                    ann_hnsw,
+                )
+
+                ann_hnsw.refresh_celled_hnsw_index(
+                    spark, graphs_path, index, delta,
+                    prev_delta=prev_delta, centroids=centroids, dim=dim,
+                    n_cells=n_cells, backend=backend,
+                )
+            if prev_delta is not None:
+                prev_delta.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = indexed_stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
