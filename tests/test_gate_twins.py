@@ -221,3 +221,21 @@ def test_graph_replay_twin_detects_retrieval_drift(spark, monkeypatch):
     monkeypatch.setattr(ah, "celled_hnsw_topk_cogrouped", corrupted)
     with pytest.raises(ValueError, match="graph-retrieval replay twin"):
         inventory.queries()["qa_sessions_replay"](spark, SF).count()
+
+
+def test_managed_refresh_twin_detects_dropped_cells(spark, monkeypatch):
+    """r7: the gate's on-disk roundtrip runs through the managed cell
+    store with one incremental refresh; a refresh that publishes its
+    dirty cells with no replacement rows (manifest entries dropped,
+    partitions gone from the read view) must make the gate fire."""
+    import vector_search_question_answer_api_spark.operators.pq as pq
+
+    real = pq.refresh_ivfpq_index
+
+    def corrupted(spark_, path, index, delta, *a, **k):
+        # empty the delta's cells instead of re-encoding them
+        return real(spark_, path, index.limit(0), delta, *a, **k)
+
+    monkeypatch.setattr(pq, "refresh_ivfpq_index", corrupted)
+    with pytest.raises(ValueError, match="ivfpq_topk_ondisk differs"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()

@@ -2377,20 +2377,30 @@ def _pq_ivfpq_twin_check(normed: DataFrame) -> None:
     # cell partition filters, deferred vector fetch — must emit exactly what
     # the in-memory ivfpq_topk emitted above (same ids, ranks, distances).
     # The write→read roundtrip makes the physical layout itself part of the
-    # driver-recorded correctness surface.
+    # driver-recorded correctness surface.  r7: the roundtrip goes through
+    # the MANAGED cell store — full init + one incremental per-cell refresh
+    # (sources/cell_store, VERDICT r6 #4) — so the manifest/refresh
+    # machinery itself serves byte-identically on every correctness run: a
+    # refresh that loses rows, drops manifest cells, or leaves stale
+    # partitions live makes the compare fail (mutation-tested).
     import shutil
     import tempfile
 
     from vector_search_question_answer_api_spark.operators.pq import (
         ivfpq_topk_ondisk,
-        write_ivfpq_index,
+        refresh_ivfpq_index,
+        write_ivfpq_index_managed,
     )
 
     spark = normed.sparkSession
     tmp = tempfile.mkdtemp(prefix="gate_ivfpq_codes_")
     try:
-        write_ivfpq_index(idx, tmp, cbs, centroids=cents, dim=dim,
-                          n_cells=n_cells)
+        write_ivfpq_index_managed(idx, tmp, cbs, centroids=cents, dim=dim,
+                                  n_cells=n_cells)
+        refresh_ivfpq_index(
+            spark, tmp, idx, idx.filter(F.col("doc_id") < 3), cbs,
+            centroids=cents, dim=dim, n_cells=n_cells,
+        )
         ondisk = ivfpq_topk_ondisk(
             spark, q, tmp, idx, cbs, centroids=cents, k=k, dim=dim,
             n_cells=n_cells, nprobe=nprobe, refine=refine,
