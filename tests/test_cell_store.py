@@ -422,3 +422,73 @@ def test_streaming_upsert_refreshes_only_dirty_cells(spark, tmp_path):
     assert refreshed == full and refreshed
     idx0.unpersist()
     fin.unpersist()
+
+
+def test_refresh_sequence_with_compact_converges_to_full_build(
+    spark, corpus, tmp_path
+):
+    """Robustness over a LIFETIME of maintenance: five successive upsert
+    batches (inserts, updates, cell-moving updates), a compact in the
+    middle — the store's resolved content after every step equals a
+    direct encode of the running state, and the final store serves
+    identically to a one-shot build."""
+    from vector_search_question_answer_api_spark.operators.pq import (
+        _encode_cells,
+    )
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_compact,
+    )
+
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+
+    state = {r["doc_id"]: list(r["norm_embedding"]) for r in corpus.collect()}
+    vecs = sorted(state.items())
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents, dim=DIM,
+                              n_cells=N_CELLS)
+
+    rng = np.random.RandomState(5)
+    for step in range(5):
+        batch = {}
+        # 2 updates of existing docs with vectors borrowed from other docs
+        # (high chance of a cell move), 1 brand-new doc
+        for _ in range(2):
+            target = int(rng.choice(list(state)))
+            donor = vecs[int(rng.randint(len(vecs)))][1]
+            batch[target] = donor
+        new_id = 1000 + step
+        batch[new_id] = vecs[int(rng.randint(len(vecs)))][1]
+        state.update(batch)
+        delta = spark.createDataFrame(
+            [(d, v) for d, v in batch.items()],
+            "doc_id long, norm_embedding array<double>",
+        )
+        index = spark.createDataFrame(
+            [(d, v) for d, v in sorted(state.items())],
+            "doc_id long, norm_embedding array<double>",
+        )
+        refresh_ivfpq_index(spark, path, index, delta, cbs, centroids=cents,
+                            dim=DIM, n_cells=N_CELLS)
+        if step == 2:
+            cell_store_compact(spark, path)
+        got = {
+            (r["doc_id"], r["cell"], tuple(r["codes"]))
+            for r in open_cell_table(spark, path).collect()
+        }
+        want = {
+            (r["doc_id"], r["cell"], tuple(r["codes"]))
+            for r in _encode_cells(index, cbs, cents, DIM, N_CELLS).collect()
+        }
+        assert got == want and len(got) == len(state), f"drift at step {step}"
+
+    final = spark.createDataFrame(
+        [(d, v) for d, v in sorted(state.items())],
+        "doc_id long, norm_embedding array<double>",
+    ).cache()
+    fresh = str(tmp_path / "fresh")
+    write_ivfpq_index_managed(final, fresh, cbs, centroids=cents, dim=DIM,
+                              n_cells=N_CELLS)
+    got = _topk_rows(spark, path, final, cbs, cents)
+    assert got == _topk_rows(spark, fresh, final, cbs, cents) and got
+    final.unpersist()
