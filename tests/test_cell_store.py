@@ -492,3 +492,70 @@ def test_refresh_sequence_with_compact_converges_to_full_build(
     got = _topk_rows(spark, path, final, cbs, cents)
     assert got == _topk_rows(spark, fresh, final, cbs, cents) and got
     final.unpersist()
+
+
+def test_live_generations_and_auto_compact_wiring(spark, corpus, tmp_path):
+    """live-generation accounting: +1 per refresh, folded to 1 by
+    compact; the streaming maintainer auto-compacts past its threshold
+    (codes store only, 2 micro-batches, compact_every_gens=1)."""
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_compact,
+        cell_store_live_generations,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming.ann_maintain import (
+        maintain_search_artifacts,
+    )
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        index_stream,
+    )
+
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "store")
+    write_ivfpq_index_managed(corpus, path, cbs, centroids=cents, dim=DIM,
+                              n_cells=N_CELLS)
+    assert cell_store_live_generations(path) == 1
+    delta = corpus.filter("doc_id < 3")
+    refresh_ivfpq_index(spark, path, corpus, delta, cbs, centroids=cents,
+                        dim=DIM, n_cells=N_CELLS)
+    assert cell_store_live_generations(path) == 2
+    cell_store_compact(spark, path)
+    assert cell_store_live_generations(path) == 1
+
+    # streaming wiring: threshold 1 → every batch that pushes the store
+    # to 2 live generations triggers a fold back to 1
+    root = str(tmp_path)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+    )
+    idx0 = build_index(docs)
+    codes = f"{root}/codes"
+    idx0.withColumn("ts", F.timestamp_millis(F.col("doc_id"))).withColumn(
+        "_batch", F.lit(0)
+    ).write.parquet(f"{root}/idx/log")
+    write_ivfpq_index_managed(idx0, codes, cbs, centroids=cents, dim=DIM,
+                              n_cells=N_CELLS)
+    for i in range(2):
+        docs.filter(f"doc_id = {i}").select(
+            "doc_id",
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.concat(F.lit(f"update {i} "), F.col("text")).alias("text"),
+        ).coalesce(1).write.parquet(f"{root}/src/u{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src/*")
+    )
+    q = maintain_search_artifacts(
+        index_stream(stream), f"{root}/idx", checkpoint=f"{root}/ckpt",
+        codebooks=cbs, codes_path=codes, centroids=cents, dim=DIM,
+        n_cells=N_CELLS, trigger_once=True, compact_every_gens=1,
+    )
+    assert q.awaitTermination(180), "maintenance stream did not finish"
+    assert cell_store_live_generations(codes) == 1

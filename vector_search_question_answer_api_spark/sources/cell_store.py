@@ -241,6 +241,14 @@ def open_cell_table(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def cell_store_live_generations(path: str) -> int:
+    """Number of DISTINCT generations the manifest currently references —
+    the union width ``open_cell_table`` pays per read.  Grows by at most
+    one per refresh; ``cell_store_compact`` folds it back to one."""
+    man = cell_store_manifest(path)
+    return len(set(man["cells"].values())) if man else 0
+
+
 def cell_store_compact(spark: SparkSession, path: str) -> None:
     """Fold every live cell back into ONE generation (bounds the number
     of per-generation scans ``open_cell_table`` unions).  The copy job

@@ -50,13 +50,20 @@ def maintain_search_artifacts(
     n_cells: int = 16,
     trigger_once: bool = False,
     backend: str | None = None,
+    compact_every_gens: int = 8,
 ):
     """Start the composed maintenance query.  ``indexed_stream`` is the
     ``index_stream`` relation (ts, vec_id, doc_id, norm_embedding, norm);
     ``path`` the index-log root (``maintain_index`` layout); ``codes_path``
     / ``graphs_path`` MANAGED stores previously initialized with
     ``write_ivfpq_index_managed`` / ``write_celled_hnsw_index_managed``
-    (either may be None to maintain just one artifact)."""
+    (either may be None to maintain just one artifact).
+
+    ``compact_every_gens`` bounds the read-side union width: when a
+    store's manifest references more than this many live generations
+    after a refresh, it is folded back to one (``cell_store_compact``) —
+    the same cadence decision ``index_stream`` leaves to its caller, made
+    automatic here because the stream owns the write path."""
     from vector_search_question_answer_api_spark.operators.ivf import (
         centroid_grid,
     )
@@ -108,6 +115,17 @@ def maintain_search_artifacts(
                     prev_delta=prev_delta, centroids=centroids, dim=dim,
                     n_cells=n_cells, backend=backend,
                 )
+            from vector_search_question_answer_api_spark.sources.cell_store import (
+                cell_store_compact,
+                cell_store_live_generations,
+            )
+
+            for store in (codes_path, graphs_path):
+                if (
+                    store is not None
+                    and cell_store_live_generations(store) > compact_every_gens
+                ):
+                    cell_store_compact(spark, store)
             if prev_delta is not None:
                 prev_delta.unpersist()
         finally:
