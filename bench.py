@@ -374,6 +374,18 @@ def main() -> None:
         f"{len(exact_pairs)} exact)"
     )
 
+    # r7: sketch-tier corpus profiling — the CMS heavy-hitter pass (sampled
+    # candidates + full-corpus count-min re-estimate), the expensive half
+    # of operators/sketches.corpus_profile.  Timed as the sketch path a
+    # 100 TB profile run takes instead of the vocabulary-sized exact top-k.
+    from vector_search_question_answer_api_spark.operators import sketches as SK
+
+    def corpus_profile_sketch(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return SK.heavy_hitters_sketch(d, k=20, sample_mod=4, candidate_factor=4)
+
+    extra["corpus_profile_sketch"] = corpus_profile_sketch
+
     timings: dict[str, float] = {}
     ledger: dict[str, dict] = {}
     for name in [*HEADLINE, *extra]:

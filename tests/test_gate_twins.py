@@ -239,3 +239,68 @@ def test_managed_refresh_twin_detects_dropped_cells(spark, monkeypatch):
     monkeypatch.setattr(pq, "refresh_ivfpq_index", corrupted)
     with pytest.raises(ValueError, match="ivfpq_topk_ondisk differs"):
         inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_sketch_twin_detects_cms_underestimate(spark, monkeypatch):
+    """r7: the sketch-profile twin must fire when CMS estimates drop below
+    exact counts (the deterministic count-min guarantee)."""
+    import vector_search_question_answer_api_spark.operators.sketches as SK
+
+    real = SK.cms_estimate
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn(
+            "est", (F.col("est") / 2).cast("long")
+        )
+
+    monkeypatch.setattr(SK, "cms_estimate", corrupted)
+    with pytest.raises(ValueError, match="CMS underestimated"):
+        inventory.queries()["text_metrics"](spark, SF).count()
+
+
+def test_sketch_twin_detects_heavy_hitter_drift(spark, monkeypatch):
+    """r7: the twin must fire when the sketch-tier heavy hitters diverge
+    from the exact top-k ranking."""
+    import vector_search_question_answer_api_spark.operators.sketches as SK
+
+    real = SK.heavy_hitters_sketch
+
+    def corrupted(documents, k=20, **kw):
+        return real(documents, k=k, **kw).orderBy(
+            F.col("est").asc(), F.col("token").desc()
+        )
+
+    monkeypatch.setattr(SK, "heavy_hitters_sketch", corrupted)
+    with pytest.raises(ValueError, match="heavy-hitter drift"):
+        inventory.queries()["text_metrics"](spark, SF).count()
+
+
+def test_sketch_twin_detects_histogram_shift(spark, monkeypatch):
+    """r7: the twin must fire when histogram quantile estimates leave the
+    one-bin-width error bound."""
+    import vector_search_question_answer_api_spark.operators.sketches as SK
+
+    real = SK.quantiles_from_histogram
+
+    def corrupted(hist, lo, hi, n_bins, qs):
+        out = real(hist, lo, hi, n_bins, qs)
+        return {q: v + 10 * (hi - lo) / n_bins for q, v in out.items()}
+
+    monkeypatch.setattr(SK, "quantiles_from_histogram", corrupted)
+    with pytest.raises(ValueError, match="histogram quantile out of bound"):
+        inventory.queries()["text_metrics"](spark, SF).count()
+
+
+def test_sketch_twin_detects_broken_merge(spark, monkeypatch):
+    """r7: the twin must fire when sketch merging loses linearity (the
+    property the streaming profile store depends on)."""
+    import vector_search_question_answer_api_spark.operators.sketches as SK
+
+    real = SK.merge_sketches
+
+    def corrupted(parts):
+        return real(parts).withColumn("cnt", F.col("cnt") + 1)
+
+    monkeypatch.setattr(SK, "merge_sketches", corrupted)
+    with pytest.raises(ValueError, match="merged halves"):
+        inventory.queries()["text_metrics"](spark, SF).count()

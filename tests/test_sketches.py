@@ -1,0 +1,215 @@
+"""Sketch-profiling tests: CMS guarantees, histogram quantile bounds, HLL
+accuracy, heavy-hitter parity, and the batch ≡ merged-streaming identity
+the incremental maintenance story rests on."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import text as TXT
+from vector_search_question_answer_api_spark.operators import sketches as SK
+from vector_search_question_answer_api_spark.sources.tables import load_table
+from vector_search_question_answer_api_spark.streaming import stats_stream as SS
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").persist()
+
+
+def _exact_counts(docs_df):
+    rows = docs_df.select(
+        TXT.tokens(TXT.preprocess_text(F.col("text"))).alias("toks")
+    ).collect()
+    c = collections.Counter()
+    for r in rows:
+        c.update(r["toks"])
+    return c
+
+
+def test_cms_never_underestimates_and_eps_bound(spark, docs):
+    depth, width = 5, 2048
+    exact = _exact_counts(docs)
+    n_total = sum(exact.values())
+    cms = SK.cms_sketch(SK.token_stream(docs), depth=depth, width=width)
+    cand = spark.createDataFrame([(t,) for t in exact], ["token"])
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(cms, cand, depth=depth, width=width).collect()
+    }
+    assert set(est) == set(exact)
+    # Deterministic guarantee: min-over-rows of counters that each include
+    # the item's own contributions can never undercount.
+    assert all(est[t] >= exact[t] for t in exact)
+    # Probabilistic guarantee: overshoot > (e/width)*N for at most a small
+    # fraction (per-item failure prob e^-depth ~ 0.7% at depth 5).
+    eps_n = (2.718281828 / width) * n_total
+    violations = sum(1 for t in exact if est[t] > exact[t] + eps_n)
+    assert violations <= max(2, int(0.02 * len(exact)))
+
+
+def test_cms_sketch_is_bounded(spark, docs):
+    depth, width = 3, 64
+    cms = SK.cms_sketch(SK.token_stream(docs), depth=depth, width=width)
+    assert cms.count() <= depth * width
+    # Every row's total equals the stream length (each occurrence lands in
+    # every sketch row exactly once).
+    per_row = {
+        r["sketch_row"]: r["s"]
+        for r in cms.groupBy("sketch_row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    n = SK.token_stream(docs).count()
+    assert all(v == n for v in per_row.values()) and len(per_row) == depth
+
+
+def test_heavy_hitters_sketch_matches_exact_topk(spark, docs):
+    k = 15
+    exact = [
+        (r["token"], r["cnt"]) for r in SK.heavy_hitters_exact(docs, k=k).collect()
+    ]
+    approx = [
+        (r["token"], r["est"])
+        for r in SK.heavy_hitters_sketch(docs, k=k, depth=5, width=4096).collect()
+    ]
+    # depth-5 min makes all-rows collisions vanishingly rare at this vocab,
+    # so the sketch ranking reproduces the exact top-k token-for-token.
+    assert [t for t, _ in approx] == [t for t, _ in exact]
+    # and estimates can only overshoot.
+    exact_map = dict(exact)
+    assert all(est >= exact_map[t] for t, est in approx)
+
+
+def test_heavy_hitters_sampled_candidates_still_recover_head(spark, docs):
+    k = 5
+    exact = [r["token"] for r in SK.heavy_hitters_exact(docs, k=k).collect()]
+    approx = [
+        r["token"]
+        for r in SK.heavy_hitters_sketch(
+            docs, k=k, sample_mod=2, candidate_factor=8
+        ).collect()
+    ]
+    # A 1/2 deterministic document sample must still surface the head.
+    assert set(exact) <= set(approx) or set(approx) == set(exact)
+
+
+def test_histogram_quantiles_within_one_bin(spark, docs):
+    lo, hi, n_bins = 0.0, 4096.0, 64
+    hist = SK.histogram_sketch(docs, "n_chars", lo, hi, n_bins)
+    assert hist.count() <= n_bins + 2
+    qs = [0.5, 0.9, 0.99]
+    est = SK.quantiles_from_histogram(hist, lo, hi, n_bins, qs)
+    exact = docs.agg(
+        *[F.percentile("n_chars", F.lit(q)).alias(f"q{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    bw = (hi - lo) / n_bins
+    for i, q in enumerate(qs):
+        assert abs(est[q] - float(exact[f"q{i}"])) <= bw + 1e-9
+
+
+def test_hll_estimate_close_to_exact(spark, docs):
+    toks = SK.token_stream(docs)
+    exact = toks.select("token").distinct().count()
+    est = SK.hll_estimate(SK.hll_sketch(toks, "token", lgk=12))
+    # lgk=12 -> ~1.6% standard error; 5 sigma.
+    assert abs(est - exact) <= max(2, int(0.08 * exact))
+
+
+def test_merge_sketches_equals_one_shot(spark, docs):
+    """The linearity property: sketch(a) + sketch(b) == sketch(a U b),
+    bit-identical, for CMS and histogram."""
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    whole_cms = SK.cms_sketch(SK.token_stream(docs), depth=3, width=256)
+    merged_cms = SK.merge_sketches(
+        [
+            SK.cms_sketch(SK.token_stream(a), depth=3, width=256),
+            SK.cms_sketch(SK.token_stream(b), depth=3, width=256),
+        ]
+    )
+    assert whole_cms.exceptAll(merged_cms).count() == 0
+    assert merged_cms.exceptAll(whole_cms).count() == 0
+    whole_h = SK.histogram_sketch(docs, "n_chars", 0.0, 4096.0, 32)
+    merged_h = SK.merge_sketches(
+        [
+            SK.histogram_sketch(a, "n_chars", 0.0, 4096.0, 32),
+            SK.histogram_sketch(b, "n_chars", 0.0, 4096.0, 32),
+        ]
+    )
+    assert whole_h.exceptAll(merged_h).count() == 0
+    assert merged_h.exceptAll(whole_h).count() == 0
+
+
+def test_streaming_profile_store_equals_batch(spark, docs, tmp_path):
+    """Drive three micro-batches through the foreachBatch body by hand and
+    assert the merged store reproduces the one-shot batch sketches
+    (CMS/hist bit-identical, HLL estimate identical)."""
+    path = str(tmp_path / "profile")
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, part in enumerate(thirds):
+        SS.write_profile_batch(part, path, i, depth=3, width=256, n_bins=32)
+    merged_cms = SS.read_profile_cms(spark, path)
+    whole_cms = SK.cms_sketch(SK.token_stream(docs), depth=3, width=256)
+    assert merged_cms.exceptAll(whole_cms).count() == 0
+    assert whole_cms.exceptAll(merged_cms).count() == 0
+    merged_h = SS.read_profile_hist(spark, path)
+    whole_h = SK.histogram_sketch(docs, "n_chars", 0.0, 4096.0, 32)
+    assert merged_h.exceptAll(whole_h).count() == 0
+    assert whole_h.exceptAll(merged_h).count() == 0
+    est_stream = SK.hll_estimate(SS.read_profile_hll(spark, path))
+    est_batch = SK.hll_estimate(SK.hll_sketch(SK.token_stream(docs), "token"))
+    assert est_stream == est_batch
+
+
+def test_streaming_profile_batch_replay_is_idempotent(spark, docs, tmp_path):
+    """A checkpoint-replayed batch (same id) overwrites its own directory
+    rather than double-counting — the restart-safety contract for linear
+    counters."""
+    path = str(tmp_path / "profile")
+    part = docs.where(F.col("doc_id") % 3 == 0)
+    SS.write_profile_batch(part, path, 0, depth=3, width=256, n_bins=32)
+    once = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in SS.read_profile_cms(spark, path).collect()
+    }
+    SS.write_profile_batch(part, path, 0, depth=3, width=256, n_bins=32)
+    twice = {
+        (r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in SS.read_profile_cms(spark, path).collect()
+    }
+    assert once == twice
+
+
+def test_maintain_profile_streaming_query(spark, docs, tmp_path):
+    """End-to-end through a real Structured Streaming query (file source,
+    availableNow): merged store ≡ one-shot batch sketch."""
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text", "n_chars").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    path = str(tmp_path / "profile")
+    q = SS.maintain_profile(
+        stream,
+        path,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+        depth=3,
+        width=256,
+        n_bins=32,
+    )
+    q.awaitTermination(120)
+    merged = SS.read_profile_cms(spark, path)
+    whole = SK.cms_sketch(SK.token_stream(docs), depth=3, width=256)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_corpus_profile_smoke(spark, docs):
+    prof = SK.corpus_profile(docs, k=10, n_bins=32)
+    assert prof["n_docs"] == docs.count()
+    assert prof["n_token_occurrences"] > 0
+    assert len(prof["heavy_hitters"]) == 10
+    assert set(prof["n_chars_quantiles"]) == {"0.5", "0.9", "0.99"}

@@ -2101,7 +2101,103 @@ def text_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    if RUN_TWIN_CHECKS:
+        _sketch_profile_twin_check(spark, d)
     return text_metrics(d).orderBy("doc_id")
+
+
+def _sketch_profile_twin_check(spark: SparkSession, documents: DataFrame) -> None:
+    """Corpus-profiling sketches (operators/sketches, r7) verified in-gate
+    against exact ground truth on the gate corpus, raising on any violated
+    guarantee (mutation-tested in tests/test_gate_twins.py):
+
+    - CMS: ``est >= exact`` for EVERY token (deterministic guarantee) and
+      the ``(e/width)*N`` overshoot bound holds for >= 98% of the
+      vocabulary (per-item failure prob e^-depth);
+    - sketch-tier heavy hitters reproduce the exact top-10 token-for-token
+      (depth-5 min collapses the all-rows collision probability);
+    - histogram quantiles (q50/q90 of n_chars) within one bin width of the
+      exact percentile;
+    - HLL vocabulary estimate within 5 sigma of exact distinct;
+    - mergeability: sketch(half_a) + sketch(half_b) bit-identical to the
+      one-shot sketch — the linearity the streaming profile store
+      (streaming/stats_stream) rests on.
+
+    Everything stays distributed (the only collects are k-row top-ks, the
+    bounded histogram, and scalar aggregates)."""
+    from vector_search_question_answer_api_spark import caching
+    from vector_search_question_answer_api_spark.operators import sketches as SK
+
+    depth, width = 5, 4096
+    toks = caching.persist_tracked(SK.token_stream(documents))
+    exact = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    cms = SK.cms_sketch(toks, depth=depth, width=width)
+    est = SK.cms_estimate(cms, exact, depth=depth, width=width)
+    j = caching.persist_tracked(
+        exact.join(est.withColumnRenamed("item", "token"), "token")
+    )
+    stats = j.agg(
+        F.count("*").alias("vocab"),
+        F.sum("cnt").alias("n_total"),
+        F.sum(F.when(F.col("est") < F.col("cnt"), 1).otherwise(0)).alias("under"),
+    ).collect()[0]
+    if int(stats["vocab"]) == 0:
+        raise ValueError("sketch twin: empty vocabulary")
+    if int(stats["under"]) > 0:
+        raise ValueError(
+            f"sketch twin: CMS underestimated {stats['under']} tokens "
+            "(impossible for a correct count-min)"
+        )
+    eps_n = (2.718281828 / width) * float(stats["n_total"])
+    over = j.where(F.col("est") > F.col("cnt") + F.lit(eps_n)).count()
+    if over > max(2, int(0.02 * int(stats["vocab"]))):
+        raise ValueError(
+            f"sketch twin: CMS eps-bound violated on {over}/{stats['vocab']} tokens"
+        )
+    exact_top = [
+        r["token"] for r in SK.heavy_hitters_exact(documents, k=10).collect()
+    ]
+    sk_top = [
+        r["token"]
+        for r in SK.heavy_hitters_sketch(
+            documents, k=10, depth=depth, width=width
+        ).collect()
+    ]
+    if sk_top != exact_top:
+        raise ValueError(
+            f"sketch twin: heavy-hitter drift {sk_top[:3]} vs {exact_top[:3]}"
+        )
+    lo, hi, n_bins = 0.0, 4096.0, 64
+    hist = SK.histogram_sketch(documents, "n_chars", lo, hi, n_bins)
+    qest = SK.quantiles_from_histogram(hist, lo, hi, n_bins, [0.5, 0.9])
+    qex = documents.agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("q50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("q90"),
+    ).collect()[0]
+    bw = (hi - lo) / n_bins
+    if abs(qest[0.5] - float(qex["q50"])) > bw + 1e-9 or abs(
+        qest[0.9] - float(qex["q90"])
+    ) > bw + 1e-9:
+        raise ValueError(
+            f"sketch twin: histogram quantile out of bound ({qest} vs {dict(q50=qex['q50'], q90=qex['q90'])})"
+        )
+    hll = SK.hll_estimate(SK.hll_sketch(toks, "token", lgk=12))
+    if abs(hll - int(stats["vocab"])) > max(2, int(0.08 * int(stats["vocab"]))):
+        raise ValueError(
+            f"sketch twin: HLL estimate {hll} vs exact {stats['vocab']}"
+        )
+    half_a = documents.where(F.col("doc_id") % 2 == 0)
+    half_b = documents.where(F.col("doc_id") % 2 == 1)
+    merged = SK.merge_sketches(
+        [
+            SK.cms_sketch(SK.token_stream(half_a), depth=3, width=256),
+            SK.cms_sketch(SK.token_stream(half_b), depth=3, width=256),
+        ]
+    )
+    whole = SK.cms_sketch(toks, depth=3, width=256)
+    diff = merged.exceptAll(whole).unionByName(whole.exceptAll(merged))
+    if diff.limit(1).count() > 0:
+        raise ValueError("sketch twin: merged halves != one-shot sketch")
 
 
 _WINNOW_HASH = "CAST(" + _HEX_TO_INT.format(

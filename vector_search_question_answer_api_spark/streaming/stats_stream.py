@@ -1,0 +1,119 @@
+"""Streaming corpus-statistics maintenance — incremental profiling via
+mergeable sketches (``operators/sketches``).
+
+The batch profiler re-scans the corpus; an ingest pipeline cannot afford
+that per micro-batch at 100 TB.  Because every sketch in
+``operators/sketches`` is a linear counter over fixed deterministic hashes
+(CMS, fixed-bin histogram) or a mergeable DataSketches binary (HLL), the
+profile of the WHOLE corpus equals the cheap merge of per-batch sketches —
+so maintenance is: per micro-batch, sketch ONLY the batch (map-only + a
+sketch-sized agg) and append the bounded sketch rows to a store; read
+time, merge (a hash-agg over ``n_batches * sketch_size`` rows).
+
+Store layout (one directory per sketch kind, one subdir per batch)::
+
+    <path>/cms/batch=<id>/*.parquet    (sketch_row, bucket, cnt)
+    <path>/hist/batch=<id>/*.parquet   (bin, cnt)
+    <path>/hll/batch=<id>/*.parquet    (hll binary)
+
+Restart safety: linear counters are NOT idempotent under duplicate
+appends (a replayed batch would double-count), so each batch OVERWRITES
+its own ``batch=<id>`` directory — the checkpoint replays a failed batch
+under the same id and the second write lands on top of the first.
+
+Equivalence (pinned in tests/test_sketches.py): the merged streaming CMS
+and histogram are BIT-IDENTICAL to the one-shot batch sketch over the
+same rows, and the merged HLL estimate matches the one-shot estimate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators import sketches as SK
+
+
+def write_profile_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    depth: int = SK.DEFAULT_DEPTH,
+    width: int = SK.DEFAULT_WIDTH,
+    n_bins: int = 64,
+    chars_hi: float = 4096.0,
+    lgk: int = 12,
+) -> None:
+    """Sketch ONE micro-batch of documents (doc_id, text, n_chars) and
+    persist the bounded sketch rows under ``batch=<id>`` (overwrite, see
+    module docstring).  Reused directly by the foreachBatch sink and by
+    tests driving batches by hand."""
+    sub = f"batch={int(batch_id)}"
+    toks = SK.token_stream(batch_df)
+    SK.cms_sketch(toks, depth=depth, width=width).write.mode("overwrite").parquet(
+        os.path.join(path, "cms", sub)
+    )
+    SK.histogram_sketch(batch_df, "n_chars", 0.0, chars_hi, n_bins).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "hist", sub))
+    SK.hll_sketch(toks, "token", lgk=lgk).write.mode("overwrite").parquet(
+        os.path.join(path, "hll", sub)
+    )
+
+
+def maintain_profile(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = False,
+    depth: int = SK.DEFAULT_DEPTH,
+    width: int = SK.DEFAULT_WIDTH,
+    n_bins: int = 64,
+    chars_hi: float = 4096.0,
+):
+    """Start the profile-maintenance query over a document stream
+    (doc_id, text, n_chars, ...)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_profile_batch(
+            batch_df,
+            path,
+            batch_id,
+            depth=depth,
+            width=width,
+            n_bins=n_bins,
+            chars_hi=chars_hi,
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _read_parts(spark: SparkSession, path: str, kind: str) -> DataFrame | None:
+    d = os.path.join(path, kind)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d)
+
+
+def read_profile_cms(spark: SparkSession, path: str) -> DataFrame:
+    """Merged CMS over every batch: hash-agg of ``n_batches * depth *
+    width`` rows — the read-side cost is sketch-sized, never corpus-sized."""
+    parts = _read_parts(spark, path, "cms")
+    return parts.groupBy("sketch_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def read_profile_hist(spark: SparkSession, path: str) -> DataFrame:
+    parts = _read_parts(spark, path, "hist")
+    return parts.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def read_profile_hll(spark: SparkSession, path: str) -> DataFrame:
+    """Single-row union of the per-batch HLL sketches."""
+    return SK.hll_merge(_read_parts(spark, path, "hll"))
