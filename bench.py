@@ -386,6 +386,16 @@ def main() -> None:
 
     extra["corpus_profile_sketch"] = corpus_profile_sketch
 
+    # r7: substring-level dedup (Lee et al. 2021) — the full pipeline:
+    # k-gram hash-agg -> keep-first marks -> island merge -> HOF strip.
+    from vector_search_question_answer_api_spark.operators import spans as SPN
+
+    def dup_span_strip(spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        return SPN.strip_duplicate_spans(d, k=8)
+
+    extra["dup_span_strip"] = dup_span_strip
+
     timings: dict[str, float] = {}
     ledger: dict[str, dict] = {}
     for name in [*HEADLINE, *extra]:

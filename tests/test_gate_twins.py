@@ -304,3 +304,37 @@ def test_sketch_twin_detects_broken_merge(spark, monkeypatch):
     monkeypatch.setattr(SK, "merge_sketches", corrupted)
     with pytest.raises(ValueError, match="merged halves"):
         inventory.queries()["text_metrics"](spark, SF).count()
+
+
+def test_dup_span_twin_detects_span_drift(spark, monkeypatch):
+    """r7: the dup-span twin must fire when the distributed span extraction
+    diverges from the brute-force reference."""
+    import vector_search_question_answer_api_spark.operators.spans as SPN
+
+    real = SPN.duplicate_spans
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn(
+            "span_end", F.col("span_end") + F.lit(1)
+        )
+
+    monkeypatch.setattr(SPN, "duplicate_spans", corrupted)
+    with pytest.raises(ValueError, match="duplicate-span drift"):
+        inventory.queries()["dedup_winnow_overlap"](spark, SF).count()
+
+
+def test_dup_span_twin_detects_strip_accounting(spark, monkeypatch):
+    """r7: the twin must fire when strip accounting disagrees with the
+    duplication profile."""
+    import vector_search_question_answer_api_spark.operators.spans as SPN
+
+    real = SPN.strip_duplicate_spans
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn(
+            "n_tokens_removed", F.col("n_tokens_removed") + F.lit(1)
+        )
+
+    monkeypatch.setattr(SPN, "strip_duplicate_spans", corrupted)
+    with pytest.raises(ValueError, match="strip accounting mismatch"):
+        inventory.queries()["dedup_winnow_overlap"](spark, SF).count()

@@ -2290,10 +2290,87 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    if RUN_TWIN_CHECKS:
+        _dup_span_twin_check(spark, d)
     pairs = winnow_overlap_pairs(d, threshold=0.5)
     return pairs.select(
         "doc_a", "doc_b", (_r(F.col("overlap"), 6) + F.lit(0.0)).alias("overlap")
     ).orderBy("doc_a", "doc_b")
+
+
+def _dup_span_twin_check(spark: SparkSession, documents: DataFrame) -> None:
+    """Exact duplicated-span extraction (operators/spans, r7 — the
+    substring-level dedup of Lee et al. 2021) verified in-gate against a
+    brute-force python reference on the gate corpus, raising on drift
+    (mutation-tested in tests/test_gate_twins.py):
+
+    - the distributed pipeline (k-gram hash-agg → keep-first marks →
+      island merge) must reproduce the reference span set EXACTLY — the
+      reference marks duplicated grams by gram IDENTITY (tuple equality),
+      so this also cross-checks the paired-xxhash64 keying for collisions;
+    - strip/profile accounting must agree: ``duplication_profile``'s
+      ``n_dup_tokens`` == the summed ``n_tokens_removed`` of
+      ``strip_duplicate_spans`` (the two consumers of the same span set);
+    - the gate corpus must actually contain duplicated spans (the
+      synthetic documents table carries verbatim dups by construction).
+
+    The reference runs over the collected (doc_id, tokens) of the gate
+    corpus — a bounded gate-scale contract like every python-ref twin
+    (hybrid RRF, numpy PQ); tokens are taken from the SAME Spark
+    tokenization the operator uses, so the twin isolates the
+    dup-detection + merge logic."""
+    from collections import defaultdict
+
+    from vector_search_question_answer_api_spark.operators import spans as SPN
+
+    k = 8
+    got = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+        for r in SPN.duplicate_spans(documents, k=k).collect()
+    }
+    rows = documents.select(
+        "doc_id", TXT.tokens(TXT.preprocess_text(F.col("text"))).alias("toks")
+    ).collect()
+    occ: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for r in sorted(rows, key=lambda r: int(r["doc_id"])):
+        toks = list(r["toks"])
+        for i in range(len(toks) - k + 1):
+            occ[tuple(toks[i : i + k])].append((int(r["doc_id"]), i))
+    marked: dict[int, set[int]] = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) >= 2:
+            for doc, i in sorted(positions)[1:]:  # keep_first semantics
+                marked[doc].add(i)
+    want: set[tuple[int, int, int]] = set()
+    for doc, poss in marked.items():
+        run: list[int] = []
+        for p in sorted(poss):
+            if run and p - run[-1] > k:
+                want.add((doc, run[0], run[-1] + k - 1))
+                run = []
+            run.append(p)
+        if run:
+            want.add((doc, run[0], run[-1] + k - 1))
+    if got != want:
+        raise ValueError(
+            f"dup-span twin: duplicate-span drift ({len(got - want)} extra, "
+            f"{len(want - got)} missing vs brute force)"
+        )
+    if not want:
+        raise ValueError("dup-span twin: gate corpus produced no spans")
+    n_dup = int(
+        SPN.duplication_profile(documents, k=k).collect()[0]["n_dup_tokens"]
+    )
+    removed = int(
+        SPN.strip_duplicate_spans(documents, k=k)
+        .agg(F.coalesce(F.sum("n_tokens_removed"), F.lit(0)).alias("r"))
+        .collect()[0]["r"]
+    )
+    if n_dup != removed:
+        raise ValueError(
+            f"dup-span twin: strip accounting mismatch (profile {n_dup} vs "
+            f"stripped {removed})"
+        )
 
 
 # ---------------------------------------------------------------------------
