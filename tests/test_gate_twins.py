@@ -338,3 +338,18 @@ def test_dup_span_twin_detects_strip_accounting(spark, monkeypatch):
     monkeypatch.setattr(SPN, "strip_duplicate_spans", corrupted)
     with pytest.raises(ValueError, match="strip accounting mismatch"):
         inventory.queries()["dedup_winnow_overlap"](spark, SF).count()
+
+
+def test_token_budget_twin_detects_sample_drift(spark, monkeypatch):
+    """r7: the token-budget twin must fire when the greedy fill diverges
+    from the python reference."""
+    import vector_search_question_answer_api_spark.operators.pipeline as P
+
+    real = P.token_budget_sample
+
+    def corrupted(*a, **k):
+        return real(*a, **k).filter(F.col("mix_rank") != 1)
+
+    monkeypatch.setattr(P, "token_budget_sample", corrupted)
+    with pytest.raises(ValueError, match="token-budget twin"):
+        inventory.queries()["mixture_sample"](spark, SF).count()

@@ -249,3 +249,61 @@ def test_filter_funnel_dedups_within_stage_survivors(spark):
     # doc 2 is NOT a duplicate within the surviving set — both en docs
     # must come through the dedup stage
     assert rows["dedup"] == 2
+
+
+def test_token_budget_sample_greedy_fill(spark):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i < 6 else "b", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_toks"])
+    out = token_budget_sample(
+        df, "source", "n_toks", {"a": 250, "b": 1000}
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    # a: 100+100 < 250 -> third doc crosses the line and is kept (overshoot
+    # by at most one doc); fourth is out
+    assert len(by_dom["a"]) == 3
+    assert max(r["cum_tokens"] for r in by_dom["a"]) == 300
+    # b: budget exceeds the domain's total -> every doc kept
+    assert len(by_dom["b"]) == 4
+    # every kept row's exclusive prefix is under budget
+    for r in out:
+        budget = 250 if r["source"] == "a" else 1000
+        assert r["cum_tokens"] - 100 < budget
+    # ranks are a contiguous prefix per domain
+    for rs in by_dom.values():
+        assert sorted(r["mix_rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_token_budget_sample_deterministic_and_salted(spark, sf_dir):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        token_budget_sample,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_toks")
+    )
+    budgets = {"src0": 2000, "src1": 1500}
+    a = {tuple(r) for r in token_budget_sample(d, "source", "n_toks", budgets, salt="x").collect()}
+    b = {tuple(r) for r in token_budget_sample(d, "source", "n_toks", budgets, salt="x").collect()}
+    c = {tuple(r) for r in token_budget_sample(d, "source", "n_toks", budgets, salt="y").collect()}
+    assert a == b
+    assert a != c  # a different salt draws a different sample
+
+
+def test_token_budget_sample_empty_and_zero_budgets(spark):
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", 10)], ["doc_id", "source", "n_toks"])
+    assert token_budget_sample(df, "source", "n_toks", {}).count() == 0
+    assert token_budget_sample(df, "source", "n_toks", {"a": 0}).count() == 0
+    # oversized single doc is still taken (prefix-empty rule)
+    out = token_budget_sample(df, "source", "n_toks", {"a": 5}).collect()
+    assert len(out) == 1 and out[0]["cum_tokens"] == 10

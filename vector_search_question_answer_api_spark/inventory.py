@@ -3588,11 +3588,68 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    if RUN_TWIN_CHECKS:
+        _token_budget_twin_check(spark, d)
     return (
         mixture_sample(d, "source", _MIX_WEIGHTS, _MIX_TOTAL, salt=_MIX_SALT)
         .select("doc_id", "source", "mix_rank")
         .orderBy("source", "mix_rank")
     )
+
+
+def _token_budget_twin_check(spark: SparkSession, documents: DataFrame) -> None:
+    """Token-budget mixture sampling (pipeline.token_budget_sample, r7)
+    verified in-gate against a python reference replaying the same
+    deterministic md5 draw on the gate corpus (mutation-tested in
+    tests/test_gate_twins.py):
+
+    the Spark draw's (doc_id, mix_rank, cum_tokens) must match the
+    reference greedy fill exactly (rank by md5(salt||id) then id; keep
+    while the running total BEFORE the doc is under the budget — which
+    entails every budget is reached-or-exhausted with at most one doc of
+    overshoot).  Only the sampled rows (budget-bounded) and the two
+    domains' doc rows are collected — gate-scale bounded."""
+    import hashlib
+
+    from vector_search_question_answer_api_spark.operators.pipeline import (
+        token_budget_sample,
+    )
+
+    budgets = {"src0": 800, "src1": 500}
+    salt = "tb-twin"
+    toks = F.size(TXT.tokens(TXT.preprocess_text(F.col("text"))))
+    base = documents.select("doc_id", "source", toks.alias("n_toks"))
+    got = {
+        (int(r["doc_id"]), int(r["mix_rank"]), int(r["cum_tokens"]))
+        for r in token_budget_sample(
+            base, "source", "n_toks", budgets, salt=salt
+        ).collect()
+    }
+    ref_rows = base.filter(F.col("source").isin(*budgets.keys())).collect()
+    by_dom: dict[str, list] = {}
+    for r in ref_rows:
+        by_dom.setdefault(r["source"], []).append(r)
+    want = set()
+    for dom, rows in by_dom.items():
+        rows.sort(
+            key=lambda r: (
+                hashlib.md5(f"{salt}{int(r['doc_id'])}".encode()).hexdigest(),
+                int(r["doc_id"]),
+            )
+        )
+        cum = 0
+        for rank, r in enumerate(rows, start=1):
+            if cum >= budgets[dom]:
+                break
+            cum += int(r["n_toks"])
+            want.add((int(r["doc_id"]), rank, cum))
+    if got != want:
+        raise ValueError(
+            f"token-budget twin: sample drift ({len(got - want)} extra, "
+            f"{len(want - got)} missing vs python reference)"
+        )
+    if not got:
+        raise ValueError("token-budget twin: empty sample on gate corpus")
 
 
 # ---------------------------------------------------------------------------

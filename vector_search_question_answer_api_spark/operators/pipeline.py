@@ -304,6 +304,60 @@ def mixture_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Greedy per-domain TOKEN-budget sample — the unit that matters when
+    assembling a training mix is tokens, not documents (domain token
+    budgets are how published mixes are specified; doc-count quotas
+    over-weight domains with long documents).
+
+    Per domain: rank documents by the same deterministic ``md5(salt ||
+    id)`` draw as :func:`mixture_sample`, then keep documents while the
+    RUNNING TOKEN TOTAL (exclusive of the current document) is still under
+    the domain's budget — so the document that crosses the line is
+    included and every domain reaches at least its budget (when it has
+    the tokens) while overshooting by at most one document.  Emits
+    ``mix_rank`` and ``cum_tokens`` (running total INCLUDING the row) so a
+    consumer can trim or audit the draw.
+
+    One window shuffle on the domain key — rank and running sum share the
+    single ``(domain, md5-rank)`` sort; domains without a budget are
+    excluded at the scan like zero-quota mixture domains.  Deterministic:
+    same inputs, same salt → same sample on any cluster layout."""
+    budgets = {d: int(b) for d, b in budgets.items() if int(b) > 0}
+    if not budgets:
+        return (
+            df.filter(F.lit(False))
+            .withColumn("mix_rank", F.lit(0))
+            .withColumn("cum_tokens", F.lit(0).cast("long"))
+            .select(*df.columns, "mix_rank", "cum_tokens")
+        )
+    budget_expr = F.lit(0)
+    for d, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(domain_col) == d, b).otherwise(budget_expr)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.filter(F.col(domain_col).isin(*budgets.keys()))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_cum", F.sum(F.col(token_col).cast("long")).over(run)
+        )
+        .filter(F.col("_cum") - F.col(token_col) < budget_expr)
+        .withColumnRenamed("_rn", "mix_rank")
+        .withColumnRenamed("_cum", "cum_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus filter funnel: the per-stage retention report every large-scale
 # cleaning pipeline publishes (C4/Gopher-style "N docs in, N out per rule").
