@@ -242,3 +242,15 @@ def test_filtered_knn_pushes_predicate_to_scan(spark, sf_dir):
     assert scans, plan
     assert any("label" in l and "Filters" in l for l in scans), scans
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """The engine session must keep InferFiltersFromGenerate excluded:
+    the rule's synthesized size(arr)>0 predicate gets pushed below the
+    parallelizing exchange with the array's whole defining expression,
+    serializing explode-heavy map phases in the scan stage (SCALE.md r7
+    planner lesson; measured 15-30% across explode gates, 10x on span
+    extraction)."""
+    assert "InferFiltersFromGenerate" in (
+        spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    )

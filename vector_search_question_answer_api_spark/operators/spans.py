@@ -63,37 +63,55 @@ SEED_A = 0xA5A5
 SEED_B = 0x5A5A
 
 
-def _gram_structs(toks: Column, k: int) -> Column:
-    """Array of (pos, h1, h2) for every k-gram of a token array; empty when
-    the document has fewer than k tokens.  ``pos`` is the 0-based token
-    index of the gram's first token."""
+def _gram_strings(toks: Column, k: int) -> Column:
+    """Array of k-gram strings (k tokens joined by single spaces) of a
+    MATERIALIZED token-array column; empty when the document has fewer
+    than k tokens.  Gram i (0-based array index) covers token positions
+    ``[i, i+k-1]``."""
     n = F.size(toks)
-    empty = F.array().cast("array<struct<pos:int,h1:bigint,h2:bigint>>")
-    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
     return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.struct(
-                (i - 1).cast("int").alias("pos"),
-                F.xxhash64(gram(i), F.lit(SEED_A)).alias("h1"),
-                F.xxhash64(gram(i), F.lit(SEED_B)).alias("h2"),
-            ),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
-    ).otherwise(empty)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_gram_occurrences(
     documents: DataFrame, k: int = DEFAULT_K, text_col: str = "text"
 ) -> DataFrame:
     """``(doc_id, pos, h1, h2)`` — one row per token k-gram occurrence.
-    Map-only (tokenize + per-row transform + explode); the downstream
-    hash-agg is what bounds the shuffle."""
+    Map-only (tokenize + per-row transform + posexplode); the downstream
+    hash-agg is what bounds the shuffle.
+
+    Two planner traps, both measured on this exact operator (SCALE.md
+    "Planner lessons"):
+
+    - each stage's result is materialized as a REAL column before the
+      next references it (tokens before the gram transform, gram strings
+      before the hashes) — referencing the raw tokenize expression inside
+      the slice lambda re-evaluates the whole regex chain per gram
+      position;
+    - the explode is the OUTER variant + a cheap null filter, because a
+      plain explode makes ``InferFiltersFromGenerate`` synthesize
+      ``size(grams) > 0`` and push the ENTIRE tokenize+gram expression
+      tree below the parallelizing exchange into the (single-task,
+      one-file) scan stage — serializing the whole map phase (11.6 s →
+      1.5 s at sf0.1)."""
     toks = TXT.tokens(TXT.preprocess_text(F.col(text_col)))
-    return (
-        documents.select("doc_id", _gram_structs(toks, k).alias("gs"))
-        .select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", "g.pos", "g.h1", "g.h2")
+    base = documents.select("doc_id", toks.alias("toks"))
+    grams = base.select(
+        "doc_id", _gram_strings(F.col("toks"), k).alias("grams")
+    )
+    exploded = grams.select(
+        "doc_id", F.posexplode_outer("grams").alias("pos", "gram")
+    )
+    return exploded.filter(F.col("pos").isNotNull()).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.xxhash64("gram", F.lit(SEED_A)).alias("h1"),
+        F.xxhash64("gram", F.lit(SEED_B)).alias("h2"),
     )
 
 

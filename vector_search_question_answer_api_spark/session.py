@@ -53,6 +53,21 @@ def get_spark(
         .config("spark.ui.retainedJobs", "50")
         .config("spark.ui.retainedStages", "50")
         .config("spark.ui.retainedTasks", "500")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` for every
+        # inner explode; predicate pushdown then carries the filter — with
+        # the array's WHOLE defining expression tree substituted in —
+        # through projections and exchanges down to the scan, re-running
+        # expensive map chains (tokenize regexes, shingle/minhash
+        # builders) below the parallelizing repartition, i.e. in the
+        # scan's task layout.  This engine explodes computed arrays
+        # everywhere (shingles, bands, postings, k-grams); the rule's
+        # benefit (skipping empty-array rows pre-generate) is negligible
+        # here, its cost measured at 15-30% on every explode-heavy gate
+        # and 10x on dup-span extraction (SCALE.md r7 planner lesson).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
