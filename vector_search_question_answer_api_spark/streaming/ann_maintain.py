@@ -75,61 +75,19 @@ def maintain_search_artifacts(
         centroids = centroid_grid(dim, n_cells)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            ids = batch_df.select("doc_id").distinct()
-            try:
-                prev_delta = (
-                    read_index_latest(spark, path)
-                    .join(F.broadcast(ids), "doc_id", "left_semi")
-                    .select("doc_id", "norm_embedding")
-                    .persist()
-                )
-                prev_delta.count()
-            except FileNotFoundError:
-                prev_delta = None  # first batch: nothing to supersede
-            (
-                batch_df.withColumn("_batch", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(os.path.join(path, "log"))
-            )
-            index = read_index_latest(spark, path)
-            delta = batch_df.select("doc_id", "norm_embedding")
-            if codes_path is not None:
-                from vector_search_question_answer_api_spark.operators.pq import (
-                    refresh_ivfpq_index,
-                )
-
-                refresh_ivfpq_index(
-                    spark, codes_path, index, delta, codebooks,
-                    centroids=centroids, dim=dim, n_cells=n_cells,
-                )
-            if graphs_path is not None:
-                from vector_search_question_answer_api_spark.operators import (
-                    ann_hnsw,
-                )
-
-                ann_hnsw.refresh_celled_hnsw_index(
-                    spark, graphs_path, index, delta,
-                    prev_delta=prev_delta, centroids=centroids, dim=dim,
-                    n_cells=n_cells, backend=backend,
-                )
-            from vector_search_question_answer_api_spark.sources.cell_store import (
-                cell_store_compact,
-                cell_store_live_generations,
-            )
-
-            for store in (codes_path, graphs_path):
-                if (
-                    store is not None
-                    and cell_store_live_generations(store) > compact_every_gens
-                ):
-                    cell_store_compact(spark, store)
-            if prev_delta is not None:
-                prev_delta.unpersist()
-        finally:
-            batch_df.unpersist()
+        refresh_search_artifacts_batch(
+            batch_df,
+            batch_id,
+            path=path,
+            codebooks=codebooks,
+            codes_path=codes_path,
+            graphs_path=graphs_path,
+            centroids=centroids,
+            dim=dim,
+            n_cells=n_cells,
+            backend=backend,
+            compact_every_gens=compact_every_gens,
+        )
 
     writer = indexed_stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint
@@ -137,3 +95,89 @@ def maintain_search_artifacts(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def refresh_search_artifacts_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    path: str,
+    codebooks=None,
+    codes_path: str | None = None,
+    graphs_path: str | None = None,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    backend: str | None = None,
+    compact_every_gens: int = 8,
+) -> None:
+    """Process ONE micro-batch of indexed rows: snapshot pre-upsert state,
+    append to the index log, refresh dirty cells of each managed artifact,
+    auto-compact over-wide stores.  The body of
+    :func:`maintain_search_artifacts`'s foreachBatch handler, exposed so
+    composed pipelines (``streaming/ingest_stream``) can run the same
+    idempotent step alongside their other per-batch stores."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        read_index_latest,
+    )
+
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        ids = batch_df.select("doc_id").distinct()
+        try:
+            prev_delta = (
+                read_index_latest(spark, path)
+                .join(F.broadcast(ids), "doc_id", "left_semi")
+                .select("doc_id", "norm_embedding")
+                .persist()
+            )
+            prev_delta.count()
+        except FileNotFoundError:
+            prev_delta = None  # first batch: nothing to supersede
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(path, "log"))
+        )
+        index = read_index_latest(spark, path)
+        delta = batch_df.select("doc_id", "norm_embedding")
+        if codes_path is not None:
+            from vector_search_question_answer_api_spark.operators.pq import (
+                refresh_ivfpq_index,
+            )
+
+            refresh_ivfpq_index(
+                spark, codes_path, index, delta, codebooks,
+                centroids=centroids, dim=dim, n_cells=n_cells,
+            )
+        if graphs_path is not None:
+            from vector_search_question_answer_api_spark.operators import (
+                ann_hnsw,
+            )
+
+            ann_hnsw.refresh_celled_hnsw_index(
+                spark, graphs_path, index, delta,
+                prev_delta=prev_delta, centroids=centroids, dim=dim,
+                n_cells=n_cells, backend=backend,
+            )
+        from vector_search_question_answer_api_spark.sources.cell_store import (
+            cell_store_compact,
+            cell_store_live_generations,
+        )
+
+        for store in (codes_path, graphs_path):
+            if (
+                store is not None
+                and cell_store_live_generations(store) > compact_every_gens
+            ):
+                cell_store_compact(spark, store)
+        if prev_delta is not None:
+            prev_delta.unpersist()
+    finally:
+        batch_df.unpersist()

@@ -1,0 +1,197 @@
+"""One ingest, every artifact: the composed corpus-maintenance pipeline.
+
+The engine now maintains four kinds of standing state, each with its own
+incremental module and its own batch-equivalence guarantee:
+
+- the **embedding index** (LSM log + generation compaction,
+  ``index_stream``) and, on top of it, the two **managed ANN artifacts**
+  (per-cell IVFPQ codes + celled HNSW graphs, ``ann_maintain`` /
+  ``sources/cell_store``);
+- the **corpus profile** (mergeable CMS / histogram / HLL sketches,
+  ``stats_stream``);
+- the **span-dedup store** (gram occurrences + mergeable gram aggregates,
+  ``span_stream``).
+
+A 100 TB ingest pipeline does not run four streaming jobs over the same
+documents — it reads the stream ONCE and fans the batch out to every
+store.  :func:`maintain_corpus` is that composition: one foreachBatch
+whose handler embeds the batch (the same map expressions as the batch
+index build), then runs each store's per-batch step.  Total per-batch
+cost: one pass of map work over the batch plus the batch-sized aggs and
+``|dirty cells|/n_cells`` of artifact refresh — nothing corpus-sized.
+
+Restart safety is inherited, not re-invented: every sub-store is
+idempotent under checkpoint replays of the same batch id (latest-wins log
+resolution, ``batch=<id>`` overwrite for the linear sketch/gram stores,
+resolved-view cell rebuilds), so the composition is replay-idempotent
+exactly when its parts are — pinned end-to-end in
+``tests/test_ingest_stream.py``: after a multi-batch availableNow run,
+the resolved index is bit-identical to the batch build, managed-store ANN
+serving matches a from-scratch rebuild, the merged profile equals the
+one-shot sketch, and the span store reproduces ``duplicate_spans``.
+
+Store layout under one root::
+
+    <root>/index/...    (index_stream log + generations)
+    <root>/codes/...    (managed IVFPQ cell store; when codebooks given)
+    <root>/graphs/...   (managed celled-HNSW cell store; when ann=True)
+    <root>/profile/...  (stats_stream cms/hist/hll)
+    <root>/spans/...    (span_stream occ/agg)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_search_question_answer_api_spark.streaming import (
+    ann_maintain,
+    index_stream as IX,
+    span_stream as SPS,
+    stats_stream as STS,
+)
+
+
+def _subpaths(root: str) -> dict[str, str]:
+    return {
+        "index": os.path.join(root, "index"),
+        "codes": os.path.join(root, "codes"),
+        "graphs": os.path.join(root, "graphs"),
+        "profile": os.path.join(root, "profile"),
+        "spans": os.path.join(root, "spans"),
+    }
+
+
+def maintain_corpus(
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    embedder=None,
+    codebooks=None,
+    ann_graphs: bool = False,
+    centroids=None,
+    dim: int = 64,
+    n_cells: int = 16,
+    backend: str | None = None,
+    span_k: int = 8,
+    cms_depth: int = STS.SK.DEFAULT_DEPTH,
+    cms_width: int = STS.SK.DEFAULT_WIDTH,
+    n_bins: int = 64,
+    chars_hi: float = 4096.0,
+    trigger_once: bool = False,
+):
+    """Start the composed maintenance query over a document stream
+    ``(doc_id, text, n_chars, ts, ...)``.
+
+    The ANN artifacts refresh only when enabled (``codebooks`` for the
+    codes store, ``ann_graphs=True`` for the graph store) and their
+    managed stores initialize themselves on the first batch (full write
+    from the then-resolved index — later batches refresh dirty cells
+    only).  The profile and span stores always maintain."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+
+    p = _subpaths(root)
+    if centroids is None:
+        centroids = centroid_grid(dim, n_cells)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            # profile + span stores: batch=<id> overwrite, replay-safe
+            STS.write_profile_batch(
+                batch_df, p["profile"], batch_id,
+                depth=cms_depth, width=cms_width, n_bins=n_bins,
+                chars_hi=chars_hi,
+            )
+            SPS.append_span_batch(batch_df, p["spans"], batch_id, k=span_k)
+            # index + ANN artifacts: embed with the SAME expressions as
+            # the batch build (index_stream is a pure transform), then the
+            # shared per-batch refresh step.  A store whose manifest does
+            # not exist yet (first batch, or a crash before its init
+            # completed) is skipped by the refresh and FULL-written from
+            # the post-append resolved index below — replay-safe either
+            # way: the log append dedupes, the full write supersedes.
+            from vector_search_question_answer_api_spark.sources.cell_store import (
+                cell_store_manifest,
+            )
+
+            indexed = IX.index_stream(batch_df, embedder=embedder)
+            codes_path = p["codes"] if codebooks is not None else None
+            graphs_path = p["graphs"] if ann_graphs else None
+            codes_ready = (
+                codes_path if codes_path and cell_store_manifest(codes_path)
+                else None
+            )
+            graphs_ready = (
+                graphs_path if graphs_path and cell_store_manifest(graphs_path)
+                else None
+            )
+            ann_maintain.refresh_search_artifacts_batch(
+                indexed, batch_id,
+                path=p["index"], codebooks=codebooks,
+                codes_path=codes_ready, graphs_path=graphs_ready,
+                centroids=centroids, dim=dim, n_cells=n_cells,
+                backend=backend,
+            )
+            if (codes_path and codes_ready is None) or (
+                graphs_path and graphs_ready is None
+            ):
+                index = IX.read_index_latest(spark, p["index"])
+                if codes_path and codes_ready is None:
+                    from vector_search_question_answer_api_spark.operators.pq import (
+                        write_ivfpq_index_managed,
+                    )
+
+                    write_ivfpq_index_managed(
+                        index, codes_path, codebooks,
+                        centroids=centroids, dim=dim, n_cells=n_cells,
+                    )
+                if graphs_path and graphs_ready is None:
+                    from vector_search_question_answer_api_spark.operators import (
+                        ann_hnsw,
+                    )
+
+                    ann_hnsw.write_celled_hnsw_index_managed(
+                        ann_hnsw.build_celled_hnsw(
+                            index, centroids=centroids, dim=dim,
+                            n_cells=n_cells, backend=backend,
+                        ),
+                        graphs_path,
+                    )
+        finally:
+            batch_df.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_corpus_index(spark: SparkSession, root: str) -> DataFrame:
+    """The resolved latest-wins embedding index."""
+    return IX.read_index_latest(spark, _subpaths(root)["index"])
+
+
+def read_corpus_profile(spark: SparkSession, root: str) -> dict:
+    """Merged profile handles: CMS / histogram relations + HLL estimate."""
+    p = _subpaths(root)["profile"]
+    return {
+        "cms": STS.read_profile_cms(spark, p),
+        "hist": STS.read_profile_hist(spark, p),
+        "hll": STS.read_profile_hll(spark, p),
+    }
+
+
+def read_corpus_spans(
+    spark: SparkSession, root: str, k: int = 8, keep_first: bool = True
+) -> DataFrame:
+    """Duplicated spans over the whole ingested corpus, from the store."""
+    return SPS.corpus_spans_from_store(
+        spark, _subpaths(root)["spans"], k=k, keep_first=keep_first
+    )
