@@ -275,6 +275,82 @@ def test_celled_hnsw_refresh_matches_full_rebuild(spark, corpus, tmp_path):
     assert refreshed == full and refreshed
 
 
+def test_graph_sidecar_makes_cell_moves_replay_safe(spark, corpus, tmp_path):
+    """ADVICE r7: the (doc_id, cell) membership sidecar supplies the OLD
+    cell of a cell-moving upsert from durable store state — no
+    caller-supplied prev_delta — and a checkpoint-style replay of the same
+    batch (first attempt finished the refresh, crash before the
+    checkpoint committed) converges with no stale entry."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+    )
+
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "graphs")
+    ann_hnsw.write_celled_hnsw_index_managed(
+        ann_hnsw.build_celled_hnsw(
+            corpus, centroids=cents, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        path,
+        ids=corpus.select(
+            "doc_id",
+            assign_cell(F.col("norm_embedding"), cents).alias("cell"),
+        ),
+    )
+    v1, delta, cell_old, cell_new = _moved_upsert(spark, corpus, cents)
+
+    def refresh():
+        # no prev_delta: this is exactly the crash-replay shape — the
+        # index view is already post-upsert, the only old-cell evidence
+        # is what the store itself holds
+        return ann_hnsw.refresh_celled_hnsw_index(
+            spark, path, v1, delta, centroids=cents, dim=DIM,
+            n_cells=N_CELLS, backend="numpy",
+        )
+
+    dirty = refresh()
+    assert cell_old in dirty and cell_new in dirty
+
+    q = v1.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    n = v1.count()
+
+    def rows(g):
+        df = ann_hnsw.celled_hnsw_topk_cogrouped(
+            g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
+            n_cells=N_CELLS, nprobe=N_CELLS,
+        )
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in df.collect()
+        }
+
+    full = rows(
+        ann_hnsw.build_celled_hnsw(
+            v1, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        )
+    )
+    assert rows(ann_hnsw.read_celled_hnsw_index(spark, path)) == full
+
+    # sidecar now maps the doc to its NEW cell only; the replay's dirty
+    # set shrinks but serving stays ≡ the full rebuild
+    dirty2 = refresh()
+    assert cell_new in dirty2
+    assert rows(ann_hnsw.read_celled_hnsw_index(spark, path)) == full
+    # and the sidecar itself converged to the post-upsert membership
+    side = {
+        int(r["doc_id"]): int(r["cell"])
+        for r in open_cell_table(spark, os.path.join(path, "ids")).collect()
+    }
+    assert side == _cells_of(v1, cents)
+
+
 def test_managed_store_scan_keeps_partition_filters(spark, corpus, tmp_path):
     """Each live generation's scan must carry BOTH the manifest-cell
     filter and any downstream probed-cell isin as PARTITION filters —

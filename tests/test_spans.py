@@ -280,17 +280,33 @@ class TestSpanStore:
         before = _spark_spans(
             ST.corpus_spans_from_store(spark, str(tmp_path / "store"), k=8)
         )
+        agg_dir = tmp_path / "store" / "agg"
+        old_deltas = sorted(
+            x for x in os.listdir(agg_dir) if x.startswith("batch=")
+        )
         ST.compact_gram_store(spark, str(tmp_path / "store"))
-        agg_dirs = [
-            x
-            for x in os.listdir(tmp_path / "store" / "agg")
-            if x.startswith("batch=")
-        ]
-        assert agg_dirs == ["batch=compacted"]
+        # grace semantics (ADVICE r7): the manifest's LIVE set folds to one
+        # compacted generation; superseded deltas are retired on disk (a
+        # concurrent lazy reader's plan stays valid) and deleted by the
+        # NEXT compaction, never before the publish
+        man = ST._agg_manifest(str(agg_dir))
+        assert man["live"] == ["batch=compacted-000000"]
+        assert sorted(man["retired"]) == old_deltas
+        for d in old_deltas:
+            assert os.path.isdir(agg_dir / d)  # retired, not deleted
         after = _spark_spans(
             ST.corpus_spans_from_store(spark, str(tmp_path / "store"), k=8)
         )
         assert before == after
+        ST.compact_gram_store(spark, str(tmp_path / "store"))
+        for d in old_deltas:
+            assert not os.path.exists(agg_dir / d)  # grace expired
+        assert ST._agg_manifest(str(agg_dir))["live"] == [
+            "batch=compacted-000001"
+        ]
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, str(tmp_path / "store"), k=8)
+        ) == before
         # further appends keep merging on top of the compacted generation
         extra = self._docs(spark).limit(0).sparkSession.createDataFrame(
             [(100001, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")], ["doc_id", "text"]
@@ -299,6 +315,42 @@ class TestSpanStore:
         assert _spark_spans(
             ST.corpus_spans_from_store(spark, str(tmp_path / "store"), k=8)
         ) == before  # unique new text adds no span
+
+    def test_compaction_crash_window_serves_old_view(self, spark, tmp_path):
+        """A crash (or concurrent read) between the compacted write and
+        the manifest swap must still resolve the complete OLD aggregate —
+        the ADVICE r7 scenario the delete-first form lost."""
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        self._fill(spark, tmp_path / "store")
+        store = str(tmp_path / "store")
+        before = _spark_spans(ST.corpus_spans_from_store(spark, store, k=8))
+        seen: dict = {}
+
+        def probe():
+            # mid-publish reader: new generation on disk, manifest not yet
+            # swapped — and simulate the crash by raising after the probe
+            seen["spans"] = _spark_spans(
+                ST.corpus_spans_from_store(spark, store, k=8)
+            )
+            raise RuntimeError("crash before publish")
+
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            ST.compact_gram_store(spark, store, _pre_publish_hook=probe)
+        assert seen["spans"] == before  # mid-window reader saw the old view
+        # post-crash: store still serves, and the next compaction sweeps
+        # the orphaned generation then succeeds
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == before
+        ST.compact_gram_store(spark, store)
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == before
 
     def test_batch_spans_against_store(self, spark, tmp_path):
         from vector_search_question_answer_api_spark.streaming import (

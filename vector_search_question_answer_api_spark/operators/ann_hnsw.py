@@ -40,6 +40,7 @@ Two interchangeable graph backends behind one surface (r5):
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Iterator
 
@@ -292,19 +293,36 @@ def write_celled_hnsw_index(graphs: DataFrame, path: str) -> None:
     graphs.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
-def write_celled_hnsw_index_managed(graphs: DataFrame, path: str) -> None:
+def write_celled_hnsw_index_managed(
+    graphs: DataFrame, path: str, ids: DataFrame | None = None
+) -> None:
     """The :func:`write_celled_hnsw_index` layout under the managed cell
     store (``sources/cell_store``): same cell-partitioned blob artifact,
     plus a per-cell MANIFEST so later upsert batches can re-build ONLY
     their dirty cells' graphs (:func:`refresh_celled_hnsw_index`) instead
     of the reference's whole-graph rebuild
     (services/index_service.py:112-115).  ``read_celled_hnsw_index``
-    serves both layouts transparently."""
+    serves both layouts transparently.
+
+    ``ids`` (optional, ``(doc_id, cell)`` rows for the SAME corpus the
+    graphs were built from) seeds the membership SIDECAR at
+    ``<path>/ids`` — the durable pre-upsert record of which cell each doc
+    currently lives in.  The graph blobs are opaque, so without the
+    sidecar an upsert that MOVES a doc between cells can only dirty the
+    old cell via caller-supplied ``prev_delta`` — state that is NOT
+    replay-safe when recomputed from a view the crashed attempt already
+    appended to (ADVICE r7).  With the sidecar, the old cells come from
+    the store itself (the same recovery ``pq.refresh_ivfpq_index`` gets
+    from its codes rows) and checkpoint replays converge."""
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_write_full,
     )
 
     cell_store_write_full(graphs, path)
+    if ids is not None:
+        cell_store_write_full(
+            ids.select("doc_id", "cell"), os.path.join(path, "ids")
+        )
 
 
 def refresh_celled_hnsw_index(
@@ -330,20 +348,28 @@ def refresh_celled_hnsw_index(
     partitions).
 
     ``index`` is the POST-upsert source of truth; ``delta`` the upserted
-    rows' NEW state.  Dirty = cells of the delta's new vectors ∪ cells of
-    ``prev_delta`` (the PRE-upsert state of those doc_ids — e.g. the
-    resolved ``read_index_latest`` view semi-joined on the batch ids
-    BEFORE appending it) — the second set catches updates that MOVE a doc
-    between cells.  The graph artifact stores opaque blobs, so unlike
-    :func:`pq.refresh_ivfpq_index` old cells cannot be recovered from the
-    store itself; omitting ``prev_delta`` is only sound for insert-only
-    batches.  Driver state stays O(n_cells).  Returns the dirty cells."""
+    rows' NEW state.  Dirty = cells of the delta's new vectors ∪ the
+    cells those doc_ids CURRENTLY live in — the second set catches
+    updates that MOVE a doc between cells, whose old graph must be
+    rebuilt without the stale entry.  The graph blobs are opaque, so old
+    cells come from the ``<path>/ids`` membership SIDECAR when the store
+    has one (see :func:`write_celled_hnsw_index_managed` — durable, so
+    checkpoint replays of a half-finished batch still dirty the true old
+    cell; ADVICE r7), else from caller-supplied ``prev_delta`` (the
+    PRE-upsert resolved view semi-joined on the batch ids — correct only
+    when that snapshot really predates the upsert).  Omitting both is
+    only sound for insert-only batches.  The sidecar's dirty cells are
+    rewritten AFTER the graph publish, so a crash between the two replays
+    with the pre-upsert membership intact.  Driver state stays
+    O(n_cells).  Returns the dirty cells."""
     from vector_search_question_answer_api_spark.operators.ivf import (
         assign_cell,
         centroid_grid,
     )
     from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_manifest,
         cell_store_refresh,
+        open_cell_table,
     )
 
     if centroids is None:
@@ -362,6 +388,18 @@ def refresh_celled_hnsw_index(
     dirty = cells_of(delta)
     if prev_delta is not None:
         dirty |= cells_of(prev_delta)
+    ids_path = os.path.join(path, "ids")
+    has_sidecar = cell_store_manifest(ids_path) is not None
+    if has_sidecar:
+        batch_ids = delta.select(F.col(id_col).alias("doc_id")).distinct()
+        dirty |= {
+            int(r["cell"])
+            for r in open_cell_table(spark, ids_path)
+            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
     dirty = sorted(dirty)
     sub = index.filter(
         assign_cell(F.col(vec_col), centroids).isin(dirty)
@@ -374,6 +412,20 @@ def refresh_celled_hnsw_index(
     cell_store_refresh(
         spark, path, graphs, dirty, _pre_publish_hook=_pre_publish_hook
     )
+    if has_sidecar:
+        # membership update LAST: a crash before this point replays with
+        # the old mapping (old cell re-dirtied, rebuild idempotent); after
+        # it the graphs are already consistent and the replay's smaller
+        # dirty set converges to the same artifact
+        cell_store_refresh(
+            spark,
+            ids_path,
+            index.select(
+                F.col(id_col).alias("doc_id"),
+                assign_cell(F.col(vec_col), centroids).alias("cell"),
+            ).filter(F.col("cell").isin(dirty)),
+            dirty,
+        )
     return dirty
 
 
@@ -503,9 +555,13 @@ def hnsw_topk_chunked(
 
     ``spill_dir`` defaults to a mkdtemp directory removed at interpreter
     exit; pass an explicit path to control its lifetime (e.g. to keep the
-    result as a reusable artifact).  For truly unbounded batches the
-    cell-routed ``celled_hnsw_topk_cogrouped`` remains the zero-spill
-    answer (queries never touch the driver at all)."""
+    result as a reusable artifact).  Each call writes under a UNIQUE
+    subdirectory of ``spill_dir`` (the chunk writes are parquet appends,
+    so two calls sharing one directory would silently merge their rows —
+    ADVICE r7); the returned DataFrame scans only this call's subdir.
+    For truly unbounded batches the cell-routed
+    ``celled_hnsw_topk_cogrouped`` remains the zero-spill answer (queries
+    never touch the driver at all)."""
     import atexit
     import shutil
     import tempfile
@@ -513,6 +569,9 @@ def hnsw_topk_chunked(
     if spill_dir is None:
         spill_dir = tempfile.mkdtemp(prefix="hnsw_chunk_spill_")
         atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    else:
+        os.makedirs(spill_dir, exist_ok=True)
+    spill_dir = tempfile.mkdtemp(prefix="call-", dir=spill_dir)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),

@@ -131,13 +131,30 @@ def _publish(path: str, man: dict, retire: list[str]) -> None:
 
 
 def _written_cells(gen_dir: str, partition_col: str) -> list[str]:
-    return sorted(
+    """Cell values recovered from the generation's partition directory
+    names.  Spark URL-escapes special characters in partition paths; a
+    manifest recorded from the ESCAPED form would build ``isin`` filters
+    that silently drop those cells from the read view, so values that
+    Spark had to escape are rejected at write time rather than corrupted
+    at read time (ADVICE r7 — today's cells are integers, this guards the
+    store against other partition columns)."""
+    from urllib.parse import unquote
+
+    vals = sorted(
         d.split("=", 1)[1]
         for d in (
             os.path.basename(p)
             for p in glob.glob(os.path.join(gen_dir, f"{partition_col}=*"))
         )
     )
+    escaped = [v for v in vals if unquote(v) != v]
+    if escaped:
+        raise ValueError(
+            f"partition values for '{partition_col}' contain characters "
+            f"Spark escapes in partition paths (e.g. {escaped[:3]}); the "
+            "managed cell store requires escape-free partition values"
+        )
+    return vals
 
 
 def cell_store_write_full(

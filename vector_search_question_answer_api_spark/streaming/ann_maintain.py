@@ -7,20 +7,25 @@ the reference's POST /refresh-index only sketches
 Per micro-batch of indexed documents (the ``index_stream`` relation),
 ``maintain_search_artifacts``:
 
-1. snapshots the PRE-upsert state of the batch's doc_ids from the
-   resolved index view (the old-cell evidence the graph store needs for
-   cell-moving updates — its blobs are opaque, see
-   ``refresh_celled_hnsw_index``);
-2. appends the batch to the index LSM log exactly as ``maintain_index``
+1. appends the batch to the index LSM log exactly as ``maintain_index``
    does (same restart-safe ``_batch`` tagging);
-3. re-encodes ONLY the dirty cells of the managed IVFPQ codes store and
+2. re-encodes ONLY the dirty cells of the managed IVFPQ codes store and
    re-builds ONLY the dirty cells' graphs in the managed celled-HNSW
-   store, from the post-append resolved view.
+   store, from the post-append resolved view.  Old-cell evidence for
+   cell-MOVING updates comes from each store's own durable state: the
+   codes store's (doc_id, cell) rows, the graph store's ``ids``
+   membership sidecar (its blobs are opaque — see
+   ``refresh_celled_hnsw_index``).  For graph stores initialized WITHOUT
+   a sidecar, a pre-append view snapshot is the legacy fallback; that
+   snapshot is not replay-safe (a replay recomputes it from a view the
+   crashed attempt already appended to — ADVICE r7), which is why the
+   sidecar is the default for stores this module initializes.
 
 Restart safety: a replayed batch (same checkpointed batch id) re-appends
 rows the read view already deduplicates, and the refreshes are
-IDEMPOTENT — they rebuild dirty cells from the resolved view, so running
-them twice converges to the same artifact (only the generation counter
+IDEMPOTENT — they rebuild dirty cells from the resolved view and read
+old-cell evidence from durable pre-upsert store state, so running them
+twice converges to the same artifact (only the generation counter
 advances).  Readers are never broken mid-refresh: each store publishes
 with an atomic manifest swap and grace-retires superseded partitions.
 
@@ -126,20 +131,36 @@ def refresh_search_artifacts_batch(
 
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_manifest,
+    )
+
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
+        # Old-cell evidence for cell-moving updates: when the graph store
+        # carries its (doc_id, cell) membership SIDECAR, the refresh reads
+        # pre-upsert cells from the store itself — durable, so a checkpoint
+        # replay after a crash between the log append and the refresh still
+        # dirties the true old cell (ADVICE r7).  The view snapshot below is
+        # only the legacy fallback for sidecar-less stores, and is NOT
+        # replay-safe in that crash window (the replayed snapshot already
+        # contains the batch).
+        prev_delta = None
         ids = batch_df.select("doc_id").distinct()
-        try:
-            prev_delta = (
-                read_index_latest(spark, path)
-                .join(F.broadcast(ids), "doc_id", "left_semi")
-                .select("doc_id", "norm_embedding")
-                .persist()
-            )
-            prev_delta.count()
-        except FileNotFoundError:
-            prev_delta = None  # first batch: nothing to supersede
+        if graphs_path is not None and cell_store_manifest(
+            os.path.join(graphs_path, "ids")
+        ) is None:
+            try:
+                prev_delta = (
+                    read_index_latest(spark, path)
+                    .join(F.broadcast(ids), "doc_id", "left_semi")
+                    .select("doc_id", "norm_embedding")
+                    .persist()
+                )
+                prev_delta.count()
+            except FileNotFoundError:
+                prev_delta = None  # first batch: nothing to supersede
         (
             batch_df.withColumn("_batch", F.lit(batch_id))
             .write.mode("append")

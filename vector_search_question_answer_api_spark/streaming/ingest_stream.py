@@ -151,8 +151,13 @@ def maintain_corpus(
                         centroids=centroids, dim=dim, n_cells=n_cells,
                     )
                 if graphs_path and graphs_ready is None:
+                    from pyspark.sql import functions as F
+
                     from vector_search_question_answer_api_spark.operators import (
                         ann_hnsw,
+                    )
+                    from vector_search_question_answer_api_spark.operators.ivf import (
+                        assign_cell,
                     )
 
                     ann_hnsw.write_celled_hnsw_index_managed(
@@ -161,6 +166,14 @@ def maintain_corpus(
                             n_cells=n_cells, backend=backend,
                         ),
                         graphs_path,
+                        # seed the membership sidecar: replay-safe old-cell
+                        # evidence for later cell-moving upserts (ADVICE r7)
+                        ids=index.select(
+                            "doc_id",
+                            assign_cell(
+                                F.col("norm_embedding"), centroids
+                            ).alias("cell"),
+                        ),
                     )
         finally:
             batch_df.unpersist()

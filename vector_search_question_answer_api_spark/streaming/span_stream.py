@@ -41,6 +41,8 @@ amortized across many cheap batches).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 
@@ -50,6 +52,41 @@ from pyspark.sql import functions as F
 from vector_search_question_answer_api_spark.operators import spans as SPN
 
 COMPACTED = "batch=compacted"
+_MANIFEST = "_MANIFEST"  # underscore prefix: invisible to Spark dir scans
+
+
+def _agg_manifest(agg_dir: str) -> dict | None:
+    """Parsed agg-store manifest ``{"live": [...], "retired": [...]}``, or
+    None for a legacy store (pre-manifest layout: every ``batch=*`` dir is
+    live)."""
+    try:
+        with open(os.path.join(agg_dir, _MANIFEST), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _agg_live_dirs(agg_dir: str) -> list[str]:
+    man = _agg_manifest(agg_dir)
+    if man is not None:
+        return sorted(man["live"])
+    # legacy fallback: every batch dir is live EXCEPT new-style compacted
+    # generations — those are published only via the manifest, so one
+    # present without a manifest is a crashed compaction's orphan (the
+    # pre-manifest layout's plain `batch=compacted` stays included)
+    return sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(agg_dir, "batch=*"))
+        if os.path.isdir(d)
+        and not os.path.basename(d).startswith("batch=compacted-")
+    )
+
+
+def _agg_publish(agg_dir: str, live: list[str], retired: list[str]) -> None:
+    tmp = os.path.join(agg_dir, "._MANIFEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"live": sorted(live), "retired": sorted(retired)}, f)
+    os.replace(tmp, os.path.join(agg_dir, _MANIFEST))  # the atomic publish
 
 
 def batch_gram_delta(occ: DataFrame) -> DataFrame:
@@ -85,9 +122,19 @@ def append_span_batch(
     # gram transform for the agg (one tokenize pass per batch, as promised)
     spark = batch_df.sparkSession
     occ_stored = spark.read.parquet(os.path.join(path, "occ", sub))
+    agg_dir = os.path.join(path, "agg")
     batch_gram_delta(occ_stored).write.mode("overwrite").parquet(
-        os.path.join(path, "agg", sub)
+        os.path.join(agg_dir, sub)
     )
+    # register the delta in the agg manifest (created on first append) so
+    # compaction can publish atomically; a crash between the dir write and
+    # this publish is replay-safe — the checkpoint has not committed, the
+    # replay rewrites the same dir and re-publishes
+    man = _agg_manifest(agg_dir)
+    live = _agg_live_dirs(agg_dir)  # includes `sub` via glob when no manifest
+    if sub not in live:
+        live.append(sub)
+    _agg_publish(agg_dir, live, man["retired"] if man else [])
 
 
 def maintain_span_store(
@@ -118,10 +165,15 @@ def read_occurrences(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_gram_aggs(spark: SparkSession, path: str) -> DataFrame:
-    """The merged corpus gram aggregate: union of per-batch deltas,
-    re-aggregated.  Merging is exact (sums of sums, min of mins) — equal
-    to the one-shot aggregate over all occurrences."""
-    parts = spark.read.parquet(os.path.join(path, "agg"))
+    """The merged corpus gram aggregate: union of the LIVE per-batch
+    deltas (per the agg manifest; legacy stores fall back to a directory
+    glob), re-aggregated.  Merging is exact (sums of sums, min of mins) —
+    equal to the one-shot aggregate over all occurrences."""
+    agg_dir = os.path.join(path, "agg")
+    live = _agg_live_dirs(agg_dir)
+    if not live:
+        raise FileNotFoundError(f"no gram aggregate store at {agg_dir}")
+    parts = spark.read.parquet(*[os.path.join(agg_dir, d) for d in live])
     return (
         parts.groupBy("h1", "h2")
         .agg(
@@ -138,25 +190,65 @@ def read_gram_aggs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def compact_gram_store(spark: SparkSession, path: str) -> None:
-    """Fold every per-batch agg delta into one ``batch=compacted``
-    generation, bounding read-side union width (the stats_stream /
-    index-log compaction rule applied to the gram aggregate).  Writes to a
-    scratch dir first so a crash mid-compaction leaves the live deltas
-    untouched."""
+def compact_gram_store(
+    spark: SparkSession, path: str, _pre_publish_hook=None
+) -> None:
+    """Fold every live per-batch agg delta into one
+    ``batch=compacted-<n>`` generation, bounding read-side union width
+    (the stats_stream / index-log compaction rule applied to the gram
+    aggregate).
+
+    Crash-safe publish order (ADVICE r7 — the earlier form deleted the
+    live deltas BEFORE installing the compacted output, so a crash in
+    between lost the whole aggregate):
+
+    1. grace-delete what the PREVIOUS compaction retired (readers had a
+       full cycle) and sweep orphaned ``batch=compacted-*`` dirs (a
+       compaction that died before its publish);
+    2. write the merged aggregate to a hidden scratch dir, then
+       ``os.replace`` it to its generation name — still invisible to
+       manifest readers;
+    3. atomically swap the manifest to the new generation, RETIRING (not
+       deleting) the superseded deltas — concurrent lazy reader plans
+       stay valid until the next compaction's step 1.
+
+    A crash anywhere leaves the store serving a complete view: before
+    step 3 the old manifest still references every live delta; after it
+    the new generation is live and the old deltas are merely undeleted.
+
+    ``_pre_publish_hook`` is the test seam ``cell_store`` exposes: called
+    after the compacted generation is written, before the manifest swap —
+    a reader there must still resolve the complete OLD view."""
     agg_dir = os.path.join(path, "agg")
+    man = _agg_manifest(agg_dir)
+    live = _agg_live_dirs(agg_dir)
+    if not live:
+        raise FileNotFoundError(f"no gram aggregate store at {agg_dir}")
+    # step 1: grace-delete + orphan sweep (only compacted-* orphans are
+    # known-ours; a plain batch=<id> orphan may be a crashed append whose
+    # checkpoint replay is about to rewrite it)
+    retired = man["retired"] if man else []
+    for d in retired:
+        shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
+    keep = set(live)
+    for p in glob.glob(os.path.join(agg_dir, "batch=compacted-*")):
+        if os.path.basename(p) not in keep:
+            shutil.rmtree(p, ignore_errors=True)
+    # step 2: merged output under a scratch name, renamed into place
     merged = read_gram_aggs(spark, path)
-    tmp = os.path.join(path, ".agg-compact-tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    old = [
-        os.path.join(agg_dir, d)
-        for d in os.listdir(agg_dir)
-        if d.startswith("batch=")
+    ns = [
+        int(os.path.basename(p).rsplit("-", 1)[-1])
+        for p in glob.glob(os.path.join(agg_dir, "batch=compacted-*"))
     ]
-    dest = os.path.join(agg_dir, COMPACTED)
-    for d in old:
-        shutil.rmtree(d)
-    os.replace(tmp, dest)
+    dest_name = f"batch=compacted-{(max(ns) + 1 if ns else 0):06d}"
+    tmp = os.path.join(path, ".agg-compact-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(agg_dir, dest_name))
+    if _pre_publish_hook is not None:
+        _pre_publish_hook()
+    # step 3: atomic manifest swap; superseded deltas go to retired
+    _agg_publish(agg_dir, [dest_name], live)
 
 
 def corpus_spans_from_store(

@@ -95,10 +95,12 @@ def maintain_profile(
     return writer.start()
 
 
-def _read_parts(spark: SparkSession, path: str, kind: str) -> DataFrame | None:
+def _read_parts(spark: SparkSession, path: str, kind: str) -> DataFrame:
     d = os.path.join(path, kind)
     if not os.path.isdir(d):
-        return None
+        # match read_index_latest: a missing store is a caller error with a
+        # named path, not an AttributeError three frames later (ADVICE r7)
+        raise FileNotFoundError(f"no profile store at {d}")
     return spark.read.parquet(d)
 
 
