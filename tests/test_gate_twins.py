@@ -340,6 +340,23 @@ def test_dup_span_twin_detects_strip_accounting(spark, monkeypatch):
         inventory.queries()["dedup_winnow_overlap"](spark, SF).count()
 
 
+def test_dup_span_twin_detects_store_contamination_drift(spark, monkeypatch):
+    """r8: the twin must fire when the span-store contamination path
+    (batch_spans_against_store) diverges from the one-shot span set."""
+    import vector_search_question_answer_api_spark.streaming.span_stream as SPS
+
+    real = SPS.batch_spans_against_store
+
+    def corrupted(*a, **k):
+        return real(*a, **k).withColumn(
+            "span_start", F.col("span_start") + F.lit(1)
+        )
+
+    monkeypatch.setattr(SPS, "batch_spans_against_store", corrupted)
+    with pytest.raises(ValueError, match="store-contamination drift"):
+        inventory.queries()["dedup_winnow_overlap"](spark, SF).count()
+
+
 def test_token_budget_twin_detects_sample_drift(spark, monkeypatch):
     """r7: the token-budget twin must fire when the greedy fill diverges
     from the python reference."""

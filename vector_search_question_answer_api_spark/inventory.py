@@ -2371,6 +2371,49 @@ def _dup_span_twin_check(spark: SparkSession, documents: DataFrame) -> None:
             f"dup-span twin: strip accounting mismatch (profile {n_dup} vs "
             f"stripped {removed})"
         )
+    # r8 (VERDICT r7 Next #8): the span-STORE contamination path — the
+    # primitive a training pipeline calls most ("which parts of these new
+    # documents already exist verbatim in the corpus?") — verified against
+    # the one-shot operator on the same corpus: ingest half the gate docs
+    # into a span store, then batch-vs-store spans for the other half must
+    # equal the one-shot span set restricted to the batch docs (keep-first
+    # canonicals are GLOBAL (doc_id, pos) minima, so per-doc span merging
+    # makes the restriction exact).
+    import shutil
+    import tempfile
+
+    from vector_search_question_answer_api_spark.streaming import (
+        span_stream as SPS,
+    )
+
+    root = tempfile.mkdtemp(prefix="span_twin_store_")
+    try:
+        SPS.append_span_batch(
+            documents.filter(F.col("doc_id") % 2 == 0), root, 0, k=k
+        )
+        batch_half = documents.filter(F.col("doc_id") % 2 == 1)
+        got_store = {
+            (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+            for r in SPS.batch_spans_against_store(
+                spark, batch_half, root, k=k
+            ).collect()
+        }
+        batch_ids = {
+            int(r["doc_id"]) for r in batch_half.select("doc_id").collect()
+        }
+        want_store = {t for t in want if t[0] in batch_ids}
+        if got_store != want_store:
+            raise ValueError(
+                f"dup-span twin: store-contamination drift "
+                f"({len(got_store - want_store)} extra, "
+                f"{len(want_store - got_store)} missing vs one-shot)"
+            )
+        if not want_store:
+            raise ValueError(
+                "dup-span twin: batch half produced no contaminated spans"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
