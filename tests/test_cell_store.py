@@ -275,6 +275,56 @@ def test_celled_hnsw_refresh_matches_full_rebuild(spark, corpus, tmp_path):
     assert refreshed == full and refreshed
 
 
+def test_managed_write_crash_before_graphs_leaves_no_manifest(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """ADVICE r8 (low): the ids sidecar is written BEFORE the graphs
+    store, so a crash between the two leaves NO graphs manifest — the
+    ingest init gate (which checks exactly that manifest) re-runs the
+    full write, superseding the stale sidecar.  The old graphs-first
+    order left a manifest-complete graph store with no sidecar, silently
+    and permanently falling back to the non-replay-safe prev_delta path."""
+    import pytest
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+    )
+    from vector_search_question_answer_api_spark.sources import (
+        cell_store as CS,
+    )
+
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "graphs")
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    ids = corpus.select(
+        "doc_id", assign_cell(F.col("norm_embedding"), cents).alias("cell")
+    )
+
+    real = CS.cell_store_write_full
+    order: list = []
+
+    def crashing(df, p, *a, **k):
+        order.append(p)
+        if p == path:
+            raise RuntimeError("crash mid graphs write")
+        return real(df, p, *a, **k)
+
+    monkeypatch.setattr(CS, "cell_store_write_full", crashing)
+    with pytest.raises(RuntimeError):
+        ann_hnsw.write_celled_hnsw_index_managed(graphs, path, ids=ids)
+    assert order == [os.path.join(path, "ids"), path]  # sidecar first
+    assert CS.cell_store_manifest(path) is None  # init gate re-fires
+    monkeypatch.setattr(CS, "cell_store_write_full", real)
+    # the re-initialization supersedes the stale sidecar and the refresh
+    # path sees a consistent store
+    ann_hnsw.write_celled_hnsw_index_managed(graphs, path, ids=ids)
+    assert CS.cell_store_manifest(path) is not None
+    assert CS.cell_store_manifest(os.path.join(path, "ids")) is not None
+
+
 def test_graph_sidecar_makes_cell_moves_replay_safe(spark, corpus, tmp_path):
     """ADVICE r7: the (doc_id, cell) membership sidecar supplies the OLD
     cell of a cell-moving upsert from durable store state — no

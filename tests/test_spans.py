@@ -352,6 +352,45 @@ class TestSpanStore:
             ST.corpus_spans_from_store(spark, store, k=8)
         ) == before
 
+    def test_replay_after_compaction_not_double_counted(self, spark, tmp_path):
+        """ADVICE r8 (medium): a checkpoint replay of a batch that a
+        compaction has already FOLDED into the compacted generation must
+        not be re-published live — that double-counts its grams AND makes
+        the next compaction's grace sweep delete a dir the manifest lists
+        live (all later reads then fail on a missing path)."""
+        import os
+
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        d = self._fill(spark, tmp_path / "store")
+        store = str(tmp_path / "store")
+        before_aggs = {
+            (r["h1"], r["h2"]): r["n_occ"]
+            for r in ST.read_gram_aggs(spark, store).collect()
+        }
+        before = _spark_spans(ST.corpus_spans_from_store(spark, store, k=8))
+        ST.compact_gram_store(spark, store)
+        # checkpoint replay lands AFTER the compaction folded batch 1
+        ST.append_span_batch(
+            d.filter(F.col("doc_id") % 3 == 1), store, 1, k=8
+        )
+        man = ST._agg_manifest(str(tmp_path / "store" / "agg"))
+        assert "batch=1" not in man["live"]  # stays retired, not re-published
+        after_aggs = {
+            (r["h1"], r["h2"]): r["n_occ"]
+            for r in ST.read_gram_aggs(spark, store).collect()
+        }
+        assert after_aggs == before_aggs  # no gram double-counted
+        # the next compaction sweeps the rewritten retiree and the store
+        # keeps serving (the old bug failed here on a missing path)
+        ST.compact_gram_store(spark, store)
+        assert not os.path.exists(tmp_path / "store" / "agg" / "batch=1")
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == before
+
     def test_batch_spans_against_store(self, spark, tmp_path):
         from vector_search_question_answer_api_spark.streaming import (
             span_stream as ST,

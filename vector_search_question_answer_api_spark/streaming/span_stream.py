@@ -132,9 +132,18 @@ def append_span_batch(
     # replay rewrites the same dir and re-publishes
     man = _agg_manifest(agg_dir)
     live = _agg_live_dirs(agg_dir)  # includes `sub` via glob when no manifest
+    retired = man["retired"] if man else []
+    if sub in retired:
+        # Checkpoint replay of a batch a compaction already FOLDED into the
+        # compacted generation: its grams are in the live aggregate, so
+        # publishing the rewritten delta live again would double-count every
+        # gram — and the next compaction's grace sweep would then delete a
+        # dir the manifest lists live.  Leave it retired; the rewritten dir
+        # is swept on the next compaction like any other retiree.
+        return
     if sub not in live:
         live.append(sub)
-    _agg_publish(agg_dir, live, man["retired"] if man else [])
+    _agg_publish(agg_dir, live, retired)
 
 
 def maintain_span_store(
