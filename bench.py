@@ -315,6 +315,204 @@ def _ivfpq_ondisk_fn(spark, sf_dir):
     return {"ann_ivfpq_ondisk": ann_ivfpq_ondisk}, root
 
 
+def _qa_replay_fns(spark, sf_dir):
+    """r9 bench entries (VERDICT r8 #2): the reference's richest lifecycle
+    — the stateful /qa replay (embed -> k=1 retrieve -> topic fold -> stub
+    generate, services/qa_service.py:28-133) — timed at sf scale under
+    BOTH retrieval tiers: exact (driver-sized query batch, the reference's
+    regime) and the cell-routed graph walk (fully distributed, the 100 TB
+    regime).  Index + event relation are built once outside the timed
+    loop (ingest-time work); the timed number is embed + retrieve + state
+    fold + prompt/stub-generate per replay.  Returns (fns, caches)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.index_build import build_index
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        replay_sessions,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    N_EVENTS = 20_000
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs).persist()
+    n_docs = index.count()
+    qa_events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < N_EVENTS)
+        .select(
+            "event_id",
+            "ts",
+            F.col("user_id").cast("string").alias("session_id"),
+            ((F.col("event_id") * 13 + 1) % n_docs).alias("q_doc"),
+        )
+        .join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("q_doc"),
+                    F.col("text").alias("question"),
+                )
+            ),
+            "q_doc",
+        )
+        .select("event_id", "ts", "session_id", "question")
+        .persist()
+    )
+    qa_events.count()
+    # Graph-tier knobs by the MEASURED sizing rules (SCALE.md): ef=10 is
+    # one notch above the r7 ef-curve floor (min ef for recall>=0.95 is 5
+    # at every corpus size tested); n_cells=32 fills the 32-core box one
+    # cell-task per core.  ef=50 (the reference's serving default) walks
+    # 5x the candidate frontier per query for no recall gain at k=1 —
+    # measured 17.8 s -> 8.3 s on this entry.
+    dim = DEFAULT_CONFIG.embedding_dim
+    N_CELLS, NPROBE, EF = 32, 4, 10
+    cents = centroid_grid(dim, N_CELLS)
+    graphs = ann_hnsw.build_celled_hnsw(
+        index, centroids=cents, dim=dim, n_cells=N_CELLS
+    ).persist()
+    graphs.count()
+
+    def qa_replay_exact(spark, sf_dir):
+        return replay_sessions(qa_events, index)
+
+    def qa_replay_graph(spark, sf_dir):
+        return replay_sessions(
+            qa_events, index, retrieval="graph", graphs=graphs,
+            graph_n_cells=N_CELLS, graph_nprobe=NPROBE, graph_ef=EF,
+        )
+
+    return (
+        {"qa_replay_exact": qa_replay_exact, "qa_replay_graph": qa_replay_graph},
+        [index, qa_events, graphs],
+    )
+
+
+def _refresh_fns(spark, sf_dir):
+    """r9 bench entry (VERDICT r8 #1): incremental per-cell IVFPQ refresh
+    after a 1% upsert batch against the MANAGED codes store — the engine's
+    generalization of the reference's whole-index /refresh-index rebuild
+    (services/index_service.py:112-115).  The store is built once outside
+    the timed loop; each timed run performs the full refresh (dirty-set
+    resolution incl. the membership lookup, re-encode of dirty cells,
+    manifest swap + housekeeping).  The batch is CELL-LOCAL (1% of the
+    corpus drawn from one coarse cell — the localized-update shape where
+    incrementality pays; tools/refresh_curve.py measures the scattered
+    case and the rebuild crossover).  One-time pin: post-refresh serving
+    over the store == serving over a fresh full rebuild.  Returns
+    (fns, cleanup root)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        ivfpq_topk_ondisk,
+        refresh_ivfpq_index,
+        write_ivfpq_index_managed,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_refresh_")
+    path = root + "/codes"
+    N_CELLS = 16
+    cbs = codebook_grid(64, 8, 16)
+    cents = centroid_grid(64, N_CELLS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding")).cast("array<double>").alias(
+            "norm_embedding"
+        ),
+    ).persist()
+    n = idx.count()
+    write_ivfpq_index_managed(
+        idx, path, cbs, centroids=cents, dim=64, n_cells=N_CELLS
+    )
+    # 1% batch, drawn from the store's most populous cell (same-value
+    # upsert: refresh cost is set by the DIRTY CELLS rebuilt, not by what
+    # the new values are)
+    with_cell = idx.withColumn(
+        "cell", assign_cell(F.col("norm_embedding"), cents)
+    )
+    top_cell = int(
+        with_cell.groupBy("cell").count().orderBy(F.desc("count")).first()["cell"]
+    )
+    delta = (
+        with_cell.filter(F.col("cell") == top_cell)
+        .drop("cell")
+        .limit(max(1, n // 100))
+        .persist()
+    )
+    delta.count()
+
+    def ann_refresh_1pct(spark, sf_dir):
+        dirty = refresh_ivfpq_index(
+            spark, path, idx, delta, cbs, centroids=cents, dim=64,
+            n_cells=N_CELLS,
+        )
+        return spark.createDataFrame([(c,) for c in dirty], "cell int")
+
+    # serving == rebuild pin (the refresh left the store answering exactly
+    # what a from-scratch write answers)
+    ann_refresh_1pct(spark, sf_dir)
+    q = idx.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def _rows(p):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+            for r in ivfpq_topk_ondisk(
+                spark, q, p, idx, cbs, centroids=cents, k=5, dim=64,
+                n_cells=N_CELLS, nprobe=4, refine=8,
+            ).collect()
+        }
+
+    rebuilt = root + "/codes_rebuilt"
+    write_ivfpq_index_managed(
+        idx, rebuilt, cbs, centroids=cents, dim=64, n_cells=N_CELLS
+    )
+    assert _rows(path) == _rows(rebuilt), "refreshed store != full rebuild"
+
+    return {"ann_refresh_1pct": ann_refresh_1pct}, root, [idx, delta]
+
+
+def _span_store_fns(spark, sf_dir):
+    """r9 bench entry (VERDICT r8 #8): the decontamination primitive a
+    training pipeline calls most — duplicated spans of an incoming batch
+    against the incremental span STORE (store holds half the corpus,
+    probe is the other half), no re-tokenization of stored documents.
+    Store build is ingest-time work, outside the timed loop.  Returns
+    (fns, cleanup root)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming import span_stream as ST
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_spans_")
+    store = root + "/store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ST.append_span_batch(docs.filter(F.col("doc_id") % 2 == 0), store, 0, k=8)
+    probe = docs.filter(F.col("doc_id") % 2 == 1).persist()
+    probe.count()
+
+    def span_contamination(spark, sf_dir):
+        return ST.batch_spans_against_store(spark, probe, store, k=8)
+
+    return {"span_contamination": span_contamination}, root, [probe]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -396,9 +594,50 @@ def main() -> None:
 
     extra["dup_span_strip"] = dup_span_strip
 
+    # r9 (VERDICT r8 #1/#2/#8): refresh economics, QA replay, span store.
+    # These groups' fixtures are built LAZILY, immediately before their own
+    # entries are timed: building them eagerly up front measurably degraded
+    # every pre-existing entry (+15-40% uniform, certified — the same
+    # long-process inflation the r5 reconciliation documented), destroying
+    # cross-round comparability of the 27 shared entries.  Lazy setup keeps
+    # the shared prefix's process state identical to r8; the new entries
+    # are measured in late-process state like any long suite's tail.
+    cleanup_roots: list[str] = []
+    cleanup_caches: list = []
+
+    def _setup_qa():
+        fns, caches = _qa_replay_fns(spark, sf_dir)
+        cleanup_caches.extend(caches)
+        return fns
+
+    def _setup_refresh():
+        fns, root, caches = _refresh_fns(spark, sf_dir)
+        cleanup_roots.append(root)
+        cleanup_caches.extend(caches)
+        return fns
+
+    def _setup_span():
+        fns, root, caches = _span_store_fns(spark, sf_dir)
+        cleanup_roots.append(root)
+        cleanup_caches.extend(caches)
+        return fns
+
+    lazy_groups: dict[str, tuple] = {
+        "qa_replay_exact": ("qa", _setup_qa),
+        "qa_replay_graph": ("qa", _setup_qa),
+        "ann_refresh_1pct": ("refresh", _setup_refresh),
+        "span_contamination": ("span", _setup_span),
+    }
+    done_groups: set[str] = set()
+
     timings: dict[str, float] = {}
     ledger: dict[str, dict] = {}
-    for name in [*HEADLINE, *extra]:
+    for name in [*HEADLINE, *extra, *lazy_groups]:
+        if name in lazy_groups:
+            group, setup = lazy_groups[name]
+            if group not in done_groups:
+                extra.update(setup())
+                done_groups.add(group)
         fn = qs.get(name) or extra.get(name)
         if fn is None:
             continue
@@ -442,7 +681,9 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(ondisk_root, ignore_errors=True)
-    for g in hnsw_graphs:
+    for root in cleanup_roots:
+        shutil.rmtree(root, ignore_errors=True)
+    for g in [*hnsw_graphs, *cleanup_caches]:
         g.unpersist()
     total = round(sum(timings.values()), 3)
     print(

@@ -79,7 +79,46 @@ def _hard_geometry(spark, n=2000, dim=64, n_modes=20, seed=13):
     )
 
 
-def audit(spark, emb, corpus_name, k, n_queries=10):
+def _realistic_384(spark, n=2000, dim=384, n_modes=40, seed=29):
+    """SYNTHETIC stand-in at the real sentence-transformer shape (384-dim,
+    the all-MiniLM-L6-v2 width the reference loads,
+    services/embedding_service.py:7-10).  Real ST embeddings cannot be
+    produced in this environment (no model weights, no network) — this
+    fixture reproduces their PUBLISHED geometric properties instead:
+    low intrinsic dimension (rank-16 cluster manifold inside 384 dims),
+    Zipf-sized topic clusters, anisotropic spread, 5% outliers, and — the
+    property the other fixtures lack — 10% NEAR-DUPLICATE pairs (pt +
+    tiny noise), since real corpora are full of near-identical sentences
+    and near-dup structure is exactly what stresses refine/ef at small k.
+    Use ``--fixture`` to audit a real-model parquet when one is available
+    out-of-band; the tiers and knobs are dim-agnostic."""
+    rng = np.random.RandomState(seed)
+    basis = np.linalg.qr(rng.standard_normal((dim, 16)))[0]
+    cents = (rng.standard_normal((n_modes, 16)) @ basis.T
+             + 0.05 * rng.standard_normal((n_modes, dim)))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    weights = 1.0 / np.arange(1, n_modes + 1)
+    n_base = n - n // 10
+    assign = rng.choice(n_modes, size=n_base, p=weights / weights.sum())
+    scales = 0.05 + 0.2 * rng.rand(n_modes)
+    pts = cents[assign] + scales[assign][:, None] * rng.standard_normal(
+        (n_base, dim)
+    )
+    out = rng.rand(n_base) < 0.05
+    pts[out] = rng.standard_normal((int(out.sum()), dim))
+    dup_src = rng.choice(n_base, size=n - n_base, replace=False)
+    dups = pts[dup_src] + 0.01 * rng.standard_normal((n - n_base, dim))
+    pts = np.vstack([pts, dups])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    perm = rng.permutation(n)
+    pts = pts[perm]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def audit(spark, emb, corpus_name, k, n_queries=10, dim=64):
     from vector_search_question_answer_api_spark.operators.ann import lsh_candidates
     from vector_search_question_answer_api_spark.operators.ivf import (
         ivf_topk,
@@ -130,7 +169,7 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
     cand = lsh_candidates(
         q,
         idx_nv.withColumnRenamed("norm_embedding", "norm_embedding"),
-        dim=64,
+        dim=dim,
         n_planes=3,
         n_tables=16,
     )
@@ -144,7 +183,7 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
     # IVF, grid + trained centroids
     rec("ivf_grid", ivf_topk(q, normed, k=k, n_cells=16, nprobe=4),
         {"n_cells": 16, "nprobe": 4, "centroids": "grid"})
-    trained = train_centroids(normed, dim=64, n_cells=16, n_iters=4)
+    trained = train_centroids(normed, dim=dim, n_cells=16, n_iters=4)
     rec("ivf_trained", ivf_topk(q, normed, centroids=trained, k=k,
                                 n_cells=16, nprobe=4),
         {"n_cells": 16, "nprobe": 4, "centroids": "trained"})
@@ -152,13 +191,13 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
     # PQ: ADC only, then with exact refine; grid + trained codebooks
     cbs_g = __import__(
         "vector_search_question_answer_api_spark.operators.pq", fromlist=["codebook_grid"]
-    ).codebook_grid(64, 8, 16)
+    ).codebook_grid(dim, 8, 16)
     codes_g = pq_encode(normed, cbs_g)
     rec("pq_adc_grid", pq_topk(q, codes_g, cbs_g, k=k),
         {"m": 8, "n_codes": 16, "refine": 0, "codebooks": "grid"})
     rec("pq_refine_grid", pq_topk(q, codes_g, cbs_g, k=k, refine=8, index=normed),
         {"m": 8, "n_codes": 16, "refine": 8, "codebooks": "grid"})
-    cbs_t = train_pq_codebooks(normed, dim=64, m=8, n_codes=16, n_iters=4)
+    cbs_t = train_pq_codebooks(normed, dim=dim, m=8, n_codes=16, n_iters=4)
     codes_t = pq_encode(normed, cbs_t)
     rec("pq_refine_trained", pq_topk(q, codes_t, cbs_t, k=k, refine=8, index=normed),
         {"m": 8, "n_codes": 16, "refine": 8, "codebooks": "trained"})
@@ -183,7 +222,7 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
     # partitioned HNSW graphs (numpy backend unless hnswlib is present)
     from vector_search_question_answer_api_spark.operators import ann_hnsw
 
-    graphs = ann_hnsw.build_partitioned_hnsw(normed, dim=64)
+    graphs = ann_hnsw.build_partitioned_hnsw(normed, dim=dim)
     rec(
         "hnsw_partitioned",
         ann_hnsw.hnsw_topk(spark, graphs, q, k=k),
@@ -192,12 +231,12 @@ def audit(spark, emb, corpus_name, k, n_queries=10):
     )
     # cell-routed composition through the cogrouped serving path (r6)
     celled = ann_hnsw.build_celled_hnsw(
-        normed, centroids=trained, dim=64, n_cells=16
+        normed, centroids=trained, dim=dim, n_cells=16
     )
     rec(
         "hnsw_celled_cogrouped",
         ann_hnsw.celled_hnsw_topk_cogrouped(
-            celled, q, centroids=trained, k=k, ef=50, dim=64,
+            celled, q, centroids=trained, k=k, ef=50, dim=dim,
             n_cells=16, nprobe=4,
         ),
         {"n_cells": 16, "nprobe": 4, "m": 16, "ef": 50,
@@ -212,13 +251,34 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--fixture",
+        default="",
+        help="path[:name] of an external embeddings parquet (vec_id long, "
+        "embedding array<float>) — the seam for a REAL sentence-"
+        "transformer fixture generated out-of-band (this sandbox cannot "
+        "produce one); dim is inferred from the data",
+    )
+    ap.add_argument(
+        "--skip-synthetic", action="store_true",
+        help="audit only --sf (and --fixture if given)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="recall_audit")
     rows = []
     rows += audit(spark, load_table(spark, args.sf, "embeddings"),
                   os.path.basename(args.sf.rstrip("/")), args.k)
-    rows += audit(spark, _clustered(spark), "clustered_synthetic", args.k)
-    rows += audit(spark, _hard_geometry(spark), "hard_geometry", args.k)
+    if not args.skip_synthetic:
+        rows += audit(spark, _clustered(spark), "clustered_synthetic", args.k)
+        rows += audit(spark, _hard_geometry(spark), "hard_geometry", args.k)
+        rows += audit(spark, _realistic_384(spark), "realistic_384_synthetic",
+                      args.k, dim=384)
+    if args.fixture:
+        path, _, name = args.fixture.partition(":")
+        ext = spark.read.parquet(path).select("vec_id", "embedding")
+        ext_dim = len(ext.first()["embedding"])
+        rows += audit(spark, ext, name or os.path.basename(path), args.k,
+                      dim=ext_dim)
     for r in rows:
         print(json.dumps(r))
     spark.stop()

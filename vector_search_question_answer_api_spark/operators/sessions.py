@@ -271,6 +271,7 @@ def replay_sessions(
     usage: "UsageCounters | None" = None,
     retrieval: str = "exact",
     graphs: DataFrame | None = None,
+    **retrieval_kwargs,
 ) -> DataFrame:
     """Batch replay of the stateful /qa pipeline: precompute retrieval
     set-at-a-time, then fold each session in parallel (applyInPandas).
@@ -279,9 +280,14 @@ def replay_sessions(
     ``usage`` (optional) collects executor-side work counters — the engine
     analog of the reference's generation resource monitor (U3,
     utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
-    polls, readable on the driver after an action."""
+    polls, readable on the driver after an action.
+
+    ``retrieval_kwargs`` pass through to :func:`prepare_qa_events` (e.g.
+    ``graph_n_cells``/``graph_nprobe``/``graph_ef`` for the graph tier —
+    they must match the layout of a pre-built ``graphs`` frame)."""
     events = prepare_qa_events(
-        qa_events, index, embedder, retrieval=retrieval, graphs=graphs
+        qa_events, index, embedder, retrieval=retrieval, graphs=graphs,
+        **retrieval_kwargs,
     )
     cfg_ = cfg
     ev_acc = usage.events if usage is not None else None
