@@ -112,8 +112,9 @@ def _pick_delta(
         top = with_cell.groupBy("cell").count().orderBy(F.desc("count")).first()
         pool = with_cell.filter(F.col("cell") == int(top["cell"]))
         return pool.drop("cell").limit(rows)
-    # scattered: deterministic uniform id-hash sample of ~rows rows
-    mod = max(1, n // rows)
+    # scattered: deterministic uniform id-hash sample (2x oversampled so
+    # hash variance does not undershoot the target row count, then capped)
+    mod = max(1, n // (rows * 2))
     return (
         with_cell.filter(F.pmod(F.xxhash64("doc_id") + seed, F.lit(mod)) == 0)
         .drop("cell")
