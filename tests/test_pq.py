@@ -388,3 +388,66 @@ def test_ivfpq_ondisk_probe_collect_bounded_by_n_cells(
     monkeypatch.undo()
     assert collect_sizes, "expected the probed-cell collect to run"
     assert max(collect_sizes) <= 8, collect_sizes
+
+
+def test_dim_inferred_from_codebooks_and_mismatch_raises(spark):
+    """Serving/encode APIs take their slicing width from the codebooks
+    artifact (regression for a measured failure: ``dim`` once defaulted
+    to 64, so a 384-dim corpus passed without ``dim`` was sliced to its
+    first 64 components against full-width codebook entries — every row
+    encoded to code 0 and ADC degenerated to a doc_id-ordered shortlist).
+    An explicit ``dim`` that disagrees with the artifact must raise, not
+    silently mis-slice."""
+    rng = np.random.RandomState(11)
+    pts = rng.standard_normal((200, 32))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(200)],
+        "vec_id long, nv array<double>",
+    ).cache()
+    q, idx = _qi(df, 5)
+    # no dim anywhere: train infers 32 from the data, encode/query from cbs
+    cbs = train_pq_codebooks(idx, m=4, n_codes=8, n_iters=3)
+    assert len(cbs) == 4 and len(cbs[0][0]) == 8  # dsub = 32/4
+    codes = pq_encode(idx, cbs)
+    n_distinct = codes.select(F.col("codes")[0].alias("c")).distinct().count()
+    assert n_distinct > 1, "degenerate encoding: every row got one code"
+    # inferred serving == explicit-correct-dim serving
+    got = _topk_sets(pq_topk(q, codes, cbs, k=3, refine=4, index=idx))
+    want = _topk_sets(pq_topk(q, codes, cbs, k=3, dim=32, refine=4, index=idx))
+    assert got == want
+    with pytest.raises(ValueError, match="inconsistent"):
+        pq_encode(idx, cbs, dim=64)
+    with pytest.raises(ValueError, match="inconsistent"):
+        pq_topk(q, codes, cbs, k=3, dim=64)
+
+
+def test_ivf_and_celled_dim_mismatch_raises(spark):
+    """The same contract for coarse-quantizer consumers: centroid-carrying
+    calls cross-check any explicit ``dim`` against the artifact."""
+    from vector_search_question_answer_api_spark.operators.ann_hnsw import (
+        build_celled_hnsw,
+    )
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(12)
+    pts = rng.standard_normal((100, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(100)],
+        "vec_id long, nv array<double>",
+    ).cache()
+    q, idx = _qi(df, 3)
+    cents = train_centroids(idx, n_cells=4, n_iters=2)  # dim inferred = 16
+    assert len(cents[0]) == 16
+    # inferred == explicit
+    got = _topk_sets(ivf_topk(q, idx, centroids=cents, k=3, nprobe=4))
+    want = _topk_sets(ivf_topk(q, idx, centroids=cents, k=3, dim=16, nprobe=4))
+    assert got == want
+    with pytest.raises(ValueError, match="inconsistent"):
+        ivf_topk(q, idx, centroids=cents, k=3, dim=64)
+    with pytest.raises(ValueError, match="inconsistent"):
+        build_celled_hnsw(idx, centroids=cents, dim=64, n_cells=4)

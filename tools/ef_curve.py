@@ -37,7 +37,18 @@ def _clustered(n, dim=64, n_modes=20, seed=7):
     return pts
 
 
-def curve(n, k, efs, n_queries=50, dim=64):
+def _load_fixture(path):
+    """Load an embeddings parquet (vec_id long, embedding array<float>) as
+    a float32 matrix — the seam for the frozen realistic-geometry fixture
+    (tests/fixtures/realistic_embeddings_384.parquet) or any real-model
+    embedding dump supplied out-of-band."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["embedding"])
+    return np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+
+
+def curve(n, k, efs, n_queries=50, dim=64, pts=None, tag=None):
     """Single-graph measurement (numpy backend, M=16/efC=200 — the
     reference's build constants): per-partition recall of the Spark tier
     equals single-graph recall at the same ef (each partition answers
@@ -47,7 +58,10 @@ def curve(n, k, efs, n_queries=50, dim=64):
         NumpyHNSW,
     )
 
-    pts = _clustered(n, dim=dim)
+    if pts is None:
+        pts = _clustered(n, dim=dim)
+    else:
+        n, dim = pts.shape
     g = NumpyHNSW(dim, m=16, ef_construction=200)
     g.add_items(pts, np.arange(n))
     q = pts[:n_queries]
@@ -63,6 +77,8 @@ def curve(n, k, efs, n_queries=50, dim=64):
             hits += len(want & got)
             total += k
         row = {"n": n, "k": k, "ef": ef, "recall": round(hits / total, 4)}
+        if tag:
+            row["corpus"] = tag
         print(json.dumps(row), flush=True)
         out.append(row)
     return out
@@ -73,14 +89,28 @@ def main():
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--sizes", default="500,2000,8000")
     ap.add_argument("--target", type=float, default=0.95)
+    ap.add_argument(
+        "--fixture",
+        default="",
+        help="path[:name] of an embeddings parquet (vec_id long, embedding "
+        "array<float>) to run the curve on INSTEAD of the synthetic sizes "
+        "— e.g. tests/fixtures/realistic_embeddings_384.parquet",
+    )
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
     efs = [5, 10, 15, 25, 50, 100, 200]
     fit = {}
-    for n in sizes:
-        rows = curve(n, args.k, efs)
+    if args.fixture:
+        path, _, name = args.fixture.partition(":")
+        pts = _load_fixture(path)
+        rows = curve(0, args.k, efs, pts=pts,
+                     tag=name or os.path.basename(path))
         ok = [r["ef"] for r in rows if r["recall"] >= args.target]
-        fit[n] = min(ok) if ok else None
+        fit[pts.shape[0]] = min(ok) if ok else None
+    else:
+        for n in [int(s) for s in args.sizes.split(",")]:
+            rows = curve(n, args.k, efs)
+            ok = [r["ef"] for r in rows if r["recall"] >= args.target]
+            fit[n] = min(ok) if ok else None
     print(json.dumps({"min_ef_for_recall": fit, "target": args.target}),
           flush=True)
 

@@ -271,7 +271,18 @@ def main():
     if not args.skip_synthetic:
         rows += audit(spark, _clustered(spark), "clustered_synthetic", args.k)
         rows += audit(spark, _hard_geometry(spark), "hard_geometry", args.k)
-        rows += audit(spark, _realistic_384(spark), "realistic_384_synthetic",
+        # prefer the FROZEN checked-in artifact (tools/make_realistic_fixture
+        # writes it with the same RNG) so the audit is stable across rounds
+        frozen = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "fixtures", "realistic_embeddings_384.parquet",
+        )
+        r384 = (
+            spark.read.parquet(frozen).select("vec_id", "embedding")
+            if os.path.isfile(frozen)
+            else _realistic_384(spark)
+        )
+        rows += audit(spark, r384, "realistic_384_synthetic",
                       args.k, dim=384)
     if args.fixture:
         path, _, name = args.fixture.partition(":")

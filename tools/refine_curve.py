@@ -52,21 +52,38 @@ def _clustered(spark, n, dim=64, n_modes=20, seed=7):
     )
 
 
-def curve(spark, n, k, refines, n_queries=20, dim=64):
+def _from_fixture(spark, path):
+    """An embeddings parquet (vec_id long, embedding array<float>) as the
+    curve corpus — the seam for the frozen realistic-geometry fixture or a
+    real-model embedding dump supplied out-of-band.  Vectors are assumed
+    L2-normalized (tests/test_fixtures.py pins this for the frozen one)."""
+    df = spark.read.parquet(path).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("norm_embedding"),
+    )
+    dim = len(df.first()["norm_embedding"])
+    return df, dim
+
+
+def curve(spark, n, k, refines, n_queries=20, dim=64, normed=None, tag=None,
+          m=8):
     from vector_search_question_answer_api_spark.operators.pq import (
         pq_encode,
         pq_topk,
         train_pq_codebooks,
     )
 
-    normed = _clustered(spark, n, dim=dim)
+    if normed is None:
+        normed = _clustered(spark, n, dim=dim)
+    else:
+        n = normed.count()
     normed.persist().count()
     q = normed.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("norm_embedding").alias("qvec"),
     )
     exact = knn_exact_expr(q, normed, k=k)
-    cbs = train_pq_codebooks(normed, dim=dim, m=8, n_codes=16, n_iters=4)
+    cbs = train_pq_codebooks(normed, dim=dim, m=m, n_codes=16, n_iters=4)
     enc = normed.select(
         "doc_id", "norm_embedding",
     )
@@ -78,6 +95,8 @@ def curve(spark, n, k, refines, n_queries=20, dim=64):
         rec = recall_summary(exact, approx)["micro_recall"]
         row = {"n": n, "k": k, "refine": refine,
                "shortlist": refine * k, "recall": round(rec, 4)}
+        if tag:
+            row["corpus"] = tag
         print(json.dumps(row), flush=True)
         out.append(row)
     normed.unpersist()
@@ -90,16 +109,34 @@ def main():
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--sizes", default="500,2000")
     ap.add_argument("--target", type=float, default=0.95)
+    ap.add_argument(
+        "--fixture",
+        default="",
+        help="path[:name] of an embeddings parquet (vec_id long, embedding "
+        "array<float>) to run the curve on INSTEAD of the synthetic sizes",
+    )
+    ap.add_argument(
+        "--m", type=int, default=8,
+        help="PQ subvector count (use a divisor of the fixture dim, e.g. "
+        "16 or 24 for dim=384)",
+    )
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
     refines = [1, 2, 4, 8, 16, 24, 32, 48, 64]
     spark = get_spark(app_name="refine_curve")
     spark.sparkContext.setLogLevel("ERROR")
     fit = {}
-    for n in sizes:
-        rows = curve(spark, n, args.k, refines)
+    if args.fixture:
+        path, _, name = args.fixture.partition(":")
+        normed, dim = _from_fixture(spark, path)
+        rows = curve(spark, 0, args.k, refines, dim=dim, normed=normed,
+                     tag=name or os.path.basename(path), m=args.m)
         ok = [r["refine"] for r in rows if r["recall"] >= args.target]
-        fit[n] = min(ok) if ok else None
+        fit[rows[0]["n"]] = min(ok) if ok else None
+    else:
+        for n in [int(s) for s in args.sizes.split(",")]:
+            rows = curve(spark, n, args.k, refines)
+            ok = [r["refine"] for r in rows if r["recall"] >= args.target]
+            fit[n] = min(ok) if ok else None
     print(json.dumps({"min_refine_for_recall": fit,
                       "target": args.target}), flush=True)
     spark.stop()

@@ -75,7 +75,7 @@ def _resolve_backend(backend: str | None) -> str:
 
 def build_partitioned_hnsw(
     index: DataFrame,
-    dim: int,
+    dim: int | None = None,
     m: int = 16,
     ef_construction: int = 200,
     vec_col: str = "norm_embedding",
@@ -86,8 +86,10 @@ def build_partitioned_hnsw(
     build constants preserved (M=16, ef_construction=200,
     services/index_service.py:89-92).  ``backend``: 'hnswlib' | 'numpy' |
     None (auto: hnswlib when importable, else the built-in numpy
-    implementation)."""
+    implementation).  ``dim`` defaults to the data's own width."""
     backend = _resolve_backend(backend)
+    if dim is None:
+        dim = len(index.select(vec_col).first()[0])
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[int] = []
@@ -128,7 +130,7 @@ def build_partitioned_hnsw(
 def build_celled_hnsw(
     index: DataFrame,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     m: int = 16,
     ef_construction: int = 200,
@@ -163,7 +165,15 @@ def build_celled_hnsw(
 
     backend = _resolve_backend(backend)
     if centroids is None:
-        centroids = centroid_grid(dim, n_cells)
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        # infer from the artifact — a wrong width would mis-init the
+        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
     assigned = index.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("nv"),
@@ -211,7 +221,7 @@ def celled_hnsw_topk(
     centroids=None,
     k: int = 3,
     ef: int = 50,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
     query_vec_col: str = "qvec",
@@ -230,7 +240,15 @@ def celled_hnsw_topk(
     )
 
     if centroids is None:
-        centroids = centroid_grid(dim, n_cells)
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        # infer from the artifact — a wrong width would mis-init the
+        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
@@ -340,7 +358,7 @@ def refresh_celled_hnsw_index(
     delta: DataFrame,
     prev_delta: DataFrame | None = None,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     m: int = 16,
     ef_construction: int = 200,
@@ -381,7 +399,15 @@ def refresh_celled_hnsw_index(
     )
 
     if centroids is None:
-        centroids = centroid_grid(dim, n_cells)
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        # infer from the artifact — a wrong width would mis-init the
+        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
 
     def cells_of(df):
         return df.select(
@@ -451,7 +477,7 @@ def celled_hnsw_topk_cogrouped(
     centroids=None,
     k: int = 3,
     ef: int = 50,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
     query_vec_col: str = "qvec",
@@ -476,7 +502,15 @@ def celled_hnsw_topk_cogrouped(
     )
 
     if centroids is None:
-        centroids = centroid_grid(dim, n_cells)
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        # infer from the artifact — a wrong width would mis-init the
+        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
     routed = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
@@ -626,7 +660,7 @@ def knn_graph(
     centroids=None,
     k: int = 5,
     ef: int = 50,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
     vec_col: str = "norm_embedding",
@@ -655,7 +689,15 @@ def knn_graph(
     )
 
     if centroids is None:
-        centroids = centroid_grid(dim, n_cells)
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        # infer from the artifact — a wrong width would mis-init the
+        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
     if graphs is None:
         graphs = build_celled_hnsw(
             index, centroids=centroids, dim=dim, n_cells=n_cells,

@@ -69,6 +69,26 @@ def centroid_grid(dim: int, n_cells: int = DEFAULT_N_CELLS) -> tuple[tuple[float
     return tuple(out)
 
 
+def _resolve_dim(centroids, dim, df=None, vec_col=None) -> int:
+    """Prefer the width the ``centroids`` artifact carries; cross-check an
+    explicit ``dim`` against it (raise on mismatch); fall back to
+    measuring the data when neither is given (grid mode).  Mirrors
+    ``pq._resolve_dim`` — a wrong width here would silently truncate or
+    null every dot product against grid centroids of the wrong length."""
+    if centroids is not None:
+        inferred = len(centroids[0])
+        if dim is not None and dim != inferred:
+            raise ValueError(
+                f"dim={dim} inconsistent with centroids dim {inferred}"
+            )
+        return inferred
+    if dim is not None:
+        return dim
+    if df is not None:
+        return len(df.select(vec_col).first()[0])
+    raise ValueError("dim is required when centroids is None")
+
+
 def _cell_scores(vec: Column, centroids) -> Column:
     """Array of cosine scores of ``vec`` (assumed L2-normalized) against
     each centroid: dot(vec, c) / ||c||.
@@ -119,7 +139,7 @@ def ivf_topk(
     index: DataFrame,
     centroids=None,
     k: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = DEFAULT_N_CELLS,
     nprobe: int = DEFAULT_NPROBE,
     query_vec_col: str = "qvec",
@@ -134,7 +154,10 @@ def ivf_topk(
     neighbor whose cell the query did not probe.
     """
     if centroids is None:
+        dim = _resolve_dim(centroids, dim, index, index_vec_col)
         centroids = centroid_grid(dim, n_cells)
+    else:
+        _resolve_dim(centroids, dim)
     c = index.select(
         F.col(index_id_col).alias("doc_id"),
         F.col(index_vec_col).alias("cvec"),
@@ -167,7 +190,7 @@ def write_ivf_index(
     index: DataFrame,
     path: str,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = DEFAULT_N_CELLS,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
@@ -180,7 +203,10 @@ def write_ivf_index(
     directories (partition pruning at the scan — no assignment recompute,
     no full-corpus read, ever)."""
     if centroids is None:
+        dim = _resolve_dim(centroids, dim, index, index_vec_col)
         centroids = centroid_grid(dim, n_cells)
+    else:
+        _resolve_dim(centroids, dim)
     assigned = index.select(
         F.col(index_id_col).alias("doc_id"),
         F.col(index_vec_col).alias("cvec"),
@@ -194,7 +220,7 @@ def ivf_topk_ondisk(
     path: str,
     centroids=None,
     k: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = DEFAULT_N_CELLS,
     nprobe: int = DEFAULT_NPROBE,
     query_vec_col: str = "qvec",
@@ -212,7 +238,10 @@ def ivf_topk_ondisk(
     count).  Emits exactly what ``ivf_topk`` emits for the same inputs.
     """
     if centroids is None:
+        dim = _resolve_dim(centroids, dim, queries, query_vec_col)
         centroids = centroid_grid(dim, n_cells)
+    else:
+        _resolve_dim(centroids, dim)
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -252,7 +281,7 @@ def ivf_topk_ondisk(
 
 def train_centroids(
     index: DataFrame,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = DEFAULT_N_CELLS,
     n_iters: int = 5,
     vec_col: str = "norm_embedding",
@@ -272,6 +301,10 @@ def train_centroids(
     clustered data this covers the real modes and converges to balanced
     cells; ``init='grid'`` uses the data-independent md5 grid.
     """
+    if dim is None:
+        # infer from the data — training at a wrong explicit width would
+        # cluster truncated vectors and hand every consumer a phantom grid
+        dim = len(index.select(vec_col).first()[0])
     cents = [list(c) for c in centroid_grid(dim, n_cells)]
     vecs = index.select(F.col(vec_col).cast("array<double>").alias("nv")).persist()
     if init == "sample":

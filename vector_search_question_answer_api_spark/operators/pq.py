@@ -100,6 +100,36 @@ def _subspace_slices(vec: Column, dim: int, m: int) -> Column:
     return F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
 
 
+def codebooks_dim(codebooks) -> int:
+    """The vector dimensionality a codebook set was trained for
+    (m x dsub).  Every serving/encode API infers its subspace slicing
+    from the artifact via this, so a caller can never mis-slice."""
+    return len(codebooks) * len(codebooks[0][0])
+
+
+def _resolve_dim(codebooks, dim, centroids=None) -> int:
+    """Infer ``dim`` from the codebooks; cross-check any explicit ``dim``
+    or coarse ``centroids`` against it.
+
+    Added after a measured failure mode: ``pq_encode``/``pq_topk`` once
+    defaulted ``dim=64``, so 384-dim corpora passed without ``dim`` were
+    silently sliced to their first 64 components against full-width
+    codebook entries — every row encoded to code 0 and ADC degenerated to
+    a doc_id-ordered shortlist.  Mismatches now raise instead."""
+    inferred = codebooks_dim(codebooks)
+    if dim is not None and dim != inferred:
+        raise ValueError(
+            f"dim={dim} inconsistent with codebooks "
+            f"(m={len(codebooks)} x dsub={len(codebooks[0][0])} = {inferred})"
+        )
+    if centroids is not None and len(centroids[0]) != inferred:
+        raise ValueError(
+            f"centroids dim {len(centroids[0])} inconsistent with "
+            f"codebooks dim {inferred}"
+        )
+    return inferred
+
+
 @lru_cache(maxsize=None)
 def codebook_grid(
     dim: int, m: int = DEFAULT_M, n_codes: int = DEFAULT_N_CODES
@@ -126,7 +156,7 @@ def codebook_grid(
 
 def train_pq_codebooks(
     index: DataFrame,
-    dim: int = 64,
+    dim: int | None = None,
     m: int = DEFAULT_M,
     n_codes: int = DEFAULT_N_CODES,
     n_iters: int = 5,
@@ -149,6 +179,10 @@ def train_pq_codebooks(
     smaller) — covers the real modes on clustered data; ``init='grid'``
     is fully data-independent.
     """
+    if dim is None:
+        # infer from the data — training at a wrong explicit width would
+        # slice/zero-pad every vector and quantize a phantom geometry
+        dim = len(index.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
@@ -183,9 +217,11 @@ def train_pq_codebooks(
     return tuple(tuple(tuple(c) for c in cb) for cb in cbs)
 
 
-def pq_encode_col(vec: Column, codebooks, dim: int) -> Column:
+def pq_encode_col(vec: Column, codebooks, dim: int | None = None) -> Column:
     """codes[s] = argmin_c ||vec_s - codebook_s[c]||^2 (ties -> lowest code,
-    matching ``array_position`` of the min).  Map-only codegen."""
+    matching ``array_position`` of the min).  Map-only codegen.  ``dim``
+    is inferred from the codebooks (explicit values are cross-checked)."""
+    dim = _resolve_dim(codebooks, dim)
     m = len(codebooks)
     lit = _codebooks_lit(codebooks)
     subs = _subspace_slices(vec, dim, m)
@@ -195,7 +231,7 @@ def pq_encode_col(vec: Column, codebooks, dim: int) -> Column:
 def pq_encode(
     index: DataFrame,
     codebooks,
-    dim: int = 64,
+    dim: int | None = None,
     vec_col: str = "norm_embedding",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -215,7 +251,7 @@ def pq_topk(
     codes: DataFrame,
     codebooks,
     k: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     refine: int = 0,
     index: DataFrame | None = None,
     query_vec_col: str = "qvec",
@@ -230,6 +266,7 @@ def pq_topk(
     ``knn_exact_expr`` (query_id, doc_id, distance, score, rank); with
     refine, ``distance`` is exact for every returned row.
     """
+    dim = _resolve_dim(codebooks, dim)
     m = len(codebooks)
     lit = _codebooks_lit(codebooks)
     qv = F.col(query_vec_col).cast("array<double>")
@@ -288,7 +325,7 @@ def ivfpq_topk(
     codebooks,
     centroids=None,
     k: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
     refine: int = 8,
@@ -317,6 +354,7 @@ def ivfpq_topk(
         probe_cells,
     )
 
+    dim = _resolve_dim(codebooks, dim, centroids)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
     enc = index.select(
@@ -382,7 +420,7 @@ def write_ivfpq_index(
     path: str,
     codebooks,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
@@ -403,7 +441,7 @@ def _encode_cells(
     index: DataFrame,
     codebooks,
     centroids,
-    dim: int,
+    dim: int | None,
     n_cells: int,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
@@ -415,6 +453,7 @@ def _encode_cells(
         centroid_grid,
     )
 
+    dim = _resolve_dim(codebooks, dim, centroids)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
     return index.select(
@@ -431,7 +470,7 @@ def write_ivfpq_index_managed(
     path: str,
     codebooks,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
@@ -461,7 +500,7 @@ def refresh_ivfpq_index(
     delta: DataFrame,
     codebooks,
     centroids=None,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
@@ -490,6 +529,7 @@ def refresh_ivfpq_index(
         open_cell_table,
     )
 
+    dim = _resolve_dim(codebooks, dim, centroids)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
     # ONE driver round-trip for the whole dirty set (VERDICT r8, What's
@@ -530,7 +570,7 @@ def ivfpq_topk_ondisk(
     codebooks,
     centroids=None,
     k: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
     refine: int = 8,
@@ -566,6 +606,7 @@ def ivfpq_topk_ondisk(
         probe_cells,
     )
 
+    dim = _resolve_dim(codebooks, dim, centroids)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
     m = len(codebooks)
