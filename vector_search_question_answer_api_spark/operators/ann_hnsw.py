@@ -60,6 +60,25 @@ except ImportError:
     HNSW_AVAILABLE = False
 
 
+def _resolve_centroids_dim(centroids, dim, n_cells):
+    """Resolve the (centroids, dim) pair every celled API needs: default
+    grid centroids at the requested (or legacy 64) width, then take the
+    authoritative ``dim`` from the artifact — an explicit ``dim`` that
+    disagrees with it raises instead of silently mis-initializing the
+    per-cell graphs / truncating routing dots (see pq._resolve_dim)."""
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+
+    if centroids is None:
+        centroids = centroid_grid(64 if dim is None else dim, n_cells)
+    if dim is None:
+        dim = len(centroids[0])
+    elif dim != len(centroids[0]):
+        raise ValueError(
+            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
+        )
+    return centroids, dim
+
+
 def _resolve_backend(backend: str | None) -> str:
     if backend is None:
         return "hnswlib" if HNSW_AVAILABLE else "numpy"
@@ -158,22 +177,10 @@ def build_celled_hnsw(
     query routing, results, and recall are unchanged (the shards
     partition the cell exactly; within-cell exhaustiveness is a union
     over shards).  Per-task memory drops by the salt factor."""
-    from vector_search_question_answer_api_spark.operators.ivf import (
-        assign_cell,
-        centroid_grid,
-    )
+    from vector_search_question_answer_api_spark.operators.ivf import assign_cell
 
     backend = _resolve_backend(backend)
-    if centroids is None:
-        centroids = centroid_grid(64 if dim is None else dim, n_cells)
-    if dim is None:
-        # infer from the artifact — a wrong width would mis-init the
-        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
-        dim = len(centroids[0])
-    elif dim != len(centroids[0]):
-        raise ValueError(
-            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
-        )
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     assigned = index.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("nv"),
@@ -234,21 +241,9 @@ def celled_hnsw_topk(
     walk is exhaustive within them, so the result equals ``ivf_topk`` for
     the same (centroids, nprobe) — pinned in tests; recall vs exact is
     governed by the probe exactly as in IVF."""
-    from vector_search_question_answer_api_spark.operators.ivf import (
-        centroid_grid,
-        probe_cells,
-    )
+    from vector_search_question_answer_api_spark.operators.ivf import probe_cells
 
-    if centroids is None:
-        centroids = centroid_grid(64 if dim is None else dim, n_cells)
-    if dim is None:
-        # infer from the artifact — a wrong width would mis-init the
-        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
-        dim = len(centroids[0])
-    elif dim != len(centroids[0]):
-        raise ValueError(
-            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
-        )
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
@@ -388,26 +383,14 @@ def refresh_celled_hnsw_index(
     rewritten AFTER the graph publish, so a crash between the two replays
     with the pre-upsert membership intact.  Driver state stays
     O(n_cells).  Returns the dirty cells."""
-    from vector_search_question_answer_api_spark.operators.ivf import (
-        assign_cell,
-        centroid_grid,
-    )
+    from vector_search_question_answer_api_spark.operators.ivf import assign_cell
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_manifest,
         cell_store_refresh,
         open_cell_table,
     )
 
-    if centroids is None:
-        centroids = centroid_grid(64 if dim is None else dim, n_cells)
-    if dim is None:
-        # infer from the artifact — a wrong width would mis-init the
-        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
-        dim = len(centroids[0])
-    elif dim != len(centroids[0]):
-        raise ValueError(
-            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
-        )
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
 
     def cells_of(df):
         return df.select(
@@ -496,21 +479,9 @@ def celled_hnsw_topk_cogrouped(
 
     Emits exactly what :func:`celled_hnsw_topk` emits for the same
     inputs (pinned in tests)."""
-    from vector_search_question_answer_api_spark.operators.ivf import (
-        centroid_grid,
-        probe_cells,
-    )
+    from vector_search_question_answer_api_spark.operators.ivf import probe_cells
 
-    if centroids is None:
-        centroids = centroid_grid(64 if dim is None else dim, n_cells)
-    if dim is None:
-        # infer from the artifact — a wrong width would mis-init the
-        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
-        dim = len(centroids[0])
-    elif dim != len(centroids[0]):
-        raise ValueError(
-            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
-        )
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     routed = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
@@ -684,20 +655,8 @@ def knn_graph(
     (distance 0) BEFORE the top-k cut, so all k slots hold real
     neighbors.  Pass a prebuilt ``graphs`` frame (e.g. from
     ``read_celled_hnsw_index``) to amortize the build across calls."""
-    from vector_search_question_answer_api_spark.operators.ivf import (
-        centroid_grid,
-    )
 
-    if centroids is None:
-        centroids = centroid_grid(64 if dim is None else dim, n_cells)
-    if dim is None:
-        # infer from the artifact — a wrong width would mis-init the
-        # per-cell graphs / truncate routing dots (see pq._resolve_dim)
-        dim = len(centroids[0])
-    elif dim != len(centroids[0]):
-        raise ValueError(
-            f"dim={dim} inconsistent with centroids dim {len(centroids[0])}"
-        )
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     if graphs is None:
         graphs = build_celled_hnsw(
             index, centroids=centroids, dim=dim, n_cells=n_cells,

