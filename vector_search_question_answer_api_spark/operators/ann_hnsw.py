@@ -270,16 +270,15 @@ def celled_hnsw_topk(
                 labels, dists = g.knn_query(
                     q_mat, k=min(k, g.get_current_count())
                 )
-                out_q, out_id, out_d = [], [], []
-                for qi in range(labels.shape[0]):
-                    # drop the numpy backend's disconnection padding
-                    # (label -1 / dist +inf) so short results stay short
-                    keep = np.isfinite(dists[qi])
-                    out_q.extend([q_ids[qi]] * int(keep.sum()))
-                    out_id.extend(labels[qi][keep].tolist())
-                    out_d.extend(dists[qi][keep].tolist())
+                # drop the numpy backend's disconnection padding
+                # (label -1 / dist +inf) so short results stay short
+                rq, rc = np.nonzero(np.isfinite(dists))
                 yield pd.DataFrame(
-                    {"query_id": out_q, "doc_id": out_id, "distance": out_d}
+                    {
+                        "query_id": q_ids[rq],
+                        "doc_id": labels[rq, rc],
+                        "distance": dists[rq, rc],
+                    }
                 )
 
     candidates = graphs.filter(F.col("cell").isin(probed)).mapInPandas(
@@ -497,7 +496,7 @@ def celled_hnsw_topk_cogrouped(
                       "distance": "float64"})
         q_ids = np.asarray(qpdf["query_id"], dtype=np.int64)
         q_mat = np.array(list(qpdf["qvec"]), dtype=np.float64)
-        out_q, out_id, out_d = [], [], []
+        out = []
         # a cell may hold SEVERAL graph rows (cell_salts shards a hot
         # cell); the shards partition the cell, so walking each and
         # merging candidates is exactly the unsalted cell walk
@@ -507,14 +506,17 @@ def celled_hnsw_topk_cogrouped(
             labels, dists = g.knn_query(
                 q_mat, k=min(k, g.get_current_count())
             )
-            for qi in range(labels.shape[0]):
-                keep = np.isfinite(dists[qi])
-                out_q.extend([q_ids[qi]] * int(keep.sum()))
-                out_id.extend(labels[qi][keep].tolist())
-                out_d.extend(dists[qi][keep].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "doc_id": out_id, "distance": out_d}
-        )
+            rq, rc = np.nonzero(np.isfinite(dists))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[rq],
+                        "doc_id": labels[rq, rc],
+                        "distance": dists[rq, rc],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
     candidates = (
         graphs.groupBy("cell")
@@ -709,16 +711,15 @@ def hnsw_topk(
                 g = pickle.loads(bytes(blob))
                 g.set_ef(max(ef, k + 1))
                 labels, dists = g.knn_query(q_mat, k=min(k, g.get_current_count()))
-                out_q, out_id, out_d = [], [], []
-                for qi in range(labels.shape[0]):
-                    # drop the numpy backend's disconnection padding
-                    # (label -1 / dist +inf) so short results stay short
-                    keep = np.isfinite(dists[qi])
-                    out_q.extend([q_ids[qi]] * int(keep.sum()))
-                    out_id.extend(labels[qi][keep].tolist())
-                    out_d.extend(dists[qi][keep].tolist())
+                # drop the numpy backend's disconnection padding
+                # (label -1 / dist +inf) so short results stay short
+                rq, rc = np.nonzero(np.isfinite(dists))
                 yield pd.DataFrame(
-                    {"query_id": out_q, "doc_id": out_id, "distance": out_d}
+                    {
+                        "query_id": q_ids[rq],
+                        "doc_id": labels[rq, rc],
+                        "distance": dists[rq, rc],
+                    }
                 )
 
     candidates = graphs.mapInPandas(
