@@ -451,3 +451,25 @@ def test_ivf_and_celled_dim_mismatch_raises(spark):
         ivf_topk(q, idx, centroids=cents, k=3, dim=64)
     with pytest.raises(ValueError, match="inconsistent"):
         build_celled_hnsw(idx, centroids=cents, dim=64, n_cells=4)
+
+
+def test_recommended_pq_m_codifies_bits_per_dim_rule():
+    """The SCALE.md r9 sizing rule as code: >= 0.5 bits/dim of code
+    budget, smallest m that divides dim."""
+    from vector_search_question_answer_api_spark.operators.pq import (
+        recommended_pq_m,
+    )
+
+    assert recommended_pq_m(64) == 8     # the engine's default shape
+    assert recommended_pq_m(384) == 48   # the fixture's measured budget
+    assert recommended_pq_m(768) == 96
+    # non-power-of-two dim: m_min=13 -> next divisor of 100 is 20
+    assert recommended_pq_m(100) == 20
+    # larger codebooks carry more bits per code -> smaller m suffices
+    assert recommended_pq_m(32, n_codes=256) == 2
+    # returned m always satisfies the budget and divides dim
+    import math
+    for dim in (64, 100, 384, 768):
+        m = recommended_pq_m(dim)
+        assert dim % m == 0
+        assert m * math.log2(16) >= 0.5 * dim

@@ -48,6 +48,7 @@ inside them (coarse pruning x 32x payload compression multiply).
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -128,6 +129,28 @@ def _resolve_dim(codebooks, dim, centroids=None) -> int:
             f"codebooks dim {inferred}"
         )
     return inferred
+
+
+def recommended_pq_m(
+    dim: int, bits_per_dim: float = 0.5, n_codes: int = DEFAULT_N_CODES
+) -> int:
+    """The measured code-budget sizing rule as code (SCALE.md r9, frozen
+    realistic-geometry fixture): hold >= ``bits_per_dim`` (~0.5) bits of
+    PQ code budget per vector dimension — i.e. m * log2(n_codes) >=
+    bits_per_dim * dim — BEFORE applying the constant-fraction refine
+    rule; below that budget the ADC ranking saturates and no refine depth
+    buys the recall target back.  Returns the smallest ``m`` meeting the
+    budget that divides ``dim`` (dsub must be integral).
+
+    dim=64, n_codes=16 -> 8 (the engine's long-standing default shape);
+    dim=384 -> 48, the budget the fixture's refine curve restores 0.95+
+    recall at (m=8 plateaued at 0.84 there)."""
+    bits_per_code = math.log2(n_codes)
+    m_min = max(1, math.ceil(bits_per_dim * dim / bits_per_code))
+    for m in range(m_min, dim + 1):
+        if dim % m == 0:
+            return m
+    return dim
 
 
 @lru_cache(maxsize=None)
