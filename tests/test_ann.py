@@ -713,3 +713,49 @@ def test_ivf_ondisk_probe_collect_bounded_by_n_cells(
     monkeypatch.undo()
     assert collect_sizes, "expected the probed-cell collect to run"
     assert max(collect_sizes) <= 8, collect_sizes
+
+
+def test_recommended_n_planes_codifies_sweep_rule():
+    """The r5-addendum signature-length rule as code: at the sweep's
+    largest corpus (512k vectors x 8 tables) the rule must prescribe the
+    20 planes measured near-linear in SCALING.md; small corpora floor at
+    the 8-plane default."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        DEFAULT_N_PLANES,
+        recommended_n_planes,
+    )
+
+    assert recommended_n_planes(512_000, n_tables=8, cand_per_row=4) == 20
+    # the floor engages once 2^DEFAULT already covers the budget
+    assert recommended_n_planes(128) == DEFAULT_N_PLANES
+    assert recommended_n_planes(0) == DEFAULT_N_PLANES
+    # monotone in corpus size; +4 planes per 16x (the measured knee shift)
+    p1 = recommended_n_planes(512_000)
+    p2 = recommended_n_planes(512_000 * 16)
+    assert p2 == p1 + 4
+
+
+def test_recommended_lsh_params_fixed_point():
+    """Joint (planes, tables) sizing: tighter thresholds are cheap (near-
+    dup at 0.99 needs few tables), looser thresholds must RAISE tables to
+    hold recall at the longer signature, and an un-LSH-able target hits
+    the max_tables cap instead of looping."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_lsh_params,
+    )
+
+    p_hi, t_hi = recommended_lsh_params(512_000, min_sim=0.99)
+    p_lo, t_lo = recommended_lsh_params(512_000, min_sim=0.80)
+    assert p_hi >= 20 and t_hi <= 8  # tight threshold: tables stay cheap
+    assert t_lo > t_hi  # looser threshold costs tables at fixed recall
+    # the fixed point is stable: re-deriving planes from the returned
+    # tables changes nothing
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_n_planes,
+    )
+
+    assert recommended_n_planes(512_000, t_hi) == p_hi
+    # orthogonal-ish threshold (random 64-dim pairs) is not LSH-able at
+    # 0.95 recall -> capped, not divergent
+    _, t_cap = recommended_lsh_params(512_000, min_sim=0.10, max_tables=64)
+    assert t_cap == 64

@@ -230,6 +230,7 @@ def run(
     out_dir: str,
     skip_gen: bool,
     only: list[str] | None = None,
+    runs: int = 2,
 ) -> dict:
     spark = get_spark(app_name="scaling")
     # Time the primary production path only (see inventory.RUN_TWIN_CHECKS):
@@ -296,23 +297,24 @@ def run(
         fn = qs.get(name)
         if fn is None:
             continue
-        times, rows = {}, {}
+        times, rows, samples = {}, {}, {}
         for n in scales:
-            # best-of-2 at EVERY scale (r5): work per run is fixed, so
+            # best-of-N at EVERY scale (r5): work per run is fixed, so
             # in-session noise only inflates a sample — single-shot
             # mid-scale points recorded 3-10x stragglers that made clean
-            # operators look superlinear; the min of two runs is the
+            # operators look superlinear; the min of N runs is the
             # reproducible cost.  The first run also eats any
             # query-specific cold start (kernel codegen, Arrow worker
             # spin-up for a UDF the global warmup didn't touch).
-            best = None
-            for _ in range(2):
+            # Default N=2 for the full sweep; the watch-list protocol's
+            # 7-run re-measure is --runs 7 (full distributions recorded).
+            samples[n] = []
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 rows[n] = _force_count(fn(spark, dirs[n]))
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best is None or dt < best else best
+                samples[n].append(round(time.perf_counter() - t0, 3))
                 dedup.unpersist_all()
-            times[n] = best
+            times[n] = min(samples[n])
         lo, hi = scales[0], scales[-1]
         slope = (
             round(math.log(times[hi] / times[lo]) / math.log(hi / lo), 2)
@@ -337,13 +339,29 @@ def run(
                 or abs(rows[n] * lo / (rows[lo] * n) - 1.0) <= 0.25
                 for n in scales
             )
+        # Watch-list protocol stat (r9 ngram root-cause): for sub-5 s
+        # operators the anchor-sensitive log-log slope is misleading when a
+        # ~1 s fixed per-job overhead dominates the 1x point.  The marginal
+        # cost per shard between the two largest scales measures the actual
+        # scaling of the WORK: flat-or-declining vs the lower segment
+        # == linear or better.
+        marginal = None
+        if len(scales) >= 3:
+            mid = scales[-2]
+            marginal = {
+                f"{lo}->{mid}": round((times[mid] - times[lo]) / (mid - lo), 3),
+                f"{mid}->{hi}": round((times[hi] - times[mid]) / (hi - mid), 3),
+            }
         results[name] = {
             "sec": {str(k): v for k, v in times.items()},
             "rows": {str(k): v for k, v in rows.items()},
             "slope": slope,
+            "marginal_sec_per_shard": marginal,
             "rows_expect": expect,
             "rows_ok": rows_ok,
         }
+        if runs > 2:
+            results[name]["runs"] = {str(k): v for k, v in samples.items()}
     spark.stop()
     return {"base": base, "scales": scales, "gen_sec": gen_s, "queries": results}
 
@@ -355,6 +373,12 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/spark_graft_scale")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument(
+        "--runs",
+        type=int,
+        default=2,
+        help="timed runs per scale (min quoted); 7 = watch-list re-measure protocol",
+    )
+    ap.add_argument(
         "--queries",
         default="",
         help="comma-separated subset of SCALE_QUERIES to time (default all)",
@@ -362,7 +386,7 @@ def main() -> None:
     args = ap.parse_args()
     scales = sorted(int(s) for s in args.scales.split(","))
     only = [q for q in args.queries.split(",") if q] or None
-    print(json.dumps(run(scales, args.base, args.out, args.skip_gen, only)))
+    print(json.dumps(run(scales, args.base, args.out, args.skip_gen, only, args.runs)))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,81 @@ DEFAULT_N_PLANES = 8
 DEFAULT_N_TABLES = 8
 
 
+def recommended_n_planes(
+    n_rows: int,
+    n_tables: int = DEFAULT_N_TABLES,
+    cand_per_row: int = 4,
+) -> int:
+    """The measured SRP signature-length sizing rule as code (SCALING.md,
+    r5 addendum): a random pair shares a band w.p. ~n_tables x 2^-n_planes,
+    so the structureless bulk of an n-row corpus contributes
+    ~n^2 x n_tables / 2^n_planes spurious candidate pairs — a FIXED
+    signature length re-enters the quadratic regime once n^2 outgrows
+    2^n_planes (each +4 planes pushes the knee out 16x in the sweep).
+
+    Solving ``n^2 x n_tables / 2^p <= cand_per_row x n`` for the smallest
+    integer ``p`` gives ``p = ceil(log2(n x n_tables / cand_per_row))``:
+    at the sweep's largest corpus (512k vectors, 8 tables) this yields the
+    20 planes the r5 study measured as near-linear (slope 0.56, residual
+    tail ~1-2e6 random candidates = the prescribed ~4/row budget).  Floored
+    at ``DEFAULT_N_PLANES`` — below the knee the default is already in the
+    linear regime and fewer planes only cost recall granularity."""
+    import math
+
+    if n_rows <= 0:
+        return DEFAULT_N_PLANES
+    p = math.ceil(math.log2(max(2.0, n_rows * n_tables / max(1, cand_per_row))))
+    return max(DEFAULT_N_PLANES, p)
+
+
+def recommended_lsh_params(
+    n_rows: int,
+    min_sim: float,
+    target_recall: float = 0.95,
+    cand_per_row: int = 4,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Joint (n_planes, n_tables) sizing for SRP-LSH near-dup at a corpus
+    size AND a similarity threshold — the two-knob completion of
+    :func:`recommended_n_planes` (SCALING.md r5 addendum: "raise n_tables
+    alongside when recall at the target threshold matters").
+
+    Standard OR-of-ANDs LSH analysis: a pair at cosine ``min_sim`` agrees
+    on one random hyperplane w.p. ``1 - acos(min_sim)/pi``, on a whole
+    p-plane band w.p. that to the p-th power, and survives ANY of t bands
+    w.p. ``1 - (1 - band_p)**t``.  Planes bound the spurious-candidate
+    budget (quadratic term), tables buy back recall at the threshold; the
+    two couple (more tables -> more random collisions -> more planes), so
+    this iterates the pair to a fixed point.  Hitting ``max_tables`` means
+    the (threshold, recall) target is not cheaply LSH-able — prefer the
+    clustered/SemDeDup tier there.
+
+    Advisory, like :func:`recommended_pq_m` — no serving default changes
+    under a caller's feet; `embedding_near_dup_pairs`'s auto-route warning
+    quotes it for the corpus it just counted."""
+    import math
+
+    sim = min(1.0, max(-1.0, float(min_sim)))
+    p_plane = 1.0 - math.acos(sim) / math.pi
+    planes, tables = DEFAULT_N_PLANES, DEFAULT_N_TABLES
+    for _ in range(8):
+        new_planes = recommended_n_planes(n_rows, tables, cand_per_row)
+        band_p = p_plane**new_planes
+        if band_p >= 1.0:
+            new_tables = 1
+        elif band_p <= 0.0:
+            new_tables = max_tables
+        else:
+            new_tables = min(
+                max_tables,
+                max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_p))),
+            )
+        if (new_planes, new_tables) == (planes, tables):
+            break
+        planes, tables = new_planes, new_tables
+    return planes, tables
+
+
 @lru_cache(maxsize=None)
 def hyperplanes(
     dim: int, n_planes: int = DEFAULT_N_PLANES, n_tables: int = DEFAULT_N_TABLES

@@ -720,17 +720,28 @@ def embedding_near_dup_pairs(
     )
     if strategy is None:
         n = _persist(n)
-        if n.count() <= max_broadcast_rows:
+        cnt = n.count()
+        if cnt <= max_broadcast_rows:
             strategy = "broadcast"
         else:
             strategy = "lsh"
             import warnings
 
+            from vector_search_question_answer_api_spark.operators.ann import (
+                recommended_lsh_params,
+            )
+
+            rec_p, rec_t = recommended_lsh_params(cnt, min_sim)
             warnings.warn(
                 "embedding_near_dup_pairs: corpus exceeds "
                 f"max_broadcast_rows={max_broadcast_rows}; auto-routing from "
-                "exact broadcast to approximate SRP-LSH (~1% per-pair miss "
-                "at defaults). Pass strategy='lsh' to silence.",
+                "exact broadcast to approximate SRP-LSH. At "
+                f"n={cnt} and min_sim={min_sim} the measured sizing rule "
+                f"(ann.recommended_lsh_params) prescribes n_planes={rec_p}, "
+                f"n_tables={rec_t} for ~0.95 recall within a ~4-candidates/"
+                "row budget; the 8x8 default is kept for parameter "
+                "stability. Pass strategy='lsh' (and the prescribed knobs) "
+                "to silence.",
                 stacklevel=2,
             )
     elif strategy == "broadcast":
