@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _live_caches: list[DataFrame] = []
+_live_broadcasts: list = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -24,10 +25,26 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def broadcast_tracked(sc, value):
+    """``sc.broadcast`` with registry-scoped cleanup, for operators that
+    ship a driver-built value (e.g. the exact-kNN query matrix) from
+    inside a lazy plan: the broadcast must outlive the builder, so the
+    builder cannot release it — without tracking, every call leaks its
+    blob for the session's lifetime (visible as monotonic driver growth
+    in long bench/soak processes).  ``unpersist()`` on release, not
+    ``destroy()``: a still-live plan that re-executes after its scope
+    closed re-fetches from the driver instead of crashing."""
+    b = sc.broadcast(value)
+    _live_broadcasts.append(b)
+    return b
+
+
 def unpersist_all() -> None:
-    """Release every tracked cache."""
+    """Release every tracked cache and broadcast."""
     while _live_caches:
         _live_caches.pop().unpersist()
+    while _live_broadcasts:
+        _live_broadcasts.pop().unpersist()
 
 
 class cache_scope:
@@ -42,8 +59,11 @@ class cache_scope:
 
     def __enter__(self) -> "cache_scope":
         self._mark = len(_live_caches)
+        self._bmark = len(_live_broadcasts)
         return self
 
     def __exit__(self, *exc) -> None:
         while len(_live_caches) > self._mark:
             _live_caches.pop().unpersist()
+        while len(_live_broadcasts) > self._bmark:
+            _live_broadcasts.pop().unpersist()

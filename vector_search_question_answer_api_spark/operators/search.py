@@ -121,11 +121,17 @@ def knn_exact_partitioned(
             queries, index, k, query_vec_col, index_vec_col, query_id_col,
             index_id_col, max_distance,
         )
-    bq = queries.sparkSession.sparkContext.broadcast(
+    from vector_search_question_answer_api_spark.caching import broadcast_tracked
+
+    # Tracked: the broadcast must outlive this (lazy) builder, so it is
+    # released by the caller's cache_scope()/unpersist_all() instead of
+    # leaking one query-matrix blob per replay for the session's lifetime.
+    bq = broadcast_tracked(
+        queries.sparkSession.sparkContext,
         (
             q_pdf[query_id_col].to_numpy(dtype=np.int64),
             np.array(list(q_pdf[query_vec_col]), dtype=np.float64),  # (m, d)
-        )
+        ),
     )
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

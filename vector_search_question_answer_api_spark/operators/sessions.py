@@ -205,12 +205,22 @@ def prepare_qa_events(
     with_emb = qa_events.select(
         "*", embedder(TXT.preprocess_text(F.col("question"))).alias("q_emb")
     )
-    with_vec = with_emb.select(
-        "event_id",
-        "ts",
-        "session_id",
-        "question",
-        V.l2_normalize(F.col("q_emb")).cast("array<double>").alias("q_vec"),
+    from vector_search_question_answer_api_spark.caching import persist_tracked
+
+    # Tracked persist: the embedded event relation feeds BOTH the query
+    # side of retrieval and the fold's final join — unpersisted, the 20k+
+    # question embed (Arrow UDF) re-executes inside the fold plan (and the
+    # exact tier's eager query collect makes it a separate job).  Released
+    # by the caller's cache_scope()/unpersist_all(); otherwise Spark's LRU
+    # evicts (registry contract, caching.py).
+    with_vec = persist_tracked(
+        with_emb.select(
+            "event_id",
+            "ts",
+            "session_id",
+            "question",
+            V.l2_normalize(F.col("q_emb")).cast("array<double>").alias("q_vec"),
+        )
     )
     q = with_vec.select(F.col("event_id").alias("query_id"), F.col("q_vec").alias("qvec"))
     if retrieval == "lsh":
