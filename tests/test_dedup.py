@@ -400,3 +400,50 @@ def test_embedding_near_dup_lsh_signature_params_pass_through(spark):
     }
     assert narrow <= exact
     assert len(narrow) < len(exact)  # 16-plane bands cannot span 63 deg
+
+
+def test_recommended_lsh_params_hold_recall_on_realistic_fixture(spark):
+    """Empirical pin of ``ann.recommended_lsh_params`` (the joint
+    planes/tables sizing rule): at the prescription for (n=2000,
+    min_sim=0.99) the LSH near-dup tier must recover >=0.9 of the exact
+    broadcast pairs on the frozen realistic-geometry 384-dim fixture —
+    whose 10% near-dup tail at cos>0.99 is exactly the population the
+    rule's 0.95-recall target is about.  Deterministic end to end: frozen
+    fixture + md5-seeded hyperplanes."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_lsh_params,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "realistic_embeddings_384.parquet",
+    )
+    t = pq.read_table(fixture)
+    pts = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rel(df):
+        return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+    exact = rel(embedding_near_dup_pairs(emb, min_sim=0.99, strategy="broadcast"))
+    assert len(exact) >= 100  # the fixture's planted near-dup tail
+
+    planes, tables = recommended_lsh_params(2000, min_sim=0.99)
+    approx = rel(
+        embedding_near_dup_pairs(
+            emb, min_sim=0.99, strategy="lsh", n_planes=planes, n_tables=tables
+        )
+    )
+    # the LSH tier re-ranks candidates exactly, so it can only MISS pairs
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, (planes, tables, recall)
