@@ -759,3 +759,56 @@ def test_recommended_lsh_params_fixed_point():
     # 0.95 recall -> capped, not divergent
     _, t_cap = recommended_lsh_params(512_000, min_sim=0.10, max_tables=64)
     assert t_cap == 64
+
+
+def test_lsh_centering_splits_clustered_corpus(spark):
+    """Centered SRP (hyperplanes through the corpus mean) on a tight
+    cluster: origin-through planes put most of the cluster in one bucket
+    (none of them pass through it), the centered planes split it.  Also
+    pins: (a) a query identical to a corpus vector shares every signature
+    under ANY center — the transform is the same on both sides; (b) the
+    arrow kernel and the pure-Catalyst expr form stay bit-identical with
+    offsets."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators.ann import (
+        corpus_center,
+        with_lsh_signatures,
+    )
+
+    rng = np.random.default_rng(7)
+    mu = rng.normal(size=16)
+    mu /= np.linalg.norm(mu)
+    pts = mu + 0.05 * rng.normal(size=(200, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, v array<double>",
+    ).cache()
+
+    def max_bucket(center):
+        sigs = with_lsh_signatures(
+            df, "v", 16, n_planes=8, n_tables=4, center=center
+        ).select(F.explode("lsh_sigs").alias("sig"))
+        return sigs.groupBy("sig").count().agg(F.max("count")).first()[0]
+
+    center = corpus_center(df, "v")
+    un, ce = max_bucket(None), max_bucket(center)
+    assert un >= 150, un  # the cluster collapses into one origin bucket
+    assert ce <= un // 3, (un, ce)  # centering splits it
+
+    # (a) self-collision invariance under centering
+    a = with_lsh_signatures(df, "v", 16, 8, 4, center=center).select(
+        "id", F.col("lsh_sigs").alias("a")
+    )
+    b = with_lsh_signatures(df, "v", 16, 8, 4, center=center).select(
+        "id", F.col("lsh_sigs").alias("b")
+    )
+    assert a.join(b, "id").filter(F.col("a") != F.col("b")).count() == 0
+
+    # (b) arrow == expr bit-identity with offsets
+    ex = with_lsh_signatures(
+        df, "v", 16, 8, 4, strategy="expr", center=center
+    ).select("id", F.col("lsh_sigs").alias("e"))
+    assert a.join(ex, "id").filter(F.col("a") != F.col("e")).count() == 0
+    df.unpersist()

@@ -103,12 +103,22 @@ def main() -> None:
             qa, index, retrieval="graph", graphs=graphs,
             graph_n_cells=n_cells, graph_nprobe=nprobe, graph_ef=ef,
         ),
+        # the fully distributed tier (nothing collected or broadcast on
+        # either side): SRP-LSH bucket join + exact re-rank.  A bucket-miss
+        # event gets a null candidate (the fold's fallback path), so
+        # output rows stay == events while candidate recall is the
+        # (n_planes, n_tables) contract — this sweep times the schedule,
+        # the recall rules live in SCALING.md / ann.recommended_lsh_params.
+        "lsh": lambda qa: replay_sessions(qa, index, retrieval="lsh"),
     }
 
-    # warm both tiers once (python workers, codegen) on the smallest batch
+    from vector_search_question_answer_api_spark import caching
+
+    # warm every tier once (python workers, codegen) on the smallest batch
     warm = event_batch(sizes[0])
     for fn in tiers.values():
-        fn(warm).count()
+        with caching.cache_scope():
+            fn(warm).count()
     warm.unpersist()
 
     results: dict[str, dict] = {}
@@ -119,9 +129,14 @@ def main() -> None:
         for n in sizes:
             best = None
             for _ in range(2):  # best-of-2: in-session noise only inflates
-                t0 = time.perf_counter()
-                rows[n] = fn(batches[n]).count()
-                dt = round(time.perf_counter() - t0, 3)
+                # scope per run: replay's tracked persist (the embedded
+                # event relation) must not accumulate across the sweep —
+                # unreleased, the 80k points run against a storage pool
+                # holding every earlier run's cache
+                with caching.cache_scope():
+                    t0 = time.perf_counter()
+                    rows[n] = fn(batches[n]).count()
+                    dt = round(time.perf_counter() - t0, 3)
                 best = dt if best is None or dt < best else best
             times[n] = best
         lo, hi = sizes[0], sizes[-1]

@@ -140,7 +140,7 @@ def hyperplanes(
     return tuple(out)
 
 
-def _sig_expr(vec: Column, table_planes) -> Column:
+def _sig_expr(vec: Column, table_planes, table_offsets=None) -> Column:
     """The n_planes-bit signature of ``vec`` for one table, as a string
     column — pure Catalyst (zip_with/aggregate), no UDF.
 
@@ -148,26 +148,48 @@ def _sig_expr(vec: Column, table_planes) -> Column:
     ``transform`` over it, keeping the expression tree O(1) in
     n_planes x dim (the per-plane unrolled form cost seconds of
     analyzer/codegen per query; values are bit-identical — same
-    left-to-right float64 summation)."""
+    left-to-right float64 summation).
+
+    ``table_offsets`` (optional, one float per plane) turns the bit into
+    ``sign(p.v - p.mu)`` — hyperplanes through a data centroid instead of
+    the origin (see :func:`with_lsh_signatures` ``center``)."""
     planes_lit = V.nested_array_lit(table_planes)
     v = vec.cast("array<double>")
-    bits = F.transform(
-        planes_lit,
-        lambda plane: F.when(
-            F.aggregate(
-                F.zip_with(v, plane, lambda x, h: x * h),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
+    if table_offsets is None:
+        bits = F.transform(
+            planes_lit,
+            lambda plane: F.when(
+                F.aggregate(
+                    F.zip_with(v, plane, lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        )
+    else:
+        offs_lit = F.array(*[F.lit(float(o)) for o in table_offsets])
+        pairs = F.zip_with(
+            planes_lit, offs_lit, lambda p, o: F.struct(p.alias("p"), o.alias("o"))
+        )
+        bits = F.transform(
+            pairs,
+            lambda po: F.when(
+                F.aggregate(
+                    F.zip_with(v, po["p"], lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= po["o"],
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        )
     return F.array_join(bits, "")
 
 
 def _signatures_arrow(
-    vec_col: Column, dim: int, n_planes: int, n_tables: int
+    vec_col: Column, dim: int, n_planes: int, n_tables: int, center=None
 ) -> Column:
     """Arrow-batched twin of the per-table ``_sig_expr`` HOF — all
     n_tables x n_planes signature bits in one vectorized pass.
@@ -193,6 +215,13 @@ def _signatures_arrow(
     for t in range(n_tables):
         for p in range(n_planes):
             H[:, t * n_planes + p] = planes[t][p]
+    # centered planes: bit = sign(p.v - p.mu); offsets from the shared
+    # helper (same left-to-right fold as the HOF dot) so the expr twin
+    # stays bit-identical at the boundary
+    if center is not None:
+        offsets = _center_offsets(center, dim, n_planes, n_tables)
+    else:
+        offsets = np.zeros(H.shape[1], dtype=np.float64)
     prefixes = [f"t{t}:" for t in range(n_tables)]
 
     @F.pandas_udf("array<string>")
@@ -210,7 +239,7 @@ def _signatures_arrow(
             acc = np.zeros((M.shape[0], H.shape[1]), dtype=np.float64)
             for j in range(dim):  # left-to-right, matching the HOF fold
                 acc += M[:, j : j + 1] * H[j]
-            bits = np.where(acc >= 0, "1", "0")
+            bits = np.where(acc >= offsets, "1", "0")
         it = iter(range(len(rows)))
         for v in vals:
             if v is None:
@@ -229,6 +258,46 @@ def _signatures_arrow(
     return _sig(vec_col)
 
 
+def corpus_center(
+    df: DataFrame, vec_col: str = "norm_embedding", dim: int | None = None
+) -> tuple[float, ...]:
+    """Element-wise mean of a vector column — ONE aggregation job emitting
+    ``dim`` floats to the driver.  The centering artifact for
+    ``with_lsh_signatures(center=...)``: real-text embeddings cluster
+    around a dominant direction, and origin-through hyperplanes cannot
+    split a cluster they don't pass through (measured at sf0.1: max
+    bucket = 13.6% of the corpus at 14 planes — SCALE.md r9).  At 100 TB
+    the mean is as cheap as any profile statistic and can be maintained
+    incrementally (count-weighted merge)."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            return ()
+        dim = int(first[0])
+    row = df.agg(
+        *[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)]
+    ).first()
+    return tuple(float(row[i] or 0.0) for i in range(dim))
+
+
+def _center_offsets(center, dim: int, n_planes: int, n_tables: int):
+    """offsets[t*n_planes+p] = plane . center, folded left-to-right in
+    float64 exactly like the signature dot — shared by both kernels so
+    arrow and expr stay bit-identical at the sign boundary."""
+    import numpy as np
+
+    planes = hyperplanes(dim, n_planes, n_tables)
+    mu = np.asarray(center, dtype=np.float64)
+    offs = np.zeros(n_tables * n_planes, dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            acc = 0.0
+            for j in range(dim):
+                acc += mu[j] * planes[t][p][j]
+            offs[t * n_planes + p] = acc
+    return offs
+
+
 def with_lsh_signatures(
     df: DataFrame,
     vec_col: str,
@@ -237,20 +306,43 @@ def with_lsh_signatures(
     n_tables: int = DEFAULT_N_TABLES,
     out_col: str = "lsh_sigs",
     strategy: str = "arrow",
+    center=None,
 ) -> DataFrame:
     """Append ``out_col``: array of n_tables signature strings, each
     prefixed with its table id ("t0:010110...").
 
     ``strategy="arrow"`` (default) computes all signatures in one
     Arrow-batched kernel; ``"expr"`` is the pure-Catalyst HOF form kept as
-    the value reference (bit-identical — see ``_signatures_arrow``)."""
+    the value reference (bit-identical — see ``_signatures_arrow``).
+
+    ``center`` (optional, ``dim`` floats — see :func:`corpus_center`)
+    shifts every hyperplane through that point: ``bit = sign(p.(v - mu))``.
+    Opt-in because the uncentered form is the oracle-pinned default
+    (``ann_lsh_topk``'s DuckDB twin replicates it bit-for-bit); REQUIRED
+    for clustered real-text embeddings, where origin-through planes
+    collapse the signature space (SCALE.md r9: max bucket 13.6% of the
+    corpus → candidate joins explode).  Both sides of a join must use the
+    SAME center — it is part of the index artifact, like the codebooks."""
     if strategy == "arrow":
         return df.withColumn(
-            out_col, _signatures_arrow(F.col(vec_col), dim, n_planes, n_tables)
+            out_col,
+            _signatures_arrow(F.col(vec_col), dim, n_planes, n_tables, center),
         )
     planes = hyperplanes(dim, n_planes, n_tables)
+    offs = (
+        _center_offsets(center, dim, n_planes, n_tables)
+        if center is not None
+        else None
+    )
     sigs = [
-        F.concat(F.lit(f"t{t}:"), _sig_expr(F.col(vec_col), planes[t]))
+        F.concat(
+            F.lit(f"t{t}:"),
+            _sig_expr(
+                F.col(vec_col),
+                planes[t],
+                None if offs is None else offs[t * n_planes : (t + 1) * n_planes],
+            ),
+        )
         for t in range(n_tables)
     ]
     return df.withColumn(out_col, F.array(*sigs))
@@ -267,6 +359,7 @@ def lsh_candidates(
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
     broadcast_queries: bool = True,
+    center=None,
 ) -> DataFrame:
     """Candidate (query_id, doc_id, qvec, cvec) pairs that collide in at
     least one hash table — the bucket equi-join, deduplicated.
@@ -275,7 +368,12 @@ def lsh_candidates(
     equi-join on the signature: neither side is ever collected or broadcast,
     so the query side may be arbitrarily large (e.g. a full event-log replay
     where every event is a query).  Leave True when queries genuinely fit a
-    broadcast — it saves the corpus-side shuffle."""
+    broadcast — it saves the corpus-side shuffle.
+
+    ``center`` applies the SAME centering to both sides (see
+    :func:`with_lsh_signatures`) — mandatory on clustered real-text
+    geometry, where uncentered buckets collapse and the candidate join
+    explodes."""
     c = with_lsh_signatures(
         index.select(
             F.col(index_id_col).alias("doc_id"),
@@ -285,6 +383,7 @@ def lsh_candidates(
         dim,
         n_planes,
         n_tables,
+        center=center,
     ).select("doc_id", "cvec", F.explode("lsh_sigs").alias("sig"))
     q = with_lsh_signatures(
         queries.select(
@@ -295,6 +394,7 @@ def lsh_candidates(
         dim,
         n_planes,
         n_tables,
+        center=center,
     ).select("query_id", "qvec", F.explode("lsh_sigs").alias("sig"))
     # Bucket join on (table, signature); queries broadcast when small.
     q_side = F.broadcast(q) if broadcast_queries else q

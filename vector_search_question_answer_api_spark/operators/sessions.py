@@ -163,6 +163,8 @@ def prepare_qa_events(
     graph_n_cells: int = 16,
     graph_nprobe: int = 4,
     graph_ef: int = 50,
+    lsh_n_planes: int | None = None,
+    lsh_n_tables: int | None = None,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
@@ -181,6 +183,10 @@ def prepare_qa_events(
       (every event a query) runs with only linear shuffles.  An event whose
       question misses every hash bucket gets a null candidate, which the
       fold treats exactly like a no-hit retrieval (fallback path).
+      ``lsh_n_planes``/``lsh_n_tables`` size the signatures; the default
+      derives ``n_planes`` from the corpus count via
+      ``ann.recommended_n_planes`` (one ``count()`` job) so the candidate
+      join stays ~4 vector pairs per query at any corpus size.
     - ``"graph"`` (r7): the reference's OWN index structure — an HNSW
       graph (services/index_service.py:87-96) — served Spark-side: celled
       graphs (one per coarse cell) + the COGROUPED cell-routed walk, so
@@ -224,9 +230,37 @@ def prepare_qa_events(
     )
     q = with_vec.select(F.col("event_id").alias("query_id"), F.col("q_vec").alias("qvec"))
     if retrieval == "lsh":
+        from vector_search_question_answer_api_spark.operators import ann
         from vector_search_question_answer_api_spark.operators.ann import lsh_candidates
 
-        cand = lsh_candidates(q, index, broadcast_queries=False)
+        # Signature length must be sized for the CANDIDATE VOLUME of a
+        # query-batch join: spurious candidates ~ n_q x n_docs x
+        # n_tables / 2^n_planes, and each candidate row carries both
+        # vectors through a shuffle — at the 8-plane default an 80k-event
+        # replay against even a 5k corpus materializes ~12M vector pairs
+        # (measured: GC-stalled the sweep JVM).  Callers pass explicit
+        # knobs; the default applies ann.recommended_n_planes against the
+        # corpus so the per-query candidate budget stays ~4.
+        n_pl = lsh_n_planes
+        if n_pl is None:
+            n_pl = ann.recommended_n_planes(
+                index.count(), lsh_n_tables or ann.DEFAULT_N_TABLES
+            )
+        # Centered signatures (one dim-wide agg job): real-text embeddings
+        # cluster, and origin-through hyperplanes leave one bucket holding
+        # >10% of the corpus — centering restores the balanced-bit geometry
+        # the plane-count rule assumes (SCALE.md r9: 16M -> linear-budget
+        # candidates at 20k events).  Identical query/corpus vectors still
+        # share every signature (same transform both sides), so self-hit
+        # retrieval is unaffected.
+        cand = lsh_candidates(
+            q,
+            index,
+            n_planes=n_pl,
+            n_tables=lsh_n_tables or ann.DEFAULT_N_TABLES,
+            broadcast_queries=False,
+            center=ann.corpus_center(index),
+        )
         scored = cand.select(
             "query_id",
             "doc_id",
