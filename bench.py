@@ -384,8 +384,19 @@ def _qa_replay_fns(spark, sf_dir):
             graph_n_cells=N_CELLS, graph_nprobe=NPROBE, graph_ef=EF,
         )
 
+    def qa_replay_lsh(spark, sf_dir):
+        # the fully distributed tier (nothing collected/broadcast on either
+        # side) at its defaults: rule-sized signature length + centered
+        # planes (the r9 centered-LSH study — uncentered, this entry was
+        # 38x slower from bucket collapse on the clustered text embedder)
+        return replay_sessions(qa_events, index, retrieval="lsh")
+
     return (
-        {"qa_replay_exact": qa_replay_exact, "qa_replay_graph": qa_replay_graph},
+        {
+            "qa_replay_exact": qa_replay_exact,
+            "qa_replay_graph": qa_replay_graph,
+            "qa_replay_lsh": qa_replay_lsh,
+        },
         [index, qa_events, graphs],
     )
 
@@ -625,6 +636,7 @@ def main() -> None:
     lazy_groups: dict[str, tuple] = {
         "qa_replay_exact": ("qa", _setup_qa),
         "qa_replay_graph": ("qa", _setup_qa),
+        "qa_replay_lsh": ("qa", _setup_qa),
         "ann_refresh_1pct": ("refresh", _setup_refresh),
         "span_contamination": ("span", _setup_span),
     }

@@ -416,16 +416,20 @@ def ann_lsh_topk(
     index_vec_col: str = "norm_embedding",
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
+    center=None,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH bucket join -> exact re-rank.
 
     Both vector columns must be L2-normalized.  Returns the same shape as
     ``knn_exact_expr`` (query_id, doc_id, distance, score, rank) minus any
-    neighbor missed by every hash table.
+    neighbor missed by every hash table.  ``center`` passes through to the
+    signature kernel (see :func:`with_lsh_signatures`) — use
+    :func:`corpus_center` on clustered/biased corpora.
     """
     cand = lsh_candidates(
         queries, index, dim, n_planes, n_tables,
         query_vec_col, index_vec_col, query_id_col, index_id_col,
+        center=center,
     )
     scored = cand.select(
         "query_id",

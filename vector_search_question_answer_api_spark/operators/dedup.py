@@ -665,6 +665,7 @@ def embedding_near_dup_pairs(
     strategy: str | None = None,
     n_planes: int | None = None,
     n_tables: int | None = None,
+    center=None,
 ) -> DataFrame:
     """Cosine near-dup pairs on the vector table — auto-routed by size.
 
@@ -747,7 +748,7 @@ def embedding_near_dup_pairs(
     elif strategy == "broadcast":
         n = _persist(n)
     if strategy == "lsh":
-        return _embedding_near_dup_pairs_lsh(n, min_sim, n_planes, n_tables)
+        return _embedding_near_dup_pairs_lsh(n, min_sim, n_planes, n_tables, center)
 
     rows = n.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
@@ -777,6 +778,7 @@ def _embedding_near_dup_pairs_lsh(
     min_sim: float,
     n_planes: int | None = None,
     n_tables: int | None = None,
+    center=None,
 ) -> DataFrame:
     """LSH-bucketed near-dup self-join over (id, nv) with nv L2-normalized.
 
@@ -800,6 +802,12 @@ def _embedding_near_dup_pairs_lsh(
         dim,
         n_planes=n_planes or ann.DEFAULT_N_PLANES,
         n_tables=n_tables or ann.DEFAULT_N_TABLES,
+        # clustered/biased corpora: pass ann.corpus_center(n, "nv") —
+        # origin planes cannot split a cluster (SCALE.md r9 centered-LSH
+        # study; the SemDeDup clustered tier is usually the better
+        # structure there, but centering keeps THIS tier's candidate
+        # volume on-budget when a single global hash family is wanted)
+        center=center,
     ).select(
         "id", F.explode("lsh_sigs").alias("sig")
     )
