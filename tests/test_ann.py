@@ -812,3 +812,27 @@ def test_lsh_centering_splits_clustered_corpus(spark):
     ).select("id", F.col("lsh_sigs").alias("e"))
     assert a.join(ex, "id").filter(F.col("a") != F.col("e")).count() == 0
     df.unpersist()
+
+
+def test_lsh_center_edge_cases(spark):
+    """Empty-corpus center (()) degrades to the uncentered origin planes;
+    a width-mismatched center raises instead of mis-slicing."""
+    import pytest as _pytest
+
+    from vector_search_question_answer_api_spark.operators.ann import (
+        corpus_center,
+        with_lsh_signatures,
+    )
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    assert corpus_center(empty, "v") == ()
+    df = spark.createDataFrame([(0, [1.0] * 8)], "id long, v array<double>")
+    un = with_lsh_signatures(df, "v", 8, 4, 2).select("lsh_sigs").first()[0]
+    via_empty = with_lsh_signatures(df, "v", 8, 4, 2, center=()).select(
+        "lsh_sigs"
+    ).first()[0]
+    assert un == via_empty
+    with _pytest.raises(ValueError, match="center has"):
+        with_lsh_signatures(df, "v", 8, 4, 2, center=(0.0,) * 5).select(
+            "lsh_sigs"
+        ).first()

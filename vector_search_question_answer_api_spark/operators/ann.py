@@ -323,6 +323,14 @@ def with_lsh_signatures(
     collapse the signature space (SCALE.md r9: max bucket 13.6% of the
     corpus → candidate joins explode).  Both sides of a join must use the
     SAME center — it is part of the index artifact, like the codebooks."""
+    # an empty center (corpus_center of an empty relation returns ()) is
+    # the origin — same signatures as uncentered, not an offsets crash
+    if center is not None and len(center) == 0:
+        center = None
+    if center is not None and len(center) != dim:
+        raise ValueError(
+            f"center has {len(center)} components for dim={dim}"
+        )
     if strategy == "arrow":
         return df.withColumn(
             out_col,
