@@ -741,8 +741,11 @@ def embedding_near_dup_pairs(
                 f"(ann.recommended_lsh_params) prescribes n_planes={rec_p}, "
                 f"n_tables={rec_t} for ~0.95 recall within a ~4-candidates/"
                 "row budget; the 8x8 default is kept for parameter "
-                "stability. Pass strategy='lsh' (and the prescribed knobs) "
-                "to silence.",
+                "stability. On clustered/biased corpora also pass "
+                "center=ann.corpus_center(...) — origin planes cannot "
+                "split a cluster (68x candidate reduction measured, "
+                "SCALING.md r9). Pass strategy='lsh' (and the prescribed "
+                "knobs) to silence.",
                 stacklevel=2,
             )
     elif strategy == "broadcast":
