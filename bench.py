@@ -524,10 +524,43 @@ def _span_store_fns(spark, sf_dir):
     return {"span_contamination": span_contamination}, root, [probe]
 
 
+def _box_fingerprint() -> dict:
+    """Two single-core probe constants + CPU model — the cross-round
+    hardware fingerprint (r10 reconciliation, SCALE.md): each round runs
+    in a fresh container on a host that varies, and the r9 "+43% drift"
+    was entirely the box (the r8 TREE reproduced the slow numbers on the
+    r10 box).  Cross-round entry comparisons are only meaningful after
+    normalizing by these."""
+    import hashlib
+    import time as _t
+
+    t0 = _t.perf_counter()
+    h = b"x" * 1000
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    sha = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(10**6):
+        s += i
+    loop = round(_t.perf_counter() - t0, 4)
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"sha256_200k_sec": sha, "pyloop_1e6_sec": loop, "cpu": model}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    box = _box_fingerprint()
     spark = get_spark(app_name="bench")
 
     # Time the primary production path: the in-gate strategy-twin
@@ -706,6 +739,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "run_ledger": ledger,
+                "box": box,
                 "sf": sf,
             }
         )
