@@ -447,3 +447,29 @@ def test_recommended_lsh_params_hold_recall_on_realistic_fixture(spark):
     assert approx <= exact
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, (planes, tables, recall)
+
+
+def test_auto_route_warning_is_honest_about_table_cap(spark, sf_dir):
+    """ADVICE r9: when recommended_lsh_params hits its table cap the ~0.95
+    recall contract is NOT met — the auto-route warning must say so and
+    steer to the clustered tier, not quote an unmet promise.  Below the
+    cap it quotes the prescription as before."""
+    import warnings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # min_sim=0.5 drives the fixed point to the 64-table cap (the
+    # advice used 0.8 at corpus scale; the small test corpus needs a lower threshold)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(emb, min_sim=0.5, max_broadcast_rows=10).count()
+    msgs = [str(x.message) for x in w if "auto-routing" in str(x.message)]
+    assert msgs and "NOT met" in msgs[0] and "clustered" in msgs[0].lower()
+    assert "for ~0.95 recall" not in msgs[0]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(
+            emb, min_sim=0.95, max_broadcast_rows=10
+        ).count()
+    msgs = [str(x.message) for x in w if "auto-routing" in str(x.message)]
+    assert msgs and "for ~0.95 recall" in msgs[0] and "NOT met" not in msgs[0]

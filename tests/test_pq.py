@@ -473,3 +473,67 @@ def test_recommended_pq_m_codifies_bits_per_dim_rule():
         m = recommended_pq_m(dim)
         assert dim % m == 0
         assert m * math.log2(16) >= 0.5 * dim
+
+
+def test_codebook_default_m_follows_bits_per_dim_rule():
+    """m defaults to recommended_pq_m (VERDICT r9 missing #3): dim=64
+    keeps the long-standing m=8 grid BIT-IDENTICAL (every existing
+    artifact and gate unchanged); dim=384 defaults to the 0.5-bits/dim
+    budget instead of the silently under-coded m=8."""
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        recommended_pq_m,
+    )
+
+    assert codebook_grid(64) == codebook_grid(64, 8, 16)
+    assert len(codebook_grid(64)) == 8
+    assert recommended_pq_m(384) == 48
+    assert len(codebook_grid(384)) == 48
+
+
+def test_default_args_recall_realistic_384(spark):
+    """A 384-dim user taking DEFAULTS (train_pq_codebooks with no m) must
+    land in the measured >=0.9 recall regime at the sizing rule's refine
+    depth — the r9 fixture study showed the flat m=8 default plateaued at
+    0.84 no matter the refine (SCALE.md r9).  Protocol mirrors
+    tools/refine_curve.py --fixture (k=5, production monitor)."""
+    import os
+
+    from vector_search_question_answer_api_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from vector_search_question_answer_api_spark.operators.quality import (
+        recall_summary,
+    )
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_expr,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "realistic_embeddings_384.parquet"
+    )
+    normed = (
+        spark.read.parquet(path)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("norm_embedding"),
+        )
+        .persist()
+    )
+    normed.count()
+    q = normed.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    exact = knn_exact_expr(q, normed, k=5)
+    cbs = train_pq_codebooks(normed, n_iters=4)  # no dim, no m: all inferred
+    assert len(cbs) == 48  # the rule's budget, not the flat 8
+    codes = pq_encode(normed, cbs).persist()
+    codes.count()
+    approx = pq_topk(q, codes, cbs, k=5, refine=32, index=normed)
+    rec = recall_summary(exact, approx)["micro_recall"]
+    normed.unpersist()
+    codes.unpersist()
+    assert rec >= 0.9, rec

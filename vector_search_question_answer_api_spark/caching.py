@@ -18,10 +18,38 @@ from pyspark.sql import DataFrame
 _live_caches: list[DataFrame] = []
 _live_broadcasts: list = []
 
+# Unbounded-growth tripwire (VERDICT r9 next #6): a caller composing
+# tracked operators in a loop WITHOUT cache_scope()/unpersist_all() leaks
+# one cache/broadcast per iteration for the session's lifetime.  Warn
+# once when the registry passes this mark — loud enough to catch the
+# leak in development, silent in any correctly-scoped pipeline (the
+# bench/parity/soak harnesses all stay in single digits).
+GROWTH_WARN_THRESHOLD = 64
+_growth_warned = False
+
+
+def _check_growth() -> None:
+    global _growth_warned
+    if _growth_warned:
+        return
+    if len(_live_caches) + len(_live_broadcasts) >= GROWTH_WARN_THRESHOLD:
+        import warnings
+
+        _growth_warned = True
+        warnings.warn(
+            f"caching registry holds {len(_live_caches)} caches + "
+            f"{len(_live_broadcasts)} broadcasts (>= "
+            f"{GROWTH_WARN_THRESHOLD}): a loop is composing tracked "
+            "operators without cache_scope()/unpersist_all(); each "
+            "iteration leaks its intermediates for the session lifetime",
+            stacklevel=3,
+        )
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     df.persist()
     _live_caches.append(df)
+    _check_growth()
     return df
 
 
@@ -36,6 +64,7 @@ def broadcast_tracked(sc, value):
     closed re-fetches from the driver instead of crashing."""
     b = sc.broadcast(value)
     _live_broadcasts.append(b)
+    _check_growth()
     return b
 
 

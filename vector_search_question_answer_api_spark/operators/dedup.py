@@ -732,16 +732,35 @@ def embedding_near_dup_pairs(
                 recommended_lsh_params,
             )
 
-            rec_p, rec_t = recommended_lsh_params(cnt, min_sim)
+            _MAX_T = 64
+            rec_p, rec_t = recommended_lsh_params(cnt, min_sim, max_tables=_MAX_T)
+            if rec_t >= _MAX_T:
+                # the fixed point hit the table cap: by the rule's own
+                # contract the ~0.95 recall target is NOT met at any
+                # affordable table count — don't quote an unmet promise
+                # (ADVICE r9); the clustered tier is the prescription
+                sizing = (
+                    f"the sizing rule (ann.recommended_lsh_params) hit its "
+                    f"n_tables={_MAX_T} cap at n={cnt}, min_sim={min_sim} — "
+                    "this (threshold, recall) target is not cheaply "
+                    "LSH-able and the ~0.95 recall contract is NOT met at "
+                    f"n_planes={rec_p}, n_tables={rec_t}; prefer the "
+                    "clustered/SemDeDup tier "
+                    "(embedding_near_dup_pairs_clustered)."
+                )
+            else:
+                sizing = (
+                    f"At n={cnt} and min_sim={min_sim} the measured sizing "
+                    "rule (ann.recommended_lsh_params) prescribes "
+                    f"n_planes={rec_p}, n_tables={rec_t} for ~0.95 recall "
+                    "within a ~4-candidates/row budget; the 8x8 default is "
+                    "kept for parameter stability."
+                )
             warnings.warn(
                 "embedding_near_dup_pairs: corpus exceeds "
                 f"max_broadcast_rows={max_broadcast_rows}; auto-routing from "
-                "exact broadcast to approximate SRP-LSH. At "
-                f"n={cnt} and min_sim={min_sim} the measured sizing rule "
-                f"(ann.recommended_lsh_params) prescribes n_planes={rec_p}, "
-                f"n_tables={rec_t} for ~0.95 recall within a ~4-candidates/"
-                "row budget; the 8x8 default is kept for parameter "
-                "stability. On clustered/biased corpora also pass "
+                f"exact broadcast to approximate SRP-LSH. {sizing} "
+                "On clustered/biased corpora also pass "
                 "center=ann.corpus_center(...) — origin planes cannot "
                 "split a cluster (68x candidate reduction measured, "
                 "SCALING.md r9). Pass strategy='lsh' (and the prescribed "

@@ -155,11 +155,19 @@ def recommended_pq_m(
 
 @lru_cache(maxsize=None)
 def codebook_grid(
-    dim: int, m: int = DEFAULT_M, n_codes: int = DEFAULT_N_CODES
+    dim: int, m: int | None = None, n_codes: int = DEFAULT_N_CODES
 ) -> tuple:
     """Deterministic data-independent init: per-(subspace, code, component)
     md5-seeded small integers scaled to ~unit-subvector magnitude — exactly
-    representable doubles (same construction as ``ivf.centroid_grid``)."""
+    representable doubles (same construction as ``ivf.centroid_grid``).
+
+    ``m`` defaults to :func:`recommended_pq_m` (the measured ~0.5 bits/dim
+    budget — SCALE.md r9): dim=64 keeps the long-standing m=8 shape
+    bit-identical; dim=384 gets m=48 instead of the silently under-budgeted
+    0.68-recall regime a flat m=8 default gave wide vectors (VERDICT r9
+    missing #3)."""
+    if m is None:
+        m = recommended_pq_m(dim, n_codes=n_codes)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
@@ -180,7 +188,7 @@ def codebook_grid(
 def train_pq_codebooks(
     index: DataFrame,
     dim: int | None = None,
-    m: int = DEFAULT_M,
+    m: int | None = None,
     n_codes: int = DEFAULT_N_CODES,
     n_iters: int = 5,
     vec_col: str = "norm_embedding",
@@ -206,6 +214,12 @@ def train_pq_codebooks(
         # infer from the data — training at a wrong explicit width would
         # slice/zero-pad every vector and quantize a phantom geometry
         dim = len(index.select(vec_col).first()[0])
+    if m is None:
+        # default m from the INFERRED dim via the measured bits/dim budget
+        # (recommended_pq_m): 64 -> 8 (every existing artifact unchanged),
+        # 384 -> 48 — a wide-vector user taking defaults no longer lands in
+        # the under-budgeted regime the r9 fixture measured at 0.68 recall
+        m = recommended_pq_m(dim, n_codes=n_codes)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m

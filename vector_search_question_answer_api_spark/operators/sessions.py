@@ -165,6 +165,8 @@ def prepare_qa_events(
     graph_ef: int = 50,
     lsh_n_planes: int | None = None,
     lsh_n_tables: int | None = None,
+    lsh_center="auto",
+    lsh_artifact: "dict | str | None" = None,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
@@ -187,6 +189,14 @@ def prepare_qa_events(
       derives ``n_planes`` from the corpus count via
       ``ann.recommended_n_planes`` (one ``count()`` job) so the candidate
       join stays ~4 vector pairs per query at any corpus size.
+      ``lsh_center`` controls signature centering (SCALE.md r9 — on
+      clustered text embeddings uncentered buckets collapse): ``"auto"``
+      (default) computes ``ann.corpus_center`` per call; an explicit
+      sequence of ``dim`` floats is used as-is (amortizes the center agg
+      across replays); ``None`` disables centering.  ``lsh_artifact`` (a
+      dict from ``ann.read_lsh_artifact`` or a path to one) supplies
+      (dim, n_planes, n_tables, center) wholesale from a persisted
+      signature artifact — the index-build-time knobs, paid once.
     - ``"graph"`` (r7): the reference's OWN index structure — an HNSW
       graph (services/index_service.py:87-96) — served Spark-side: celled
       graphs (one per coarse cell) + the COGROUPED cell-routed walk, so
@@ -241,25 +251,56 @@ def prepare_qa_events(
         # (measured: GC-stalled the sweep JVM).  Callers pass explicit
         # knobs; the default applies ann.recommended_n_planes against the
         # corpus so the per-query candidate budget stays ~4.
-        n_pl = lsh_n_planes
-        if n_pl is None:
-            n_pl = ann.recommended_n_planes(
-                index.count(), lsh_n_tables or ann.DEFAULT_N_TABLES
+        if lsh_artifact is not None:
+            # persisted signature artifact: (dim, planes, tables, center)
+            # are index-build-time decisions, read back rather than
+            # re-derived (ann.write_lsh_artifact / read_lsh_artifact)
+            art = (
+                ann.read_lsh_artifact(lsh_artifact)
+                if isinstance(lsh_artifact, str)
+                else lsh_artifact
             )
-        # Centered signatures (one dim-wide agg job): real-text embeddings
-        # cluster, and origin-through hyperplanes leave one bucket holding
-        # >10% of the corpus — centering restores the balanced-bit geometry
-        # the plane-count rule assumes (SCALE.md r9: 16M -> linear-budget
-        # candidates at 20k events).  Identical query/corpus vectors still
-        # share every signature (same transform both sides), so self-hit
-        # retrieval is unaffected.
+            dim, n_pl = art["dim"], art["n_planes"]
+            n_tb, center = art["n_tables"], art["center"]
+        else:
+            # dim ONCE from the index, threaded to BOTH corpus_center and
+            # lsh_candidates — the r9 form centered at inferred dim but
+            # hashed at the hard 64 default, so any other width raised
+            # (ADVICE r9)
+            first = (
+                index.filter(F.col("norm_embedding").isNotNull())
+                .select(F.size("norm_embedding"))
+                .first()
+            )
+            dim = int(first[0]) if first is not None else DEFAULT_CONFIG.embedding_dim
+            n_tb = lsh_n_tables or ann.DEFAULT_N_TABLES
+            n_pl = lsh_n_planes
+            if n_pl is None:
+                n_pl = ann.recommended_n_planes(index.count(), n_tb)
+            # Centered signatures (one dim-wide agg job): real-text
+            # embeddings cluster, and origin-through hyperplanes leave one
+            # bucket holding >10% of the corpus — centering restores the
+            # balanced-bit geometry the plane-count rule assumes (SCALE.md
+            # r9: 16M -> linear-budget candidates at 20k events).
+            # Identical query/corpus vectors still share every signature
+            # (same transform both sides), so self-hit retrieval is
+            # unaffected.  Callers replaying repeatedly should persist the
+            # center (ann.write_lsh_artifact) and pass lsh_artifact /
+            # lsh_center to stop paying this agg per call.
+            if isinstance(lsh_center, str) and lsh_center == "auto":
+                center = ann.corpus_center(index, dim=dim)
+            elif lsh_center is None or lsh_center is False:
+                center = None
+            else:
+                center = tuple(lsh_center)
         cand = lsh_candidates(
             q,
             index,
+            dim=dim,
             n_planes=n_pl,
-            n_tables=lsh_n_tables or ann.DEFAULT_N_TABLES,
+            n_tables=n_tb,
             broadcast_queries=False,
-            center=ann.corpus_center(index),
+            center=center,
         )
         scored = cand.select(
             "query_id",
