@@ -556,6 +556,119 @@ def _box_fingerprint() -> dict:
     return {"sha256_200k_sec": sha, "pyloop_1e6_sec": loop, "cpu": model}
 
 
+def _ingest_fns(spark, sf_dir):
+    """r10 bench entry (VERDICT r9 #5): ONE composed-ingest micro-batch —
+    the reference's /refresh-index under continuous writes
+    (services/index_service.py:112-115), generalized to the full artifact
+    fan-out — through the REAL ``maintain_corpus`` streaming composition
+    (profile sketch + span store + index log + both managed ANN refreshes)
+    at a pinned batch profile: 500 rows (450 new + 50 updates), 16 cells,
+    2000-doc standing corpus.  The store+checkpoint are snapshotted after
+    a bootstrap batch; each timed run restores the snapshot UNTIMED (the
+    ``pre_run`` hook) and pays exactly one end-to-end micro-batch.
+    One-time pin: post-batch codes-store serving == a from-scratch
+    managed rebuild over the resolved index.  Returns (fns, pre_run
+    hooks, cleanup root)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        ivfpq_topk_ondisk,
+        write_ivfpq_index_managed,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming import ingest_stream as IG
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_ingest_")
+    src = f"{root}/src"
+    os.makedirs(src, exist_ok=True)
+    N_CELLS, DIM = 16, 64
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+    )
+    schema = docs.schema
+    initial = docs.filter(F.col("doc_id") < 2000)
+    batch = docs.filter(
+        (F.col("doc_id") >= 2000) & (F.col("doc_id") < 2450)
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("text", F.concat(F.lit("update cycle 1 "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(10_000_000)))
+    )
+    initial.coalesce(1).write.parquet(f"{src}/b000")
+
+    def _run(store, ck):
+        q = IG.maintain_corpus(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*"),
+            store,
+            checkpoint=ck,
+            codebooks=cbs,
+            ann_graphs=True,
+            centroids=cents,
+            dim=DIM,
+            n_cells=N_CELLS,
+            trigger_once=True,
+        )
+        q.awaitTermination()
+
+    # bootstrap: initial corpus through the pipeline, then snapshot
+    store_tpl, ck_tpl = f"{root}/store_tpl", f"{root}/ck_tpl"
+    _run(store_tpl, ck_tpl)
+    batch.coalesce(1).write.parquet(f"{src}/b001")  # now pending in src
+
+    store, ck = f"{root}/store", f"{root}/ck"
+
+    def _restore():
+        for tpl, dst in ((store_tpl, store), (ck_tpl, ck)):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(tpl, dst)
+
+    def ingest_batch(spark, sf_dir):
+        _run(store, ck)  # processes exactly the pending 500-row batch
+        return spark.range(1)
+
+    # serving == rebuild pin on the post-batch store
+    _restore()
+    ingest_batch(spark, sf_dir)
+    index = IG.read_corpus_index(spark, store).persist()
+    q = index.orderBy("doc_id").limit(10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def _rows(p):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["distance"], 9))
+            for r in ivfpq_topk_ondisk(
+                spark, q, p, index, cbs, centroids=cents, k=5, dim=DIM,
+                n_cells=N_CELLS, nprobe=4, refine=8,
+            ).collect()
+        }
+
+    ref = f"{root}/probe_rebuild"
+    write_ivfpq_index_managed(
+        index, ref, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+    assert _rows(f"{store}/codes") == _rows(ref), (
+        "post-ingest codes store != full rebuild"
+    )
+    index.unpersist()
+
+    return {"ingest_batch": ingest_batch}, {"ingest_batch": _restore}, root
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -666,12 +779,23 @@ def main() -> None:
         cleanup_caches.extend(caches)
         return fns
 
+    # per-entry UNTIMED pre-run hooks (state restore for entries whose
+    # work mutates standing stores — the clock starts after the hook)
+    pre_run: dict = {}
+
+    def _setup_ingest():
+        fns, hooks, root = _ingest_fns(spark, sf_dir)
+        pre_run.update(hooks)
+        cleanup_roots.append(root)
+        return fns
+
     lazy_groups: dict[str, tuple] = {
         "qa_replay_exact": ("qa", _setup_qa),
         "qa_replay_graph": ("qa", _setup_qa),
         "qa_replay_lsh": ("qa", _setup_qa),
         "ann_refresh_1pct": ("refresh", _setup_refresh),
         "span_contamination": ("span", _setup_span),
+        "ingest_batch": ("ingest", _setup_ingest),
     }
     done_groups: set[str] = set()
 
@@ -699,6 +823,8 @@ def main() -> None:
         # so every run does the full work.
         runs: list[float] = []
         for _ in range(5):
+            if name in pre_run:
+                pre_run[name]()  # untimed state restore
             # cache_scope releases only the caches THIS attempt creates —
             # unpersist_all() would drain the process-global registry and
             # could yank caches out from under other live plans if bench
