@@ -947,3 +947,51 @@ def test_corpus_center_null_and_malformed(spark):
     )
     with pytest.raises(ValueError, match="component"):
         corpus_center(short, "v", dim=4)
+
+
+def test_lsh_ondisk_index_equals_inmemory_tier(spark, clustered, tmp_path):
+    """write_lsh_index + ann_lsh_topk_ondisk == the in-memory ann_lsh_topk
+    at the manifest's exact knobs (centered): the stored signature table
+    and the query-side manifest hashing collide bit-identically, and the
+    deferred vector fetch re-ranks exactly — so the relations are equal
+    row-for-row.  Also pins dim inference at write time and that the
+    stored table never carries vectors (the deferred-fetch contract is
+    physical)."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        ann_lsh_topk,
+        ann_lsh_topk_ondisk,
+        corpus_center,
+        write_lsh_index,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("nv").alias("norm_embedding"),
+    )
+    center = corpus_center(idx)
+    q = idx.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(idx, path, n_planes=10, n_tables=4, center=center)
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    mem = rel(
+        ann_lsh_topk(q, idx, k=5, dim=64, n_planes=10, n_tables=4, center=center)
+    )
+    disk = rel(ann_lsh_topk_ondisk(spark, q, path, idx, k=5))
+    assert mem and disk == mem
+
+    stored = spark.read.parquet(f"{path}/signatures")
+    assert set(stored.columns) == {"doc_id", "sig"}  # no vector bytes
+    # shuffled-join form (100 TB query side) emits the same relation
+    disk_shuffle = rel(
+        ann_lsh_topk_ondisk(spark, q, path, idx, k=5, broadcast_queries=False)
+    )
+    assert disk_shuffle == mem

@@ -477,6 +477,147 @@ def signatures_from_artifact(
     )
 
 
+def write_lsh_index(
+    index: DataFrame,
+    path: str,
+    dim: int | None = None,
+    n_planes: int = DEFAULT_N_PLANES,
+    n_tables: int = DEFAULT_N_TABLES,
+    center=None,
+    index_id_col: str = "doc_id",
+    index_vec_col: str = "norm_embedding",
+) -> None:
+    """Materialize the LSH index on disk: the exploded ``(doc_id, sig)``
+    signature table under ``path/signatures`` plus the
+    :func:`write_lsh_artifact` manifest — the LSH analog of
+    ``pq.write_ivfpq_index`` (reference: the persisted index artifact,
+    services/index_service.py:95).
+
+    At scale the signature table IS the index: without it every query
+    batch re-runs the signature kernel over the whole corpus (an
+    Arrow-UDF map of n_tables x n_planes dot products per vector); stored,
+    the corpus side of the bucket join is a 2-column parquet scan.
+    Vectors are NOT stored — candidates defer-fetch them from the vector
+    table for the exact re-rank, exactly the ``ivfpq_topk_ondisk``
+    contract.  ``dim`` is inferred from the data when omitted; the
+    manifest records it with (planes, tables, center) so the query side
+    can never hash differently from the stored side."""
+    if dim is None:
+        first = (
+            index.filter(F.col(index_vec_col).isNotNull())
+            .select(F.size(index_vec_col))
+            .first()
+        )
+        if first is None:
+            raise ValueError("write_lsh_index: empty index relation")
+        dim = int(first[0])
+    write_lsh_artifact(
+        path, dim=dim, n_planes=n_planes, n_tables=n_tables, center=center
+    )
+    import os
+
+    sigs = with_lsh_signatures(
+        index.select(
+            F.col(index_id_col).alias("doc_id"),
+            F.col(index_vec_col).alias("v"),
+        ),
+        "v",
+        dim,
+        n_planes,
+        n_tables,
+        center=center,
+    ).select("doc_id", F.explode("lsh_sigs").alias("sig"))
+    # sort within partitions by sig: run-length-friendly encoding and
+    # bucket locality for the downstream equi-join's shuffle readers
+    sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(
+        os.path.join(path, "signatures")
+    )
+
+
+def lsh_candidates_ondisk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    index: DataFrame,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """:func:`lsh_candidates` against a stored :func:`write_lsh_index`:
+    the corpus side is the persisted signature table (2-column scan, no
+    signature recompute); the query side hashes with the manifest's exact
+    (dim, planes, tables, center), so both sides collide bit-identically
+    by construction.  Output schema matches ``lsh_candidates``."""
+    import os
+
+    art = read_lsh_artifact(path)
+    stored = spark.read.parquet(os.path.join(path, "signatures"))
+    q = signatures_from_artifact(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        "qvec",
+        art,
+    ).select("query_id", "qvec", F.explode("lsh_sigs").alias("sig"))
+    q_side = F.broadcast(q) if broadcast_queries else q
+    cand = (
+        stored.join(q_side, "sig")
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    # deferred vector fetch for the exact re-rank (ivfpq_topk_ondisk shape)
+    return cand.join(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        "query_id",
+    ).join(
+        index.select(
+            F.col(index_id_col).alias("doc_id"),
+            F.col(index_vec_col).alias("cvec"),
+        ),
+        "doc_id",
+    ).select("query_id", "doc_id", "qvec", "cvec")
+
+
+def ann_lsh_topk_ondisk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    index: DataFrame,
+    k: int = 3,
+    query_vec_col: str = "qvec",
+    index_vec_col: str = "norm_embedding",
+    query_id_col: str = "query_id",
+    index_id_col: str = "doc_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """:func:`ann_lsh_topk` served from the stored signature index —
+    identical output to the in-memory form with the manifest's knobs
+    (pinned in tests), minus the corpus-wide signature kernel per call."""
+    cand = lsh_candidates_ondisk(
+        spark, queries, path, index, query_vec_col, index_vec_col,
+        query_id_col, index_id_col, broadcast_queries,
+    )
+    scored = cand.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
+    )
+    top = topk_per_query(scored, k)
+    return top.select(
+        "query_id",
+        "doc_id",
+        "distance",
+        (F.lit(1.0) - F.col("distance")).alias("score"),
+        "rank",
+    )
+
+
 def lsh_candidates(
     queries: DataFrame,
     index: DataFrame,
