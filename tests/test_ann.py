@@ -995,3 +995,17 @@ def test_lsh_ondisk_index_equals_inmemory_tier(spark, clustered, tmp_path):
         ann_lsh_topk_ondisk(spark, q, path, idx, k=5, broadcast_queries=False)
     )
     assert disk_shuffle == mem
+
+
+def test_lsh_signature_width_mismatch_raises(spark):
+    """The r9 dim-inference lesson applied to SRP: vectors whose width
+    disagrees with the declared dim (e.g. a manifest from one index
+    queried with another's vectors) raise a clear error instead of
+    mis-slicing inside the kernel."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        with_lsh_signatures,
+    )
+
+    df = spark.createDataFrame([(0, [1.0] * 8)], "id long, v array<double>")
+    with pytest.raises(Exception, match="components for dim"):
+        with_lsh_signatures(df, "v", 16, 4, 2).select("lsh_sigs").collect()

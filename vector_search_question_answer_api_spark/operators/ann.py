@@ -242,6 +242,14 @@ def _signatures_arrow(
         rows = [v for v in vals if v is not None]
         if rows:
             M = np.stack(rows)  # (n, dim) float64 — widening is exact
+            if M.shape[1] != dim:
+                # the r9 PQ lesson, applied here: a width that disagrees
+                # with the declared dim must RAISE, not mis-slice (e.g. a
+                # manifest from one index queried with another's vectors)
+                raise ValueError(
+                    f"lsh signatures: vectors have {M.shape[1]} components "
+                    f"for dim={dim}"
+                )
             acc = np.zeros((M.shape[0], H.shape[1]), dtype=np.float64)
             for j in range(dim):  # left-to-right, matching the HOF fold
                 acc += M[:, j : j + 1] * H[j]
