@@ -473,3 +473,46 @@ def test_auto_route_warning_is_honest_about_table_cap(spark, sf_dir):
         ).count()
     msgs = [str(x.message) for x in w if "auto-routing" in str(x.message)]
     assert msgs and "for ~0.95 recall" in msgs[0] and "NOT met" not in msgs[0]
+
+
+def test_embedding_near_dup_artifact_param(spark, tmp_path):
+    """One persisted signature manifest parameterizes the batch near-dup
+    tier exactly like the streaming/replay/serving consumers: pairs equal
+    the hand-threaded centered lsh call."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.operators.dedup import (
+        unpersist_all,
+    )
+
+    rng = np.random.default_rng(9)
+    cents = rng.normal(size=(4, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    base = cents[np.arange(100) % 4] + 0.15 * rng.normal(size=(100, 16))
+    dups = base[:15] + 0.01 * rng.normal(size=(15, 16))
+    pts = np.vstack([base, dups])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    normed = emb.select(
+        "vec_id", V.l2_normalize(F.col("embedding")).alias("nv")
+    )
+    center = ann.corpus_center(normed, "nv")
+    path = str(tmp_path / "art")
+    ann.write_lsh_artifact(path, dim=16, n_planes=6, n_tables=4, center=center)
+
+    def rel(**kw):
+        out = {
+            (r["vec_a"], r["vec_b"], round(r["sim"], 9))
+            for r in embedding_near_dup_pairs(emb, min_sim=0.95, **kw).collect()
+        }
+        unpersist_all()
+        return out
+
+    manual = rel(strategy="lsh", n_planes=6, n_tables=4, center=center)
+    via_art = rel(artifact=path)
+    assert manual and via_art == manual

@@ -666,8 +666,15 @@ def embedding_near_dup_pairs(
     n_planes: int | None = None,
     n_tables: int | None = None,
     center=None,
+    artifact: "dict | str | None" = None,
 ) -> DataFrame:
     """Cosine near-dup pairs on the vector table — auto-routed by size.
+
+    ``artifact`` (an ``ann.read_lsh_artifact`` dict or its path) supplies
+    (n_planes, n_tables, center) wholesale from a persisted signature
+    manifest and forces the lsh strategy — the same knob every other SRP
+    consumer takes, so one stored manifest parameterizes batch near-dup,
+    the streaming tier, replay, and top-k serving identically.
 
     Two physical strategies behind one relation (tests assert they emit
     identical pairs on the driver corpus):
@@ -719,6 +726,18 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         V.l2_normalize(F.col(vec_col)).cast("array<double>").alias("nv"),
     )
+    if artifact is not None:
+        from vector_search_question_answer_api_spark.operators import ann
+
+        art = (
+            ann.read_lsh_artifact(artifact)
+            if isinstance(artifact, str)
+            else artifact
+        )
+        strategy = "lsh"
+        n_planes = n_planes or art["n_planes"]
+        n_tables = n_tables or art["n_tables"]
+        center = center if center is not None else art["center"]
     if strategy is None:
         n = _persist(n)
         cnt = n.count()
