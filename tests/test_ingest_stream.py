@@ -189,3 +189,26 @@ def test_replayed_batch_changes_nothing(spark, ingested):
     assert {
         tuple(r) for r in IG.read_corpus_profile(spark, root)["cms"].collect()
     } == before_cms
+
+
+def test_incremental_center_matches_corpus_center(spark, ingested):
+    """The ingest-maintained vector mean (stats_stream.write_vecmean_batch,
+    merged by read_profile_center) equals corpus_center over the resolved
+    index on an insert-only stream — the incremental-maintenance claim in
+    corpus_center's docstring, made real (and the refresh source for the
+    centered-LSH artifact's center at scale)."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        corpus_center,
+    )
+    from vector_search_question_answer_api_spark.streaming import (
+        stats_stream as STS,
+    )
+
+    docs, root, cbs, cents = ingested
+    inc = STS.read_profile_center(spark, f"{root}/profile")
+    index = IG.read_corpus_index(spark, root)
+    full = corpus_center(index)
+    assert len(inc) == len(full) == DIM
+    # per-batch partial sums merge in a different order than one
+    # corpus-wide avg — equal to float64 round-off, not bit-equal
+    assert max(abs(a - b) for a, b in zip(inc, full)) < 1e-12

@@ -100,6 +100,7 @@ def maintain_corpus(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        indexed = None
         try:
             # profile + span stores: batch=<id> overwrite, replay-safe
             STS.write_profile_batch(
@@ -119,7 +120,14 @@ def maintain_corpus(
                 cell_store_manifest,
             )
 
-            indexed = IX.index_stream(batch_df, embedder=embedder)
+            # persisted: the embedded batch now feeds TWO actions (the
+            # vector-mean profile write and the log-append/refresh), and
+            # the embed UDF is the expensive half of the handler
+            indexed = IX.index_stream(batch_df, embedder=embedder).persist()
+            # incremental corpus center (version-weighted vector mean) —
+            # the profile statistic the centered-LSH artifact refreshes
+            # from without a corpus pass (stats_stream.write_vecmean_batch)
+            STS.write_vecmean_batch(indexed, p["profile"], batch_id)
             codes_path = p["codes"] if codebooks is not None else None
             graphs_path = p["graphs"] if ann_graphs else None
             codes_ready = (
@@ -176,6 +184,8 @@ def maintain_corpus(
                         ),
                     )
         finally:
+            if indexed is not None:
+                indexed.unpersist()
             batch_df.unpersist()
 
     writer = doc_stream.writeStream.foreachBatch(handle).option(

@@ -63,6 +63,51 @@ def write_profile_batch(
     )
 
 
+def write_vecmean_batch(
+    indexed_batch: DataFrame,
+    path: str,
+    batch_id: int,
+    vec_col: str = "norm_embedding",
+) -> None:
+    """(component, s, n) rows for ONE embedded micro-batch — the linear
+    statistic behind the incremental corpus center (``ann.corpus_center``
+    promised "maintainable as a count-weighted merge"; this is that
+    merge's per-batch half).  Map-only ``posexplode`` + one hash-agg of
+    batch x dim rows emitting ``dim`` rows; ``batch=<id>`` overwrite,
+    replay-safe like every linear store here.
+
+    Semantics, stated honestly: the merged mean is over ALL INGESTED
+    VERSIONS (an upserted doc contributes once per version) — it drifts
+    from the resolved-corpus mean with the update rate.  That is the
+    right contract for LSH centering: plane placement only needs a point
+    near the data mass, and signature CORRECTNESS needs both join sides
+    to share the same STORED center (the ``ann.write_lsh_artifact``
+    manifest), which version-weighting does not disturb."""
+    sub = f"batch={int(batch_id)}"
+    rows = (
+        indexed_batch.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("component", "v"))
+        .groupBy("component")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    rows.write.mode("overwrite").parquet(os.path.join(path, "vecmean", sub))
+
+
+def read_profile_center(spark: SparkSession, path: str) -> tuple:
+    """The incrementally-maintained corpus center: merge the per-batch
+    (sum, count) rows — ``n_batches * dim`` rows, never corpus-sized —
+    and divide.  Returns () for an empty store (the uncentered sentinel
+    ``with_lsh_signatures`` accepts), matching ``corpus_center``."""
+    parts = _read_parts(spark, path, "vecmean")
+    rows = (
+        parts.groupBy("component")
+        .agg((F.sum("s") / F.sum("n")).alias("mu"))
+        .orderBy("component")
+        .collect()
+    )
+    return tuple(float(r["mu"]) for r in rows)
+
+
 def maintain_profile(
     doc_stream: DataFrame,
     path: str,
