@@ -1009,3 +1009,35 @@ def test_lsh_signature_width_mismatch_raises(spark):
     df = spark.createDataFrame([(0, [1.0] * 8)], "id long, v array<double>")
     with pytest.raises(Exception, match="components for dim"):
         with_lsh_signatures(df, "v", 16, 4, 2).select("lsh_sigs").collect()
+
+
+def test_ann_lsh_topk_artifact_param(spark, clustered, tmp_path):
+    """ann_lsh_topk(artifact=...) == the hand-threaded centered call —
+    the last SRP consumer wired to the persisted manifest."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        ann_lsh_topk,
+        corpus_center,
+        write_lsh_artifact,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    center = corpus_center(idx)
+    q = idx.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("norm_embedding").alias("qvec")
+    )
+    path = str(tmp_path / "art")
+    write_lsh_artifact(path, dim=64, n_planes=10, n_tables=4, center=center)
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    manual = rel(
+        ann_lsh_topk(q, idx, k=5, dim=64, n_planes=10, n_tables=4, center=center)
+    )
+    via = rel(ann_lsh_topk(q, idx, k=5, artifact=path))
+    assert manual and via == manual

@@ -695,6 +695,7 @@ def ann_lsh_topk(
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
     center=None,
+    artifact: "dict | str | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH bucket join -> exact re-rank.
 
@@ -702,8 +703,15 @@ def ann_lsh_topk(
     ``knn_exact_expr`` (query_id, doc_id, distance, score, rank) minus any
     neighbor missed by every hash table.  ``center`` passes through to the
     signature kernel (see :func:`with_lsh_signatures`) — use
-    :func:`corpus_center` on clustered/biased corpora.
+    :func:`corpus_center` on clustered/biased corpora.  ``artifact`` (a
+    :func:`read_lsh_artifact` dict or its path) supplies
+    (dim, n_planes, n_tables, center) wholesale — the same knob every SRP
+    consumer takes.
     """
+    if artifact is not None:
+        art = read_lsh_artifact(artifact) if isinstance(artifact, str) else artifact
+        dim, n_planes = art["dim"], art["n_planes"]
+        n_tables, center = art["n_tables"], art["center"]
     cand = lsh_candidates(
         queries, index, dim, n_planes, n_tables,
         query_vec_col, index_vec_col, query_id_col, index_id_col,
