@@ -212,3 +212,45 @@ def test_incremental_center_matches_corpus_center(spark, ingested):
     # per-batch partial sums merge in a different order than one
     # corpus-wide avg — equal to float64 round-off, not bit-equal
     assert max(abs(a - b) for a, b in zip(inc, full)) < 1e-12
+
+
+def test_store_derived_lsh_artifact_serves_replay(spark, ingested, tmp_path):
+    """The closing loop of the centered-LSH lifecycle: an artifact derived
+    entirely from the maintained profile store (center + ingested count —
+    no corpus pass) parameterizes the replay lsh tier and reproduces the
+    self-hit retrievals; written through write_to it round-trips as a
+    standard manifest."""
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        replay_sessions,
+    )
+    from vector_search_question_answer_api_spark import caching
+
+    docs, root, cbs, cents = ingested
+    path = str(tmp_path / "derived_art")
+    art = IG.read_corpus_lsh_artifact(spark, root, write_to=path)
+    assert art["dim"] == DIM and len(art["center"]) == DIM
+    assert ann.read_lsh_artifact(path)["center"] == tuple(art["center"])
+
+    index = IG.read_corpus_index(spark, root).persist()
+    qa = (
+        docs.limit(5)
+        .select(
+            F.col("doc_id").alias("event_id"),
+            "ts",
+            F.lit("s1").alias("session_id"),
+            F.col("text").alias("question"),
+        )
+    )
+    with caching.cache_scope():
+        rows = {
+            r["event_id"]: r
+            for r in replay_sessions(
+                qa, index, retrieval="lsh", lsh_artifact=art
+            ).collect()
+        }
+    # self-hit: each question IS a corpus doc -> identical vectors share
+    # every signature under any center, so retrieval must find it
+    hit = [r for r in rows.values() if r["context_doc_id"] is not None]
+    assert len(hit) >= 4, rows
+    index.unpersist()

@@ -211,6 +211,61 @@ def read_corpus_profile(spark: SparkSession, root: str) -> dict:
     }
 
 
+def read_corpus_lsh_artifact(
+    spark: SparkSession,
+    root: str,
+    n_tables: int | None = None,
+    write_to: str | None = None,
+) -> dict:
+    """A ready-to-use LSH signature artifact derived ENTIRELY from the
+    maintained profile store — no corpus pass: the center is the merged
+    vector mean (``stats_stream.read_profile_center``), the plane count is
+    ``ann.recommended_n_planes`` at the store's ingested-version count
+    (the same rows carry n), dim comes with the center.  The returned dict
+    parameterizes every SRP consumer (``embedding_near_dup_pairs``,
+    ``embedding_neardup_stream``, ``ann_lsh_topk[_ondisk]``,
+    ``replay_sessions(lsh_artifact=...)``); pass ``write_to`` to also
+    persist it as a :func:`ann.write_lsh_artifact` manifest.
+
+    Read cost: ``n_batches x dim`` profile rows — the closing piece of the
+    centered-LSH lifecycle: ingest maintains the center incrementally,
+    this derives the artifact, the artifact pins both sides of every
+    bucket join bit-identically."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.streaming import stats_stream
+
+    p = _subpaths(root)["profile"]
+    center = stats_stream.read_profile_center(spark, p)
+    if not center:
+        raise ValueError(f"profile store at {p} holds no vector mean yet")
+    n_row = (
+        spark.read.parquet(os.path.join(p, "vecmean"))
+        .filter(F.col("component") == 0)
+        .agg(F.sum("n"))
+        .first()
+    )
+    n = int(n_row[0] or 0)
+    n_tables = n_tables or ann.DEFAULT_N_TABLES
+    art = {
+        "family": ann.LSH_FAMILY,
+        "dim": len(center),
+        "n_planes": ann.recommended_n_planes(n, n_tables),
+        "n_tables": n_tables,
+        "center": center,
+    }
+    if write_to is not None:
+        ann.write_lsh_artifact(
+            write_to,
+            dim=art["dim"],
+            n_planes=art["n_planes"],
+            n_tables=art["n_tables"],
+            center=center,
+        )
+    return art
+
+
 def read_corpus_spans(
     spark: SparkSession, root: str, k: int = 8, keep_first: bool = True
 ) -> DataFrame:
