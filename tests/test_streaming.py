@@ -1037,3 +1037,57 @@ def test_embedding_neardup_stream_matches_batch_lsh_tier(spark, tmpdir):
         # batch dots fold left-to-right (HOF), the stream uses numpy
         # pairwise summation — equal to float64 round-off, not bit-equal
         assert abs(got[p] - sim) < 1e-9
+
+
+def test_embed_neardup_state_fn_replay_idempotent():
+    """Driving the stateful matcher directly: a replayed row (same doc_id
+    re-routed to a bucket whose state already holds it) emits nothing and
+    does not re-append — the checkpoint-replay contract the MinHash tier
+    documents, pinned for the embedding tier."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_question_answer_api_spark.streaming.neardup_stream import (
+        _make_embed_neardup_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    fn = _make_embed_neardup_fn(min_sim=0.9, max_bucket_entries=100,
+                                horizon_ms=1000)
+    v = [1.0] + [0.0] * 7
+    w = list(np.array(v) * 1.0)  # identical direction -> sim 1.0
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    state = FakeState()
+    first = list(fn(("b",), [pd.DataFrame(
+        {"doc_id": [1, 2], "ts": [ts, ts], "nv": [v, w]}
+    )], state))
+    assert len(first) == 1 and len(first[0]) == 1  # the (1,2) pair once
+    # replay: same rows again -> no emission, state unchanged
+    ids_before = list(state.get[0])
+    replay = list(fn(("b",), [pd.DataFrame(
+        {"doc_id": [1, 2], "ts": [ts, ts], "nv": [v, w]}
+    )], state))
+    assert replay == []
+    assert list(state.get[0]) == ids_before
