@@ -1041,3 +1041,91 @@ def test_ann_lsh_topk_artifact_param(spark, clustered, tmp_path):
     )
     via = rel(ann_lsh_topk(q, idx, k=5, artifact=path))
     assert manual and via == manual
+
+
+def test_pruned_celled_hnsw_equals_unpruned(spark, clustered):
+    """Lossless probe pruning (celled_hnsw_topk_pruned): the relation
+    EQUALS the unpruned cogrouped tier for the same knobs — on trained
+    (separated-cluster) centroids AND on the data-independent grid (large
+    radii, prune rarely fires) — while the phase-2 routing provably walks
+    fewer (query, cell) pairs on self-hit queries under the trained
+    layout."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.caching import unpersist_all
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+        train_centroids,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    q = idx.limit(20).select(
+        F.col("doc_id").alias("query_id"), F.col("norm_embedding").alias("qvec")
+    )
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    for cents in (
+        train_centroids(idx, n_cells=8, n_iters=4),
+        centroid_grid(64, 8),
+    ):
+        graphs = ann_hnsw.build_celled_hnsw(
+            idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+        ).persist()
+        radii = ann_hnsw.cell_radii(idx, centroids=cents, n_cells=8)
+        assert len(radii) == 8 and all(r >= 0.0 for r in radii)
+        base = rel(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                graphs, q, centroids=cents, k=3, ef=20, dim=64,
+                n_cells=8, nprobe=4,
+            )
+        )
+        pruned = rel(
+            ann_hnsw.celled_hnsw_topk_pruned(
+                graphs, q, radii, centroids=cents, k=3, ef=20, dim=64,
+                n_cells=8, nprobe=4,
+            )
+        )
+        unpersist_all()
+        assert base and pruned == base
+        graphs.unpersist()
+
+    # prune-rate check on the trained layout: self-hit queries resolve at
+    # d_k ~ 0 in their rank-1 cell, so separated clusters skip most
+    # phase-2 probes
+    cents = train_centroids(idx, n_cells=8, n_iters=4)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    ).persist()
+    radii = ann_hnsw.cell_radii(idx, centroids=cents, n_cells=8)
+    routed1 = q.withColumn(
+        "cell",
+        F.element_at(
+            __import__(
+                "vector_search_question_answer_api_spark.operators.ivf",
+                fromlist=["probe_cells"],
+            ).probe_cells(F.col("qvec"), cents, 1),
+            1,
+        ),
+    )
+    cand1 = ann_hnsw._cogrouped_walk(graphs, routed1, ef=20, k=3)
+    dk = cand1.groupBy("query_id").agg(
+        F.max("distance").alias("_dk"), F.count("*").alias("_got")
+    ).select(
+        "query_id",
+        F.when(F.col("_got") >= 3, F.col("_dk"))
+        .otherwise(F.lit(float("inf")))
+        .alias("d_k"),
+    )
+    kept = ann_hnsw._pruned_phase2_routing(q, dk, cents, radii, 4).count()
+    full = 20 * 3  # ranks 2..4 for 20 queries
+    assert kept < full, (kept, full)
+    graphs.unpersist()
+    unpersist_all()

@@ -163,6 +163,7 @@ def prepare_qa_events(
     graph_n_cells: int = 16,
     graph_nprobe: int = 4,
     graph_ef: int = 50,
+    graph_radii=None,
     lsh_n_planes: int | None = None,
     lsh_n_tables: int | None = None,
     lsh_center="auto",
@@ -320,10 +321,20 @@ def prepare_qa_events(
             graphs = ann_hnsw.build_celled_hnsw(
                 index, centroids=cents, dim=dim, n_cells=graph_n_cells
             )
-        top1 = ann_hnsw.celled_hnsw_topk_cogrouped(
-            graphs, q, centroids=cents, k=1, ef=graph_ef, dim=dim,
-            n_cells=graph_n_cells, nprobe=graph_nprobe,
-        ).select("query_id", "doc_id", "distance")
+        if graph_radii is not None:
+            # lossless probe pruning (ann_hnsw.celled_hnsw_topk_pruned):
+            # identical retrievals, fewer walks — radii are an
+            # index-build-time artifact (cell_radii on the SAME snapshot
+            # the graphs were built from), like the centroids
+            top1 = ann_hnsw.celled_hnsw_topk_pruned(
+                graphs, q, graph_radii, centroids=cents, k=1, ef=graph_ef,
+                dim=dim, n_cells=graph_n_cells, nprobe=graph_nprobe,
+            ).select("query_id", "doc_id", "distance")
+        else:
+            top1 = ann_hnsw.celled_hnsw_topk_cogrouped(
+                graphs, q, centroids=cents, k=1, ef=graph_ef, dim=dim,
+                n_cells=graph_n_cells, nprobe=graph_nprobe,
+            ).select("query_id", "doc_id", "distance")
     elif retrieval == "exact":
         top1 = knn_exact_partitioned(q, index, k=1)
     else:
