@@ -1129,3 +1129,51 @@ def test_pruned_celled_hnsw_equals_unpruned(spark, clustered):
     assert kept < full, (kept, full)
     graphs.unpersist()
     unpersist_all()
+
+
+def test_cell_radii_sidecar_roundtrip_serves_pruned(spark, clustered, tmp_path):
+    """Radii persist next to the stored graph index (atomic sidecar, like
+    the LSH manifest) and the reloaded values serve the pruned tier with
+    the same pinned equality."""
+    from vector_search_question_answer_api_spark.caching import unpersist_all
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        train_centroids,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    cents = train_centroids(idx, n_cells=8, n_iters=3)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy"
+    ).persist()
+    radii = ann_hnsw.cell_radii(idx, centroids=cents, n_cells=8)
+    path = str(tmp_path / "graph_store")
+    ann_hnsw.write_cell_radii(path, radii)
+    assert ann_hnsw.read_cell_radii(path) == tuple(radii)
+
+    q = idx.limit(10).select(
+        F.col("doc_id").alias("query_id"), F.col("norm_embedding").alias("qvec")
+    )
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    base = rel(
+        ann_hnsw.celled_hnsw_topk_cogrouped(
+            graphs, q, centroids=cents, k=3, ef=20, dim=64, n_cells=8, nprobe=3
+        )
+    )
+    via = rel(
+        ann_hnsw.celled_hnsw_topk_pruned(
+            graphs, q, ann_hnsw.read_cell_radii(path), centroids=cents,
+            k=3, ef=20, dim=64, n_cells=8, nprobe=3,
+        )
+    )
+    unpersist_all()
+    graphs.unpersist()
+    assert base and via == base

@@ -583,6 +583,35 @@ def cell_radii(
     return tuple(by_cell.get(j, 0.0) for j in range(len(centroids)))
 
 
+_RADII_SIDECAR = "_cell_radii.json"
+
+
+def write_cell_radii(path: str, radii) -> None:
+    """Persist :func:`cell_radii` next to a stored graph index — the
+    pruning bound is index-SNAPSHOT state exactly like the centroids, so
+    it rides an atomic sidecar (the LSH-manifest precedent) rather than
+    being recomputed on a possibly-drifted corpus at query time."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _RADII_SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump([float(r) for r in radii], f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _RADII_SIDECAR))
+
+
+def read_cell_radii(path: str) -> tuple:
+    """Load a :func:`write_cell_radii` sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(path, _RADII_SIDECAR)) as f:
+        return tuple(float(r) for r in json.load(f))
+
+
 def _pruned_phase2_routing(
     queries: DataFrame,
     dk: DataFrame,
