@@ -145,13 +145,6 @@ def main() -> None:
     out["stages"]["embed"] = _timed(embed_only, args.runs)
     print(json.dumps({"embed": out["stages"]["embed"]}), flush=True)
 
-    def retrieve_prefix(kw):
-        # prepare_qa_events minus the final event join: time the tier's
-        # top-1 by rebuilding its retrieval sub-plan through the public
-        # API and dropping the join-back (the hits relation itself)
-        ev = prepare_qa_events(qa_events, index, **kw)
-        return ev.select("event_id", "cand_doc_id", "cand_dist")
-
     for name, kw in tiers.items():
         out["stages"][f"{name}:join"] = _timed(
             lambda kw=kw: prepare_qa_events(qa_events, index, **kw), args.runs
