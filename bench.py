@@ -315,7 +315,7 @@ def _ivfpq_ondisk_fn(spark, sf_dir):
     return {"ann_ivfpq_ondisk": ann_ivfpq_ondisk}, root
 
 
-def _qa_replay_fns(spark, sf_dir):
+def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     """r9 bench entries (VERDICT r8 #2): the reference's richest lifecycle
     — the stateful /qa replay (embed -> k=1 retrieve -> topic fold -> stub
     generate, services/qa_service.py:28-133) — timed at sf scale under
@@ -323,7 +323,9 @@ def _qa_replay_fns(spark, sf_dir):
     regime) and the cell-routed graph walk (fully distributed, the 100 TB
     regime).  Index + event relation are built once outside the timed
     loop (ingest-time work); the timed number is embed + retrieve + state
-    fold + prompt/stub-generate per replay.  Returns (fns, caches)."""
+    fold + prompt/stub-generate per replay.  ``with_graphs=False`` skips
+    the celled-graph build for processes that only need the exact tier
+    (the r11 cross-process certification probes).  Returns (fns, caches)."""
     from pyspark.sql import functions as F
 
     from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG

@@ -1177,3 +1177,111 @@ def test_cell_radii_sidecar_roundtrip_serves_pruned(spark, clustered, tmp_path):
     unpersist_all()
     graphs.unpersist()
     assert base and via == base
+
+
+def test_pruned_equals_unpruned_on_salted_layout(spark, clustered):
+    """VERDICT r10 #3: probe pruning composes with hot-cell salting.  A
+    salted layout holds SEVERAL graph rows per base cell; phase 1 walks
+    every shard of the rank-1 cell (the same union the unpruned walker
+    does), the per-cell radius bounds every shard's members (shards
+    partition the cell), and a skipped cell skips all shards together —
+    pruned == unpruned on a salted clustered layout, with a NONZERO
+    prune rate."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.caching import unpersist_all
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        probe_cells,
+        train_centroids,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    q = idx.limit(20).select(
+        F.col("doc_id").alias("query_id"), F.col("norm_embedding").alias("qvec")
+    )
+    cents = train_centroids(idx, n_cells=8, n_iters=4)
+    graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=64, n_cells=8, backend="numpy",
+        cell_salts=3,
+    ).persist()
+    # really salted: at least one cell holds more than one graph row
+    per_cell = graphs.groupBy("cell").count().collect()
+    assert max(r["count"] for r in per_cell) > 1
+    radii = ann_hnsw.cell_radii(idx, centroids=cents, n_cells=8)
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    base = rel(
+        ann_hnsw.celled_hnsw_topk_cogrouped(
+            graphs, q, centroids=cents, k=3, ef=20, dim=64, n_cells=8,
+            nprobe=4,
+        )
+    )
+    pruned = rel(
+        ann_hnsw.celled_hnsw_topk_pruned(
+            graphs, q, radii, centroids=cents, k=3, ef=20, dim=64,
+            n_cells=8, nprobe=4,
+        )
+    )
+    unpersist_all()
+    assert base and pruned == base
+
+    # prune rate on the salted layout, through the production d_k helper
+    # (exact k-th smallest — salted phase 1 emits up to salts*k rows)
+    routed1 = q.withColumn(
+        "cell", F.element_at(probe_cells(F.col("qvec"), cents, 1), 1)
+    )
+    cand1 = ann_hnsw._cogrouped_walk(graphs, routed1, ef=20, k=3)
+    dk = ann_hnsw._phase1_dk(cand1, 3)
+    kept = ann_hnsw._pruned_phase2_routing(q, dk, cents, radii, 4).count()
+    full = 20 * 3  # ranks 2..4 for 20 queries
+    assert kept < full, (kept, full)
+    graphs.unpersist()
+
+
+def test_recommended_probe_pruning_rule(spark, clustered):
+    """The measured r10 crossover as a predicate (VERDICT r10 #6): the
+    clustered real-text geometry (small radii vs inter-centroid gaps,
+    measured 1.55x faster pruned) recommends pruning; the near-uniform
+    geometry (radii swallow the sphere, measured 1.7x slower) does not."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        train_centroids,
+    )
+
+    idx = clustered.select(
+        F.col("vec_id").alias("doc_id"), F.col("nv").alias("norm_embedding")
+    )
+    cents = train_centroids(idx, n_cells=8, n_iters=4)
+    radii = ann_hnsw.cell_radii(idx, centroids=cents, n_cells=8)
+    assert ann_hnsw.recommended_probe_pruning(radii, cents) is True
+
+    # near-uniform corpus: 500 isotropic unit vectors, trained centroids —
+    # per-cell radii approach the inter-centroid gaps and no ball pair is
+    # disjoint (the geometry where the measured bound never fired)
+    rng = np.random.RandomState(11)
+    pts = rng.standard_normal((500, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    uni = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(500)],
+        "doc_id long, norm_embedding array<double>",
+    )
+    ucents = train_centroids(uni, n_cells=8, n_iters=4)
+    uradii = ann_hnsw.cell_radii(uni, centroids=ucents, n_cells=8)
+    assert ann_hnsw.recommended_probe_pruning(uradii, ucents) is False
+
+    # degenerate layouts refuse or decline honestly
+    with pytest.raises(ValueError, match="radii"):
+        ann_hnsw.recommended_probe_pruning(radii[:-1], cents)
+    assert (
+        ann_hnsw.recommended_probe_pruning([0.0] * len(cents), cents) is False
+    )

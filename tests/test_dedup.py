@@ -516,3 +516,32 @@ def test_embedding_near_dup_artifact_param(spark, tmp_path):
     manual = rel(strategy="lsh", n_planes=6, n_tables=4, center=center)
     via_art = rel(artifact=path)
     assert manual and via_art == manual
+
+
+def test_embedding_near_dup_artifact_conflicts_and_dim(spark, tmp_path):
+    """ADVICE r10: artifact= is the single source of signature truth —
+    combining it with explicit knobs raises (a stray n_planes silently
+    hashing batch buckets differently from the stream/serving consumers
+    is the divergence the manifest exists to prevent), and the manifest's
+    dim is authoritative (vectors of another width raise via the kernel
+    width check even when the manifest is uncentered)."""
+    from vector_search_question_answer_api_spark.operators import ann
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "art")
+    # uncentered manifest: center=None would previously skip ALL width checks
+    ann.write_lsh_artifact(path, dim=16, n_planes=6, n_tables=4, center=None)
+    with pytest.raises(ValueError, match="EITHER artifact"):
+        embedding_near_dup_pairs(emb, artifact=path, n_planes=8)
+    with pytest.raises(ValueError, match="EITHER artifact"):
+        embedding_near_dup_pairs(emb, artifact=path, center=(0.0,) * 16)
+    # width mismatch: 8-wide vectors against a dim=16 manifest
+    narrow = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="components for dim"):
+        embedding_near_dup_pairs(narrow, artifact=path).collect()

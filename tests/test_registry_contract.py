@@ -36,3 +36,28 @@ def test_no_oracle_gates_sort_last():
 def test_every_oracle_key_is_registered():
     qs = set(inventory.queries())
     assert set(inventory.oracle_sql()) <= qs
+
+
+def test_gates_are_scoped_sequentially(spark):
+    """VERDICT r10 #5: running gates back-to-back through queries() keeps
+    the tracked-cache registry at a single-gate footprint — each gate's
+    entry releases its predecessor's caches, so a 50-gate harness run
+    cannot trip the growth warning from its own composition."""
+    from vector_search_question_answer_api_spark import caching
+
+    sf = "/root/testdata/sf0.001"
+    qs = inventory.queries()
+    # cache-heavy gates: both track persists (search pipeline + replay)
+    heavy = ["search_pipeline_e2e", "qa_sessions_replay", "knn_topk"]
+    sizes = []
+    for name in heavy:
+        df = qs[name](spark, sf)
+        assert df.limit(1).collect() is not None
+        sizes.append(len(caching._live_caches) + len(caching._live_broadcasts))
+    # registry never accumulates across gates: footprint stays flat at the
+    # per-gate level instead of summing (59 at r10's full-suite run)
+    assert max(sizes) <= 8, sizes
+    # one more gate through the wrapper releases the last heavy gate too
+    qs["q1_pricing_summary"](spark, sf).limit(1).collect()
+    caching.release_gate()
+    assert len(caching._live_caches) + len(caching._live_broadcasts) == 0

@@ -68,6 +68,45 @@ def broadcast_tracked(sc, value):
     return b
 
 
+# Sequential-gate scoping (VERDICT r10 #5): the inventory's 50 gates run
+# one after another in the driver's correctness harness and in the parity
+# tests, each possibly persisting tracked intermediates that back the
+# LAZY DataFrame it returns.  The gate cannot release its own caches (the
+# caller still has to execute the plan), so without scoping a full run
+# accumulates one gate's worth of caches per gate and the growth tripwire
+# fires from the harness itself — training users to ignore it.  The fix:
+# each gate, on ENTRY, releases the caches of the PREVIOUS gate (whose
+# result the sequential caller has consumed by then) and marks the
+# registry for its own.  Mark/pop discipline matches cache_scope, so a
+# narrower scope (bench wraps each timed attempt) composes: if a scope
+# already released the previous gate's entries, the pop is a no-op.
+# Single-threaded, like the registry itself; releasing only UNPERSISTS,
+# so a consumer that re-executes an old gate's plan recomputes correctly.
+_gate_mark: tuple[int, int] | None = None
+
+
+def open_gate() -> None:
+    """Mark the registry: tracked entries created after this point belong
+    to the current gate and are released by the next ``release_gate``."""
+    global _gate_mark
+    _gate_mark = (len(_live_caches), len(_live_broadcasts))
+
+
+def release_gate() -> None:
+    """Release entries created since the last ``open_gate`` (no-op when no
+    gate is open, or when a narrower ``cache_scope`` already released
+    them)."""
+    global _gate_mark
+    if _gate_mark is None:
+        return
+    cm, bm = _gate_mark
+    while len(_live_caches) > cm:
+        _live_caches.pop().unpersist()
+    while len(_live_broadcasts) > bm:
+        _live_broadcasts.pop().unpersist()
+    _gate_mark = None
+
+
 def unpersist_all() -> None:
     """Release every tracked cache and broadcast."""
     while _live_caches:

@@ -91,13 +91,40 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _gate_scoped(fn: QueryFn) -> QueryFn:
+    """Wrap a gate for the sequential harness (VERDICT r10 #5): on entry,
+    release the PREVIOUS gate's tracked caches/broadcasts (the sequential
+    caller — driver correctness harness, parity tests — has consumed that
+    gate's result by then) and mark the registry for this gate's own.
+    Keeps a full 50-gate run at a single-gate registry footprint so the
+    growth tripwire stays meaningful for real leaks; composes with
+    narrower scopes (bench's per-attempt cache_scope) because release is
+    mark/pop, a no-op on already-released entries."""
+    import functools
+
+    from vector_search_question_answer_api_spark import caching
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        caching.release_gate()
+        caching.open_gate()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
     """Registration order, except the (two) rows-only gates without an
     oracle sort last: the driver records correctness rows in this order,
     so if a recording cap ever bites again (r3: 50 of 60 recorded), the
-    rows it drops are the weakest-signal ones."""
-    with_oracle = {k: v[0] for k, v in _REGISTRY.items() if v[1] is not None}
-    rows_only = {k: v[0] for k, v in _REGISTRY.items() if v[1] is None}
+    rows it drops are the weakest-signal ones.  Every gate is
+    gate-scoped — see :func:`_gate_scoped`."""
+    with_oracle = {
+        k: _gate_scoped(v[0]) for k, v in _REGISTRY.items() if v[1] is not None
+    }
+    rows_only = {
+        k: _gate_scoped(v[0]) for k, v in _REGISTRY.items() if v[1] is None
+    }
     return {**with_oracle, **rows_only}
 
 

@@ -583,6 +583,57 @@ def cell_radii(
     return tuple(by_cell.get(j, 0.0) for j in range(len(centroids)))
 
 
+def recommended_probe_pruning(
+    radii, centroids, threshold: float = 0.5, margin: float = 0.0
+) -> bool:
+    """The measured pruning crossover as code (SCALE.md r10 table;
+    the ``recommended_pq_m`` precedent): should this (radii, centroids)
+    layout enable :func:`celled_hnsw_topk_pruned`?
+
+    Geometry: in the duplicate-heavy regime where pruning pays (replay /
+    near-dup / contamination — queries resolve rank-1 with ``d_k ~ 0``),
+    probe cell ``j`` is skippable for a query living in cell ``i``
+    exactly when the bound ``||q - c_j|| - r_j`` stays positive; the
+    worst query sits ``r_i`` from its own centroid, so the GUARANTEED
+    skip condition is ball disjointness::
+
+        ||c_i - c_j|| > r_i + r_j + margin
+
+    The predicate returns True when at least ``threshold`` of ordered
+    (i, j) pairs over occupied cells (``r > 0``; empty cells have no
+    graphs and cost nothing) are ball-disjoint.  On the two measured
+    geometries (20k self-queries, 16 cells, SCALE.md r10): clustered
+    real-text shape — radii ~0.5 against inter-centroid chords ~1.4,
+    nearly all pairs disjoint → True, and pruning measured 1.55x faster;
+    near-uniform — radii ~1.3 swallow the sphere (r_i + r_j ~ 2.6 vs
+    chords ~1.4), no pair disjoint → False, and pruning measured 1.7x
+    SLOWER (the bound never fires, the second graph-blob cogroup is pure
+    overhead).  Both pinned in tests.  Advisory, like every
+    ``recommended_*`` rule: serving defaults never change under a
+    caller's feet.  ``cell_health_report`` + ``cell_radii`` supply the
+    inputs from a live store in one hash-agg each."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    r = np.asarray(radii, dtype=np.float64)
+    if len(C) != len(r):
+        raise ValueError(
+            f"{len(r)} radii for {len(C)} centroids — radii must come from "
+            "cell_radii over the same centroid layout"
+        )
+    occ = np.nonzero(r > 0.0)[0]
+    if len(occ) < 2:
+        return False
+    Co, ro = C[occ], r[occ]
+    # pairwise centroid chords on the (small) occupied set
+    d2 = ((Co[:, None, :] - Co[None, :, :]) ** 2).sum(axis=2)
+    gaps = np.sqrt(np.maximum(d2, 0.0))
+    disjoint = gaps > (ro[:, None] + ro[None, :] + margin)
+    n = len(occ)
+    frac = disjoint[~np.eye(n, dtype=bool)].mean()
+    return bool(frac >= threshold)
+
+
 _RADII_SIDECAR = "_cell_radii.json"
 
 
@@ -612,6 +663,27 @@ def read_cell_radii(path: str) -> tuple:
         return tuple(float(r) for r in json.load(f))
 
 
+def _phase1_dk(cand1: DataFrame, k: int) -> DataFrame:
+    """(query_id, d_k): the EXACT k-th smallest phase-1 distance per query
+    (row_number, not max).  Over a SALTED layout each shard of the rank-1
+    cell emits up to k candidates, so phase 1 can hold up to salts*k rows
+    per query and their max would overshoot the true k-th — still lossless
+    (a larger d_k only keeps more cells) but needlessly loose.  The k-th
+    row is exact for both layouts; a query with fewer than k phase-1
+    candidates gets no row here and resolves to +inf through
+    ``_pruned_phase2_routing``'s left join (probe everything)."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        cand1.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == k)
+        .select("query_id", F.col("distance").alias("d_k"))
+    )
+
+
 def _pruned_phase2_routing(
     queries: DataFrame,
     dk: DataFrame,
@@ -622,10 +694,19 @@ def _pruned_phase2_routing(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """(query_id, qvec, cell) rows for probe ranks 2..nprobe that SURVIVE
-    the lower-bound test: keep iff ``d_k >= max(0, ||q-c_j|| - r_j)^2/2``
-    (strict-< skips cannot drop a tie: if d_k < d_lb every cell-j
-    candidate is strictly worse than the phase-1 k-th).  Factored out so
-    tests can count what pruning removes."""
+    the lower-bound test: keep iff ``d_k >= d_lb - eps`` with
+    ``d_lb = max(0, ||q-c_j|| - r_j)^2/2`` (strict-< skips cannot drop a
+    tie: if d_k < d_lb every cell-j candidate is strictly worse than the
+    phase-1 k-th).  ``eps`` covers float32 rounding (ADVICE r10): the
+    hnswlib backend reports distances in float32, so a cell-j candidate
+    whose TRUE distance sits a few float32 ulps above the exact-float64
+    ``d_lb`` can still ROUND below ``d_k`` in the unpruned tier's merge —
+    without slack the pruned tier could skip a cell holding such an
+    epsilon-tie.  A few ulps of relative slack (2^-21 ~ 4 float32 ulps)
+    plus a tiny absolute floor keeps the relation equal at the boundary;
+    extra kept probes only cost walks, never correctness.  (The numpy
+    backend is float64 end-to-end — the slack is then pure margin.)
+    Factored out so tests can count what pruning removes."""
     from vector_search_question_answer_api_spark.operators.ivf import probe_cells
 
     cents_lit = V.nested_array_lit(centroids)
@@ -661,7 +742,9 @@ def _pruned_phase2_routing(
         F.lit(0.0), chord - F.element_at(radii_lit, F.col("cell") + 1)
     )
     d_lb = lb_chord * lb_chord / F.lit(2.0)
-    return routed.filter(F.col("d_k") >= d_lb).select(
+    # float32-ulp slack (see docstring); d_k = +inf keeps regardless
+    eps = F.col("d_k") * F.lit(2.0**-21) + F.lit(2.0**-40)
+    return routed.filter(F.col("d_k") >= d_lb - eps).select(
         "query_id", "qvec", "cell"
     )
 
@@ -699,10 +782,20 @@ def celled_hnsw_topk_pruned(
     faster** ([7.9, 8.8] vs [12.2, 13.3] s); near-uniform corpus (radii
     ~1.3 swallow the sphere, bound never fires) 1.7x SLOWER — measure
     your geometry before enabling, which is why this is a separate
-    opt-in function and not a default.  ``radii`` must come from the SAME index snapshot the
-    graphs were built from (cell_radii — an index-build-time artifact,
-    like the centroids).  Not valid over salted graph layouts (salt
-    shards share a base cell id; route with the unpruned tier there)."""
+    opt-in function and not a default (:func:`recommended_probe_pruning`
+    codifies the crossover as a predicate over (radii, centroids)).
+    ``radii`` must come from the SAME index snapshot the graphs were
+    built from (cell_radii — an index-build-time artifact, like the
+    centroids).  SALTED layouts (``cell_salts > 1``) compose cleanly
+    (VERDICT r10 #3): shards of a cell share its base cell id, phase 1
+    walks EVERY graph row of the rank-1 cell (the same shard union as the
+    unpruned walker), the per-cell radius bounds every shard's members
+    (shards partition the cell, so each shard radius <= r_j), and a
+    skipped cell skips all of its shards together — lossless, pinned on a
+    salted clustered layout in tests.  The keep test carries a few-ulp
+    float32 slack so hnswlib's float32-rounded distances cannot break
+    relation equality on epsilon-ties (ADVICE r10; see
+    :func:`_pruned_phase2_routing`)."""
     from vector_search_question_answer_api_spark.caching import persist_tracked
     from vector_search_question_answer_api_spark.operators.ivf import probe_cells
 
@@ -720,14 +813,7 @@ def celled_hnsw_topk_pruned(
     if nprobe <= 1:
         top = topk_per_query(cand1, k)
     else:
-        dk = cand1.groupBy("query_id").agg(
-            F.max("distance").alias("_dk"), F.count("*").alias("_got")
-        ).select(
-            "query_id",
-            F.when(F.col("_got") >= k, F.col("_dk"))
-            .otherwise(F.lit(float("inf")))
-            .alias("d_k"),
-        )
+        dk = _phase1_dk(cand1, k)
         keep = _pruned_phase2_routing(
             q, dk, centroids, radii, nprobe
         )

@@ -726,6 +726,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         V.l2_normalize(F.col(vec_col)).cast("array<double>").alias("nv"),
     )
+    dim = None
     if artifact is not None:
         from vector_search_question_answer_api_spark.operators import ann
 
@@ -734,10 +735,27 @@ def embedding_near_dup_pairs(
             if isinstance(artifact, str)
             else artifact
         )
+        if n_planes is not None or n_tables is not None or center is not None:
+            # The artifact must WIN, like every other SRP consumer
+            # (srp_sig_stream / ann_lsh_topk / prepare_qa_events take the
+            # manifest wholesale).  A stray explicit knob silently hashing
+            # batch buckets differently from the stream/serving consumers
+            # pinned to the same manifest is the exact bit-divergence the
+            # artifact exists to prevent — refuse the combination loudly
+            # (ADVICE r10).
+            raise ValueError(
+                "embedding_near_dup_pairs: pass EITHER artifact= OR explicit "
+                "(n_planes/n_tables/center), not both — the manifest is the "
+                "single source of signature truth for every SRP consumer"
+            )
         strategy = "lsh"
-        n_planes = n_planes or art["n_planes"]
-        n_tables = n_tables or art["n_tables"]
-        center = center if center is not None else art["center"]
+        n_planes, n_tables = art["n_planes"], art["n_tables"]
+        center = art["center"]
+        # thread the manifest dim so a vector width that disagrees with the
+        # artifact RAISES via the signature kernel's width check even when
+        # center is None (ADVICE r10; uncentered manifests skipped the
+        # center-length check entirely)
+        dim = art["dim"]
     if strategy is None:
         n = _persist(n)
         cnt = n.count()
@@ -789,7 +807,9 @@ def embedding_near_dup_pairs(
     elif strategy == "broadcast":
         n = _persist(n)
     if strategy == "lsh":
-        return _embedding_near_dup_pairs_lsh(n, min_sim, n_planes, n_tables, center)
+        return _embedding_near_dup_pairs_lsh(
+            n, min_sim, n_planes, n_tables, center, dim=dim
+        )
 
     rows = n.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
@@ -820,23 +840,28 @@ def _embedding_near_dup_pairs_lsh(
     n_planes: int | None = None,
     n_tables: int | None = None,
     center=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed near-dup self-join over (id, nv) with nv L2-normalized.
 
     Candidate generation shuffles ids only (the heavy vectors ride in the
     map-only signature stage and join back per surviving pair), mirroring
     the minhash/simhash banding shape above.  See the caller's sizing rule
-    for choosing (n_planes, n_tables) by corpus size.
+    for choosing (n_planes, n_tables) by corpus size.  ``dim``, when given
+    (the artifact path), is AUTHORITATIVE: the signature kernel raises on
+    vectors whose width disagrees with it, instead of silently hashing a
+    manifest-mismatched corpus (ADVICE r10).
     """
     from vector_search_question_answer_api_spark.operators import ann
     from vector_search_question_answer_api_spark.operators.ann import with_lsh_signatures
 
-    first = n.select(F.size("nv")).first()
-    if first is None:
-        return n.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, sim double"
-        )
-    dim = int(first[0])
+    if dim is None:
+        first = n.select(F.size("nv")).first()
+        if first is None:
+            return n.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, sim double"
+            )
+        dim = int(first[0])
     sig_ids = with_lsh_signatures(
         n,
         "nv",

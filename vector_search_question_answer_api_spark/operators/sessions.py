@@ -325,7 +325,10 @@ def prepare_qa_events(
             # lossless probe pruning (ann_hnsw.celled_hnsw_topk_pruned):
             # identical retrievals, fewer walks — radii are an
             # index-build-time artifact (cell_radii on the SAME snapshot
-            # the graphs were built from), like the centroids
+            # the graphs were built from), like the centroids.  Enable
+            # when ann_hnsw.recommended_probe_pruning(radii, cents) says
+            # the geometry pays (clustered: 1.55x faster; near-uniform:
+            # slower — SCALE.md r10 crossover, codified as the rule)
             top1 = ann_hnsw.celled_hnsw_topk_pruned(
                 graphs, q, graph_radii, centroids=cents, k=1, ef=graph_ef,
                 dim=dim, n_cells=graph_n_cells, nprobe=graph_nprobe,

@@ -217,6 +217,37 @@ def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_index_before_batch(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame:
+    """The resolved index as it stood BEFORE batch ``batch_id`` appended:
+    :func:`read_index_latest` restricted to rows with ``_batch <
+    batch_id`` (compacted generation rows carry ``_batch = -1`` and so
+    count as predecessors of every batch — correct, since a generation is
+    the resolved state as of its compaction).
+
+    The point of the filter is REPLAY SAFETY for per-batch supersession
+    evidence (the vecmean correction in ``ingest_stream``): a pre-append
+    snapshot taken by reading the live view is wrong on replay (the
+    crashed attempt already appended the batch), whereas this predicate
+    is order-independent — batch ``batch_id``'s own rows are excluded
+    whether or not the append happened.  Exactness assumes no compaction
+    runs between a crashed attempt and its replay (compaction would fold
+    the batch's rows into the ``_batch = -1`` generation); compaction is
+    caller-driven, so quiesce it with the stream — the normal protocol."""
+    log = _raw_log(spark, path)
+    if log is None:
+        raise FileNotFoundError(f"no index at {path}")
+    if "_batch" in log.columns:
+        log = log.filter(F.col("_batch") < int(batch_id))
+    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "doc_id", "norm_embedding", "norm")
+    )
+
+
 def compact_index(
     spark: SparkSession, path: str, n_files: int = 4, _pre_publish_hook=None
 ) -> None:

@@ -68,6 +68,8 @@ def write_vecmean_batch(
     path: str,
     batch_id: int,
     vec_col: str = "norm_embedding",
+    superseded: DataFrame | None = None,
+    ts_col: str = "ts",
 ) -> None:
     """(component, s, n) rows for ONE embedded micro-batch — the linear
     statistic behind the incremental corpus center (``ann.corpus_center``
@@ -76,20 +78,57 @@ def write_vecmean_batch(
     batch x dim rows emitting ``dim`` rows; ``batch=<id>`` overwrite,
     replay-safe like every linear store here.
 
-    Semantics, stated honestly: the merged mean is over ALL INGESTED
-    VERSIONS (an upserted doc contributes once per version) — it drifts
-    from the resolved-corpus mean with the update rate.  That is the
-    right contract for LSH centering: plane placement only needs a point
-    near the data mass, and signature CORRECTNESS needs both join sides
-    to share the same STORED center (the ``ann.write_lsh_artifact``
-    manifest), which version-weighting does not disturb."""
+    ``superseded`` (VERDICT r10 #7) carries the batch docs' PRIOR
+    versions — ``index_stream.read_index_before_batch`` semi-joined on
+    the batch ids — whose (sum, count) contributions are SUBTRACTED
+    (negative ``s`` and ``n`` rows, netted into the same batch file), and
+    the ADD side is deduped to its latest row per doc: the merged
+    ``read_profile_center`` then equals the RESOLVED-corpus mean exactly,
+    at any update rate (pinned under an upsert-heavy soak in tests).
+    Replay-safe because the ``_batch < batch_id`` predicate behind the
+    prior-version evidence is order-independent — a replayed batch
+    recomputes the identical correction.
+
+    WITHOUT ``superseded`` the legacy semantics hold, stated honestly:
+    the merged mean is over ALL INGESTED VERSIONS (an upserted doc
+    contributes once per version) — it drifts from the resolved-corpus
+    mean with the update rate.  Either way plane placement only needs a
+    point near the data mass, and signature CORRECTNESS needs both join
+    sides to share the same STORED center (the ``ann.write_lsh_artifact``
+    manifest), which neither weighting disturbs."""
     sub = f"batch={int(batch_id)}"
-    rows = (
-        indexed_batch.filter(F.col(vec_col).isNotNull())
-        .select(F.posexplode(F.col(vec_col)).alias("component", "v"))
-        .groupBy("component")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-    )
+
+    def _sums(df, sign: int):
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(F.col(vec_col)).alias("component", "v"))
+            .groupBy("component")
+            .agg(
+                (F.lit(sign) * F.sum("v")).alias("s"),
+                (F.lit(sign) * F.count("*")).alias("n"),
+            )
+        )
+
+    add_side = indexed_batch
+    if superseded is not None and ts_col in indexed_batch.columns:
+        from pyspark.sql import Window
+
+        # resolved semantics: a doc upserted twice within one batch
+        # contributes exactly its final version, matching the log
+        # resolution's (batch, ts) order
+        w = Window.partitionBy("doc_id").orderBy(F.col(ts_col).desc())
+        add_side = (
+            indexed_batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    rows = _sums(add_side, 1)
+    if superseded is not None:
+        rows = (
+            rows.unionByName(_sums(superseded, -1))
+            .groupBy("component")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
     rows.write.mode("overwrite").parquet(os.path.join(path, "vecmean", sub))
 
 
