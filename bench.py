@@ -315,6 +315,65 @@ def _ivfpq_ondisk_fn(spark, sf_dir):
     return {"ann_ivfpq_ondisk": ann_ivfpq_ondisk}, root
 
 
+def _lsh_ondisk_fns(spark, sf_dir):
+    """r11 bench entries (VERDICT r10 #4): the persisted LSH signature
+    index vs the in-memory tier, SAME manifest knobs (8x8, centered, 10
+    queries over the sf embeddings table — the r10 SCALE.md fixture, now
+    ledger-tracked so the ingest-time-vs-query-time amortization claim
+    gets cross-round numbers like ``ann_ivfpq_ondisk``).  The index build
+    (signature table + manifest) is ingest-time work outside the timed
+    loop; ``ann_lsh_ondisk``'s corpus side is a 2-column parquet scan,
+    ``ann_lsh_mem`` re-runs the corpus-wide Arrow signature kernel every
+    call — the structural O(corpus)-per-batch difference.  One-time pin:
+    both tiers emit the identical relation.  Returns (fns, cleanup root,
+    caches)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_lsh_")
+    path = root + "/lsh"
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding"))
+        .cast("array<double>")
+        .alias("norm_embedding"),
+    ).persist()
+    idx.count()
+    center = ann.corpus_center(idx)
+    ann.write_lsh_index(idx, path, n_planes=8, n_tables=8, center=center)
+    art = ann.read_lsh_artifact(path)
+    q = idx.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def ann_lsh_mem(spark, sf_dir):
+        return ann.ann_lsh_topk(q, idx, k=5, artifact=art)
+
+    def ann_lsh_ondisk(spark, sf_dir):
+        return ann.ann_lsh_topk_ondisk(spark, q, path, idx, k=5)
+
+    def rel(df):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in df.collect()
+        }
+
+    a, b = rel(ann_lsh_mem(spark, sf_dir)), rel(ann_lsh_ondisk(spark, sf_dir))
+    assert a and a == b, f"lsh tiers disagree ({len(a)} vs {len(b)})"
+    return (
+        {"ann_lsh_mem": ann_lsh_mem, "ann_lsh_ondisk": ann_lsh_ondisk},
+        root,
+        [idx],
+    )
+
+
 def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     """r9 bench entries (VERDICT r8 #2): the reference's richest lifecycle
     — the stateful /qa replay (embed -> k=1 retrieve -> topic fold -> stub
@@ -324,8 +383,11 @@ def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     regime).  Index + event relation are built once outside the timed
     loop (ingest-time work); the timed number is embed + retrieve + state
     fold + prompt/stub-generate per replay.  ``with_graphs=False`` skips
-    the celled-graph build for processes that only need the exact tier
-    (the r11 cross-process certification probes).  Returns (fns, caches)."""
+    the celled-graph and stored-LSH builds for processes that only need
+    the exact tier (the r11 cross-process certification probes).
+    Returns (fns, caches, cleanup_root_or_None)."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG
@@ -371,20 +433,9 @@ def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     # measured 17.8 s -> 8.3 s on this entry.
     dim = DEFAULT_CONFIG.embedding_dim
     N_CELLS, NPROBE, EF = 32, 4, 10
-    cents = centroid_grid(dim, N_CELLS)
-    graphs = ann_hnsw.build_celled_hnsw(
-        index, centroids=cents, dim=dim, n_cells=N_CELLS
-    ).persist()
-    graphs.count()
 
     def qa_replay_exact(spark, sf_dir):
         return replay_sessions(qa_events, index)
-
-    def qa_replay_graph(spark, sf_dir):
-        return replay_sessions(
-            qa_events, index, retrieval="graph", graphs=graphs,
-            graph_n_cells=N_CELLS, graph_nprobe=NPROBE, graph_ef=EF,
-        )
 
     def qa_replay_lsh(spark, sf_dir):
         # the fully distributed tier (nothing collected/broadcast on either
@@ -393,14 +444,50 @@ def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
         # 38x slower from bucket collapse on the clustered text embedder)
         return replay_sessions(qa_events, index, retrieval="lsh")
 
-    return (
-        {
-            "qa_replay_exact": qa_replay_exact,
-            "qa_replay_graph": qa_replay_graph,
-            "qa_replay_lsh": qa_replay_lsh,
-        },
-        [index, qa_events, graphs],
-    )
+    fns = {"qa_replay_exact": qa_replay_exact, "qa_replay_lsh": qa_replay_lsh}
+    caches = [index, qa_events]
+    root = None
+    if with_graphs:
+        cents = centroid_grid(dim, N_CELLS)
+        graphs = ann_hnsw.build_celled_hnsw(
+            index, centroids=cents, dim=dim, n_cells=N_CELLS
+        ).persist()
+        graphs.count()
+
+        def qa_replay_graph(spark, sf_dir):
+            return replay_sessions(
+                qa_events, index, retrieval="graph", graphs=graphs,
+                graph_n_cells=N_CELLS, graph_nprobe=NPROBE, graph_ef=EF,
+            )
+
+        fns["qa_replay_graph"] = qa_replay_graph
+        caches.append(graphs)
+
+        # r11: the replay lsh tier served from the PERSISTED signature
+        # table (the artifact maintain_corpus keeps fresh per ingest
+        # batch) at the SAME manifest knobs the in-memory tier derives —
+        # the replay-level half of the ann_lsh_mem/ann_lsh_ondisk
+        # amortization pair: per replay, the corpus signature kernel
+        # (O(corpus) Arrow UDF) is replaced by a 2-column parquet scan.
+        from vector_search_question_answer_api_spark.operators import ann
+
+        root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_replay_lsh_")
+        lsh_path = root + "/lsh"
+        ann.write_lsh_index(
+            index,
+            lsh_path,
+            dim=dim,
+            n_planes=ann.recommended_n_planes(n_docs),
+            center=ann.corpus_center(index, dim=dim),
+        )
+
+        def qa_replay_lsh_ondisk(spark, sf_dir):
+            return replay_sessions(
+                qa_events, index, retrieval="lsh", lsh_index_path=lsh_path
+            )
+
+        fns["qa_replay_lsh_ondisk"] = qa_replay_lsh_ondisk
+    return fns, caches, root
 
 
 def _refresh_fns(spark, sf_dir):
@@ -671,11 +758,77 @@ def _ingest_fns(spark, sf_dir):
     return {"ingest_batch": ingest_batch}, {"ingest_batch": _restore}, root
 
 
+def _replay_exact_cross_process(m: int = 3) -> dict | None:
+    """Cross-process certification for ``qa_replay_exact`` (VERDICT r10
+    wrong #1 / next #2): the entry is LEVEL-UNSTABLE across processes
+    (4.1 / 9.2 / 15.2 s minima in three quiet processes, same code and
+    data — r10 measurement), so an in-process min-of-N provably does not
+    characterize it; the MEDIAN OF PER-PROCESS MINIMA does.  Launch M
+    fresh probe processes (tools/replay_exact_probe.py — fresh JVM each,
+    sequential, BEFORE the suite session exists so they never compete
+    with it), each applying the standard in-process protocol, and report
+    the median.  Certified = every probe's own best-2 certified and at
+    least 2 probes completed.  Returns None (in-suite fallback) when the
+    probes cannot run."""
+    import statistics
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "replay_exact_probe.py",
+    )
+    probes = []
+    for i in range(m):
+        try:
+            out = subprocess.run(
+                [sys.executable, tool],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except (subprocess.TimeoutExpired, OSError) as e:
+            print(f"replay_exact probe {i}: {e}", file=sys.stderr)
+            continue
+        if out.returncode != 0:
+            print(
+                f"replay_exact probe {i}: rc={out.returncode} "
+                f"{out.stderr.strip().splitlines()[-1:] or ''}",
+                file=sys.stderr,
+            )
+            continue
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("entry") == "qa_replay_exact":
+                probes.append(rec)
+                break
+    if len(probes) < 2:
+        return None
+    minima = sorted(float(p["min"]) for p in probes)
+    return {
+        "value": round(statistics.median(minima), 3),
+        "ledger": {
+            "n": len(probes),
+            "best2": [round(minima[0], 3), round(minima[1], 3)],
+            "certified": bool(all(p["certified"] for p in probes)),
+            "protocol": "median-of-process-minima",
+            "process_minima": [round(x, 3) for x in minima],
+            "process_runs": [p["runs"] for p in probes],
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     box = _box_fingerprint()
+    # cross-process qa_replay_exact protocol runs FIRST: fresh probe JVMs,
+    # never concurrent with the suite session
+    xproc = _replay_exact_cross_process()
     spark = get_spark(app_name="bench")
 
     # Time the primary production path: the in-gate strategy-twin
@@ -765,8 +918,10 @@ def main() -> None:
     cleanup_caches: list = []
 
     def _setup_qa():
-        fns, caches = _qa_replay_fns(spark, sf_dir)
+        fns, caches, root = _qa_replay_fns(spark, sf_dir)
         cleanup_caches.extend(caches)
+        if root is not None:
+            cleanup_roots.append(root)
         return fns
 
     def _setup_refresh():
@@ -791,19 +946,34 @@ def main() -> None:
         cleanup_roots.append(root)
         return fns
 
+    def _setup_lsh():
+        fns, root, caches = _lsh_ondisk_fns(spark, sf_dir)
+        cleanup_roots.append(root)
+        cleanup_caches.extend(caches)
+        return fns
+
     lazy_groups: dict[str, tuple] = {
         "qa_replay_exact": ("qa", _setup_qa),
         "qa_replay_graph": ("qa", _setup_qa),
         "qa_replay_lsh": ("qa", _setup_qa),
+        "qa_replay_lsh_ondisk": ("qa", _setup_qa),
         "ann_refresh_1pct": ("refresh", _setup_refresh),
         "span_contamination": ("span", _setup_span),
         "ingest_batch": ("ingest", _setup_ingest),
+        "ann_lsh_mem": ("lsh_ondisk", _setup_lsh),
+        "ann_lsh_ondisk": ("lsh_ondisk", _setup_lsh),
     }
     done_groups: set[str] = set()
 
     timings: dict[str, float] = {}
     ledger: dict[str, dict] = {}
     for name in [*HEADLINE, *extra, *lazy_groups]:
+        if name == "qa_replay_exact" and xproc is not None:
+            # recorded by the cross-process protocol above; the in-suite
+            # path remains only as the fallback when probes cannot run
+            timings[name] = xproc["value"]
+            ledger[name] = xproc["ledger"]
+            continue
         if name in lazy_groups:
             group, setup = lazy_groups[name]
             if group not in done_groups:

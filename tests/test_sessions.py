@@ -270,6 +270,60 @@ def test_replay_lsh_artifact_supplies_knobs(spark, corpus, tmp_path):
             assert via[eid][col] == base[eid][col]
 
 
+def test_replay_lsh_ondisk_serves_stored_signatures(spark, corpus, tmp_path):
+    """r11 (VERDICT r10 #1 follow-through): the replay lsh tier served
+    from the PERSISTED signature table — the artifact ``maintain_corpus``
+    keeps fresh per ingest batch — must reproduce the in-memory lsh
+    replay at the same manifest knobs: the per-replay corpus signature
+    kernel is ingest-time work, the serving corpus side a 2-column scan.
+    A conflicting ``lsh_artifact`` alongside the path raises."""
+    import pytest
+
+    from vector_search_question_answer_api_spark.operators import ann
+
+    rows = [(0, "s1", DOC_A), (1, "s1", DOC_B), (2, "s2", DOC_C)]
+    ev = _events(spark, rows)
+    # the default replay-lsh knobs, written as a stored index
+    dim = len(corpus.select("norm_embedding").first()[0])
+    n_pl = ann.recommended_n_planes(corpus.count())
+    center = ann.corpus_center(corpus, dim=dim)
+    path = str(tmp_path / "replay_lsh_index")
+    ann.write_lsh_index(corpus, path, dim=dim, n_planes=n_pl, center=center)
+
+    base = {
+        r["event_id"]: r
+        for r in replay_sessions(ev, corpus, retrieval="lsh").collect()
+    }
+    stored = {
+        r["event_id"]: r
+        for r in replay_sessions(
+            ev, corpus, retrieval="lsh", lsh_index_path=path
+        ).collect()
+    }
+    assert set(base) == set(stored)
+    for eid in base:
+        for col in (
+            "context_doc_id",
+            "context_changed",
+            "is_new_topic",
+            "used_fallback",
+            "answer",
+            "history_len",
+        ):
+            assert stored[eid][col] == base[eid][col], f"event {eid} col {col}"
+
+    # agreeing artifact alongside the path is fine; conflicting raises
+    art = ann.read_lsh_artifact(path)
+    replay_sessions(
+        ev, corpus, retrieval="lsh", lsh_index_path=path, lsh_artifact=art
+    ).collect()
+    bad = dict(art, n_planes=art["n_planes"] + 1)
+    with pytest.raises(ValueError, match="disagrees with the manifest"):
+        replay_sessions(
+            ev, corpus, retrieval="lsh", lsh_index_path=path, lsh_artifact=bad
+        ).collect()
+
+
 def test_sequential_replays_release_tracked_state(spark, corpus):
     """VERDICT r9 next #6: N sequential replays under cache_scope leave
     ZERO live tracked caches/broadcasts; an unscoped loop trips the

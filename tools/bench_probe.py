@@ -70,8 +70,16 @@ def main() -> None:
         if "ann_ivfpq_ondisk" in needed:
             fns, _root = bench._ivfpq_ondisk_fn(spark, sf_dir)
             extra.update(fns)
-        if needed & {"qa_replay_exact", "qa_replay_graph", "qa_replay_lsh"}:
-            fns, _caches = bench._qa_replay_fns(spark, sf_dir)
+        if needed & {"ann_lsh_mem", "ann_lsh_ondisk"}:
+            fns, _root, _caches = bench._lsh_ondisk_fns(spark, sf_dir)
+            extra.update(fns)
+        if needed & {
+            "qa_replay_exact",
+            "qa_replay_graph",
+            "qa_replay_lsh",
+            "qa_replay_lsh_ondisk",
+        }:
+            fns, _caches, _root = bench._qa_replay_fns(spark, sf_dir)
             extra.update(fns)
         if "ann_refresh_1pct" in needed:
             fns, _root, _caches = bench._refresh_fns(spark, sf_dir)

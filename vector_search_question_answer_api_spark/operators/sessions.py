@@ -168,6 +168,7 @@ def prepare_qa_events(
     lsh_n_tables: int | None = None,
     lsh_center="auto",
     lsh_artifact: "dict | str | None" = None,
+    lsh_index_path: str | None = None,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
@@ -198,6 +199,18 @@ def prepare_qa_events(
       dict from ``ann.read_lsh_artifact`` or a path to one) supplies
       (dim, n_planes, n_tables, center) wholesale from a persisted
       signature artifact — the index-build-time knobs, paid once.
+      ``lsh_index_path`` goes one step further and serves the CORPUS side
+      from the stored signature table itself (``ann.write_lsh_index`` /
+      ``ann.append_lsh_signatures_batch`` — the table ``maintain_corpus``
+      keeps fresh per ingest batch): the per-replay corpus signature
+      kernel disappears entirely, replaced by a 2-column parquet scan +
+      latest-per-doc log resolution — at 100 TB the corpus is hashed at
+      INGEST time, never per replay.  The path's manifest supplies the
+      knobs; passing a disagreeing ``lsh_artifact`` alongside raises
+      (bit-divergent signatures are the corruption the manifest
+      prevents).  The table must cover the same corpus snapshot as
+      ``index`` — stale signatures miss new docs exactly like any
+      unrefreshed ANN artifact.
     - ``"graph"`` (r7): the reference's OWN index structure — an HNSW
       graph (services/index_service.py:87-96) — served Spark-side: celled
       graphs (one per coarse cell) + the COGROUPED cell-routed walk, so
@@ -252,6 +265,41 @@ def prepare_qa_events(
         # (measured: GC-stalled the sweep JVM).  Callers pass explicit
         # knobs; the default applies ann.recommended_n_planes against the
         # corpus so the per-query candidate budget stays ~4.
+        if lsh_index_path is not None:
+            # Serve candidates from the persisted signature table (the
+            # artifact maintain_corpus refreshes per batch): corpus side =
+            # 2-column scan, query side hashed with the stored manifest —
+            # both sides collide bit-identically by construction.
+            stored_art = ann.read_lsh_artifact(lsh_index_path)
+            if lsh_artifact is not None:
+                given = (
+                    ann.read_lsh_artifact(lsh_artifact)
+                    if isinstance(lsh_artifact, str)
+                    else lsh_artifact
+                )
+                if not ann._artifacts_equal(stored_art, given):
+                    raise ValueError(
+                        "prepare_qa_events: lsh_artifact disagrees with the "
+                        f"manifest stored at {lsh_index_path!r} — the stored "
+                        "signature table wins; drop the conflicting artifact "
+                        "or rebuild the index"
+                    )
+            cand = ann.lsh_candidates_ondisk(
+                index.sparkSession,
+                q,
+                lsh_index_path,
+                index,
+                broadcast_queries=False,
+            )
+            scored = cand.select(
+                "query_id",
+                "doc_id",
+                (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias(
+                    "distance"
+                ),
+            )
+            top1 = topk_per_query(scored, 1)
+            return _attach_candidates(with_vec, top1, index)
         if lsh_artifact is not None:
             # persisted signature artifact: (dim, planes, tables, center)
             # are index-build-time decisions, read back rather than
@@ -342,15 +390,22 @@ def prepare_qa_events(
         top1 = knn_exact_partitioned(q, index, k=1)
     else:
         raise ValueError(f"unknown retrieval strategy {retrieval!r}")
+    return _attach_candidates(with_vec, top1, index)
+
+
+def _attach_candidates(
+    with_vec: DataFrame, top1: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Join each event's k=1 retrieval hit (and the candidate doc's
+    vector) back onto the embedded event relation — an equi-join
+    Catalyst/AQE can broadcast or shuffle as sizes dictate, in place of
+    the r1 driver-side collect of all distinct context vectors (VERDICT
+    r1, What's wrong #3)."""
     hits = top1.select(
         F.col("query_id").alias("event_id"),
         F.col("doc_id").alias("cand_doc_id"),
         F.col("distance").alias("cand_dist"),
     )
-    # Attach the candidate doc's vector to its (single) hit row — an
-    # equi-join Catalyst/AQE can broadcast or shuffle as sizes dictate, in
-    # place of the r1 driver-side collect of all distinct context vectors
-    # (VERDICT r1, What's wrong #3).
     hits_with_vec = hits.join(
         index.select(
             F.col("doc_id").alias("cand_doc_id"),

@@ -102,7 +102,11 @@ def maintain_corpus(
     signatures — hashed with the FIXED stored manifest, like ``codebooks``
     a trained-ahead artifact — append under the ``batch=<id>`` overwrite
     precedent, and ``ann.ann_lsh_topk_ondisk(spark, q, <root>/lsh,
-    read_corpus_index(...))`` serves the always-fresh resolved view.
+    read_corpus_index(...))`` — or the full QA replay via
+    ``replay_sessions(..., retrieval="lsh",
+    lsh_index_path=corpus_lsh_path(root))`` — serves the always-fresh
+    resolved view: the corpus is hashed at ingest time, never per query
+    batch or replay.
     Signatures are map-only per row, the cheapest incremental artifact in
     the engine.  (The manifest stays FIXED for the store's lifetime —
     both sides of every bucket join must hash identically — so it is a
