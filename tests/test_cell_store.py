@@ -685,3 +685,198 @@ def test_live_generations_and_auto_compact_wiring(spark, corpus, tmp_path):
     )
     assert q.awaitTermination(180), "maintenance stream did not finish"
     assert cell_store_live_generations(codes) == 1
+
+
+@pytest.fixture(scope="module")
+def cl_corpus(spark):
+    """(df, cents): 240 points in N_CELLS tight clusters (sigma=0.05
+    around unit centers) with the cluster centers AS the centroid layout
+    — the clustered geometry lossless probe pruning targets (radii ~0.4
+    against inter-centroid chords ~1.4), where a radius-growing upsert
+    is easy to construct."""
+    rng = np.random.RandomState(23)
+    cents = rng.standard_normal((N_CELLS, DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents[np.arange(240) % N_CELLS] + 0.05 * rng.standard_normal(
+        (240, DIM)
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(240)],
+        "doc_id long, norm_embedding array<double>",
+    ).cache()
+    layout = tuple(tuple(float(x) for x in c) for c in cents)
+    yield df, layout
+    df.unpersist()
+
+
+def _far_member_upsert(spark, corpus, cents):
+    """(index_v1, delta, cell, old_r): doc 5's vector replaced by one that
+    STAYS in its cell but lands FARTHER from the centroid than every
+    current member — the upsert that breaks a stale radii sidecar."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+    )
+
+    radii = ann_hnsw.cell_radii(corpus, centroids=cents, dim=DIM)
+    cells = _cells_of(corpus, cents)
+    x = 5
+    c = np.asarray(cents[cells[x]], dtype=np.float64)
+    c_hat = c / np.linalg.norm(c)
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        u = rng.standard_normal(DIM)
+        u -= (u @ c_hat) * c_hat
+        u /= np.linalg.norm(u)
+        for t in (2.0, 1.5, 1.0, 0.7):
+            v = c_hat + t * u
+            v /= np.linalg.norm(v)
+            vv = [float(z) for z in v]
+            got_cell = spark.createDataFrame(
+                [(vv,)], "v array<double>"
+            ).select(assign_cell(F.col("v"), cents).alias("c")).first()["c"]
+            new_r = float(np.linalg.norm(v - c))
+            if int(got_cell) == cells[x] and new_r > radii[cells[x]] + 0.05:
+                delta = spark.createDataFrame(
+                    [(x, vv)], "doc_id long, norm_embedding array<double>"
+                )
+                v1 = corpus.filter(F.col("doc_id") != x).unionByName(delta)
+                return v1, delta, cells[x], radii[cells[x]]
+    raise AssertionError("could not construct a radius-growing upsert")
+
+
+def test_refresh_maintains_radii_sidecar(spark, cl_corpus, tmp_path):
+    """r11: a managed graph store carrying a pruning-radii sidecar keeps
+    it EXACT through per-cell refreshes.  Stale radii are not a freshness
+    bug but a CORRECTNESS bug: an upsert landing farther from its
+    centroid than the stored radius makes the pruned tier's lower bound
+    overstate, silently skipping cells that hold true top-k members.
+    Pins: (a) post-refresh sidecar == cell_radii over the post-upsert
+    corpus exactly (growth via the far upsert AND shrink via the moved
+    doc — tight, not just valid); (b) pruned == unpruned served from the
+    refreshed store with the maintained radii; (c) the stale radii really
+    were too small (the maintenance mattered)."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    corpus, cents = cl_corpus
+    path = str(tmp_path / "graphs")
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+    )
+
+    ids = corpus.select(
+        "doc_id", assign_cell(F.col("norm_embedding"), cents).alias("cell")
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(graphs, path, ids=ids)
+    ann_hnsw.write_cell_radii(
+        path, ann_hnsw.cell_radii(corpus, centroids=cents, dim=DIM)
+    )
+
+    v1, delta, cell, old_r = _far_member_upsert(spark, corpus, cents)
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, v1, delta, centroids=cents, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    fresh = ann_hnsw.cell_radii(v1, centroids=cents, dim=DIM)
+    stored = ann_hnsw.read_cell_radii(path)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(stored, fresh))
+    assert fresh[cell] > old_r  # (c) the stale sidecar undercovered
+
+    q = v1.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    g = ann_hnsw.read_celled_hnsw_index(spark, path)
+
+    def rows(df):
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in df.collect()
+        }
+
+    unpruned = rows(ann_hnsw.celled_hnsw_topk_cogrouped(
+        g, q, centroids=cents, k=3, ef=50, dim=DIM, n_cells=N_CELLS,
+        nprobe=4,
+    ))
+    pruned = rows(ann_hnsw.celled_hnsw_topk_pruned(
+        g, q, stored, centroids=cents, k=3, ef=50, dim=DIM,
+        n_cells=N_CELLS, nprobe=4,
+    ))
+    assert pruned == unpruned and pruned
+
+
+def test_refresh_radii_widen_publish_tighten_crash_window(
+    spark, cl_corpus, tmp_path
+):
+    """r11: a refresh that dies BEFORE the graph publish leaves the radii
+    sidecar at max(old, new) per cell — a valid cover for whichever
+    membership is live — and the checkpoint replay re-tightens to exact.
+    Without the sidecar, refresh behavior is unchanged (skip path)."""
+    import pytest as _pytest
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell,
+    )
+
+    corpus, cents = cl_corpus
+    path = str(tmp_path / "graphs")
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    ids = corpus.select(
+        "doc_id", assign_cell(F.col("norm_embedding"), cents).alias("cell")
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(graphs, path, ids=ids)
+    old = ann_hnsw.cell_radii(corpus, centroids=cents, dim=DIM)
+    ann_hnsw.write_cell_radii(path, old)
+
+    v1, delta, cell, _old_r = _far_member_upsert(spark, corpus, cents)
+
+    def boom():
+        raise RuntimeError("crash before publish")
+
+    with _pytest.raises(RuntimeError, match="crash before publish"):
+        ann_hnsw.refresh_celled_hnsw_index(
+            spark, path, v1, delta, centroids=cents, dim=DIM,
+            n_cells=N_CELLS, backend="numpy", _pre_publish_hook=boom,
+        )
+    fresh = ann_hnsw.cell_radii(v1, centroids=cents, dim=DIM)
+    widened = ann_hnsw.read_cell_radii(path)
+    assert all(
+        abs(w - max(o, n)) < 1e-12 for w, o, n in zip(widened, old, fresh)
+    )
+    # the old store is still live (publish never happened) and the
+    # widened radii still cover it: pruned == unpruned on the OLD graphs
+    q = corpus.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    g = ann_hnsw.read_celled_hnsw_index(spark, path)
+
+    def rows(df):
+        return {
+            (int(r["query_id"]), int(r["rank"])): int(r["doc_id"])
+            for r in df.collect()
+        }
+
+    assert rows(ann_hnsw.celled_hnsw_topk_pruned(
+        g, q, widened, centroids=cents, k=3, ef=50, dim=DIM,
+        n_cells=N_CELLS, nprobe=4,
+    )) == rows(ann_hnsw.celled_hnsw_topk_cogrouped(
+        g, q, centroids=cents, k=3, ef=50, dim=DIM, n_cells=N_CELLS,
+        nprobe=4,
+    ))
+    # the replay (same batch, no crash) converges the sidecar to exact
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, v1, delta, centroids=cents, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    stored = ann_hnsw.read_cell_radii(path)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(stored, fresh))

@@ -55,6 +55,7 @@ def ingested(spark, tmp_path_factory):
         cms_depth=3,
         cms_width=256,
         trigger_once=True,
+        graph_radii=True,
     )
     assert q.awaitTermination(300), "ingest stream did not finish"
     return docs, str(tmp / "corpus"), cbs, cents
@@ -160,6 +161,50 @@ def test_ann_serving_equals_full_rebuild(spark, ingested, tmp_path):
         )
     )
     assert maintained == full and maintained
+    fin.unpersist()
+
+
+def test_ingest_maintains_pruning_radii(spark, ingested):
+    """r11: ``maintain_corpus(graph_radii=True)`` seeds the pruning
+    sidecar at graph-store init and the per-cell refresh keeps it exact —
+    after the two-batch ingest (batch 2 refreshed dirty cells), the
+    stored radii equal ``cell_radii`` over the resolved corpus, and the
+    pruned serving tier equals the unpruned one from the maintained
+    store."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    docs, root, cbs, cents = ingested
+    fin = IG.read_corpus_index(spark, root).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    ).cache()
+    stored = ann_hnsw.read_cell_radii(f"{root}/graphs")
+    fresh = ann_hnsw.cell_radii(fin, centroids=cents, dim=DIM)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(stored, fresh))
+
+    qdf = fin.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    g = ann_hnsw.read_celled_hnsw_index(spark, f"{root}/graphs")
+
+    def rows(df):
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in df.collect()
+        }
+
+    pruned = rows(ann_hnsw.celled_hnsw_topk_pruned(
+        g, qdf, stored, centroids=cents, k=3, ef=50, dim=DIM,
+        n_cells=N_CELLS, nprobe=4,
+    ))
+    unpruned = rows(ann_hnsw.celled_hnsw_topk_cogrouped(
+        g, qdf, centroids=cents, k=3, ef=50, dim=DIM, n_cells=N_CELLS,
+        nprobe=4,
+    ))
+    assert pruned == unpruned and pruned
     fin.unpersist()
 
 

@@ -92,13 +92,15 @@ def main() -> None:
         q.awaitTermination()
 
     out: dict = {"probe": "lsh_ingest_marginal", "sf_dir": sf_dir}
-    batch_written = False
-    for tag, lsh in (("base", False), ("with_lsh", True)):
+    configs = (("base", False), ("with_lsh", True))
+    # bootstrap BOTH configs before the upsert batch lands in src — the
+    # source glob is shared, so a batch written between bootstraps would
+    # be consumed by the later bootstrap and its timed run would no-op
+    for tag, lsh in configs:
+        _run(f"{root}/{tag}_tpl", f"{root}/{tag}_ck_tpl", lsh)
+    batch.coalesce(1).write.parquet(f"{src}/b001")
+    for tag, lsh in configs:
         store_tpl, ck_tpl = f"{root}/{tag}_tpl", f"{root}/{tag}_ck_tpl"
-        _run(store_tpl, ck_tpl, lsh)  # bootstrap the 2000-doc corpus
-        if not batch_written:
-            batch.coalesce(1).write.parquet(f"{src}/b001")
-            batch_written = True
         store, ck = f"{root}/{tag}_store", f"{root}/{tag}_ck"
         runs = []
         for _ in range(5):

@@ -382,7 +382,13 @@ def refresh_celled_hnsw_index(
     only sound for insert-only batches.  The sidecar's dirty cells are
     rewritten AFTER the graph publish, so a crash between the two replays
     with the pre-upsert membership intact.  Driver state stays
-    O(n_cells).  Returns the dirty cells."""
+    O(n_cells).  Returns the dirty cells.
+
+    A store carrying a :func:`write_cell_radii` pruning sidecar (r11) has
+    its dirty cells' radii recomputed and re-published in the same
+    refresh — stale radii are a CORRECTNESS bug for the lossless pruned
+    tier, not a freshness bug (see the inline note) — via
+    widen-publish-tighten so every crash window stays covered."""
     from vector_search_question_answer_api_spark.operators.ivf import assign_cell
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_manifest,
@@ -417,6 +423,47 @@ def refresh_celled_hnsw_index(
     sub = index.filter(
         assign_cell(F.col(vec_col), centroids).isin(dirty)
     )
+    # --- pruning-radii sidecar maintenance (r11) ---
+    # A store carrying a write_cell_radii sidecar serves the LOSSLESS
+    # pruned tier, whose guarantee REQUIRES every stored radius to cover
+    # its cell's members: an upsert that lands a doc farther from its
+    # centroid than the stored radius would silently break losslessness
+    # (a too-small r_j overstates the lower bound and can skip a cell
+    # holding a true top-k member).  So when the sidecar exists, the
+    # dirty cells' radii are recomputed from the SAME post-upsert rows
+    # the graph rebuild reads (one extra hash-agg over the dirty subset)
+    # and merged into the stored tuple.  Crash-window soundness is
+    # widen-publish-tighten: BEFORE the graph publish the sidecar gets
+    # max(old, new) per cell — a valid cover for BOTH the pre- and
+    # post-publish membership, whichever a crashed attempt leaves live —
+    # and the exact merged values (which may SHRINK when a far doc moves
+    # out — tight, not just valid) publish LAST.  A checkpoint replay of
+    # a crashed batch recomputes the same dirty set and re-tightens, so
+    # the widened state never outlives one failed attempt.
+    old_radii = None
+    try:
+        old_radii = read_cell_radii(path)
+    except FileNotFoundError:
+        pass  # no sidecar: the store doesn't serve the pruned tier
+    merged_radii = None
+    if old_radii is not None:
+        if len(old_radii) != len(centroids):
+            raise ValueError(
+                f"radii sidecar has {len(old_radii)} cells for "
+                f"{len(centroids)} centroids — rebuild it with cell_radii "
+                "over this layout"
+            )
+        dirty_set = set(dirty)
+        sub_radii = cell_radii(
+            sub, centroids=centroids, dim=dim, vec_col=vec_col
+        )
+        merged_radii = tuple(
+            sub_radii[j] if j in dirty_set else old_radii[j]
+            for j in range(len(centroids))
+        )
+        write_cell_radii(
+            path, tuple(max(o, n) for o, n in zip(old_radii, merged_radii))
+        )
     graphs = build_celled_hnsw(
         sub, centroids=centroids, dim=dim, n_cells=n_cells, m=m,
         ef_construction=ef_construction, vec_col=vec_col, id_col=id_col,
@@ -439,6 +486,9 @@ def refresh_celled_hnsw_index(
             ).filter(F.col("cell").isin(dirty)),
             dirty,
         )
+    if merged_radii is not None:
+        # tighten LAST (see the widen-publish-tighten note above)
+        write_cell_radii(path, merged_radii)
     return dirty
 
 
@@ -641,7 +691,10 @@ def write_cell_radii(path: str, radii) -> None:
     """Persist :func:`cell_radii` next to a stored graph index — the
     pruning bound is index-SNAPSHOT state exactly like the centroids, so
     it rides an atomic sidecar (the LSH-manifest precedent) rather than
-    being recomputed on a possibly-drifted corpus at query time."""
+    being recomputed on a possibly-drifted corpus at query time.  On a
+    MANAGED store, :func:`refresh_celled_hnsw_index` keeps the sidecar
+    exact through per-cell upserts (r11) — write it once at build time
+    and the maintained radii stay a valid (and tight) cover."""
     import json
     import os
 

@@ -84,6 +84,7 @@ def maintain_corpus(
     chars_hi: float = 4096.0,
     trigger_once: bool = False,
     lsh_artifact: "dict | str | None" = None,
+    graph_radii: bool = False,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -93,6 +94,11 @@ def maintain_corpus(
     managed stores initialize themselves on the first batch (full write
     from the then-resolved index — later batches refresh dirty cells
     only).  The profile and span stores always maintain.
+    ``graph_radii=True`` additionally seeds the graph store's pruning
+    sidecar (``ann_hnsw.write_cell_radii``) at init, after which every
+    per-cell refresh keeps it exact (r11) — the maintained store serves
+    ``celled_hnsw_topk_pruned`` losslessly at any point in its upsert
+    history.
 
     ``lsh_artifact`` (an ``ann.read_lsh_artifact`` dict or its path —
     the same knob every SRP consumer takes) additionally maintains the
@@ -231,6 +237,22 @@ def maintain_corpus(
                         assign_cell,
                     )
 
+                    if graph_radii:
+                        # pruning-radii sidecar BEFORE the graphs manifest
+                        # (the ids-sidecar init-gate precedent): a crash
+                        # between the two leaves no manifest, so the next
+                        # batch re-inits both.  Once present, every later
+                        # refresh keeps the radii exact per dirty cell
+                        # (refresh_celled_hnsw_index, r11) — the
+                        # celled_hnsw_topk_pruned tier can trust a
+                        # maintained store's sidecar at any point in its
+                        # upsert history.
+                        ann_hnsw.write_cell_radii(
+                            graphs_path,
+                            ann_hnsw.cell_radii(
+                                index, centroids=centroids, dim=dim
+                            ),
+                        )
                     ann_hnsw.write_celled_hnsw_index_managed(
                         ann_hnsw.build_celled_hnsw(
                             index, centroids=centroids, dim=dim,
