@@ -337,3 +337,51 @@ def test_replay_embeds_questions_once(spark, sf_dir):
         from vector_search_question_answer_api_spark.caching import unpersist_all
 
         unpersist_all()
+
+
+def test_lsh_ondisk_corpus_side_is_pure_scan(spark, sf_dir, tmp_path):
+    """r11: the stored-signature serving tier's 100 TB contract is
+    PHYSICAL — the corpus side of the bucket join is a parquet scan of
+    the persisted (doc_id, sig) table, never the corpus-wide Arrow
+    signature kernel.  Pin: the executed plan of ``ann_lsh_topk_ondisk``
+    contains exactly ONE ArrowEvalPython (the query-side kernel) and a
+    FileScan over the signatures directory reading only (doc_id, sig);
+    the in-memory tier's plan on the same data carries TWO (both sides
+    hashed per call) — the structural O(corpus)-per-batch difference the
+    bench pair measures."""
+    from vector_search_question_answer_api_spark.functions import vector as V
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize(F.col("embedding"))
+        .cast("array<double>")
+        .alias("norm_embedding"),
+    )
+    path = str(tmp_path / "lsh")
+    ann.write_lsh_index(idx, path, n_planes=6, n_tables=2)
+    q = idx.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    plan = _plan(ann.ann_lsh_topk_ondisk(spark, q, path, idx, k=3))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # identify the signature-table scan by its projected columns (the
+    # Location path can truncate in the plan string): a 2-column
+    # [doc_id, sig] parquet scan
+    import re as _re
+
+    scan_lines = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l
+        and _re.search(r"FileScan parquet \[doc_id#\d+L?,sig#\d+\]", l)
+    ]
+    assert scan_lines, plan
+    art = ann.read_lsh_artifact(path)
+    mem_plan = _plan(ann.ann_lsh_topk(q, idx, k=3, artifact=art))
+    assert mem_plan.count("ArrowEvalPython") == 2, mem_plan
