@@ -1,0 +1,398 @@
+"""Document deletion (r11): tombstones through the index log and every
+artifact the composed ingest maintains — the takedown / right-to-be-
+forgotten path a training-data pipeline legally needs.
+
+Design under test (index_stream.tombstones): a deletion is an ORDINARY
+log row with a NULL embedding.  Resolution drops null-latest docs, a
+later re-insert revives them, compaction removes them physically, and
+the per-batch artifact refreshes (codes / graphs / lsh signatures /
+vector-mean center) converge to the post-delete corpus — each pinned
+against a from-scratch rebuild here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+from vector_search_question_answer_api_spark.streaming import index_stream as IX
+
+DIM, N_CELLS = 64, 8
+
+
+def _vecs(spark, ids, seed=3):
+    rng = np.random.RandomState(seed)
+    pts = rng.standard_normal((max(ids) + 1, DIM))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                i,
+                [float(x) for x in pts[i]],
+                1.0,
+            )
+            for i in ids
+        ],
+        "vec_id long, doc_id long, norm_embedding array<float>, norm double",
+    )
+
+
+def _with_ts_batch(df, base_ms, batch):
+    return df.select(
+        F.timestamp_millis(F.lit(base_ms) + F.col("doc_id")).alias("ts"),
+        "vec_id",
+        "doc_id",
+        "norm_embedding",
+        "norm",
+    ).withColumn("_batch", F.lit(batch))
+
+
+def _ids(spark, ids, ts_ms):
+    return spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).select("doc_id", F.timestamp_millis(F.lit(ts_ms)).alias("ts"))
+
+
+def _log_append(df, path):
+    df.write.mode("append").parquet(os.path.join(path, "log"))
+
+
+def test_tombstone_resolution_revival_and_compaction(spark, tmp_path):
+    """Delete -> gone from read_index_latest; re-insert -> revived;
+    compaction -> physically absent from the new generation; deleting a
+    nonexistent doc is harmless; same-batch same-ts upsert+delete
+    resolves to DELETED (the _latest_order tie rule)."""
+    path = str(tmp_path / "idx")
+    _log_append(_with_ts_batch(_vecs(spark, range(10)), 1_000, 0), path)
+    IX.append_tombstones(_ids(spark, [3, 7, 99], 5_000), path, 1)
+
+    alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
+    assert alive == set(range(10)) - {3, 7}
+
+    # revival: a LATER batch re-inserts doc 3
+    _log_append(_with_ts_batch(_vecs(spark, [3]), 9_000, 2), path)
+    alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
+    assert 3 in alive and 7 not in alive
+
+    # the currently-deleted set reader
+    tombs = {r["doc_id"] for r in IX.read_index_tombstones(spark, path).collect()}
+    assert tombs == {7, 99}
+
+    # same-batch same-ts upsert + delete -> deleted wins the tie
+    _log_append(_with_ts_batch(_vecs(spark, [5]), 20_000 - 5, 3), path)
+    IX.append_tombstones(_ids(spark, [5], 20_000), path, 3)
+    alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
+    assert 5 not in alive
+
+    # compaction removes deleted docs physically: the new generation's
+    # raw parquet holds no row for them
+    IX.compact_index(spark, path)
+    gen = [d for d in os.listdir(path) if d.startswith(".gen-")]
+    assert len(gen) == 1
+    raw = spark.read.parquet(os.path.join(path, gen[0]))
+    gone = {r["doc_id"] for r in raw.select("doc_id").collect()}
+    assert gone == set(range(10)) - {5, 7}
+    # post-compaction view identical; re-insert after compaction revives
+    alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
+    assert alive == gone
+    _log_append(_with_ts_batch(_vecs(spark, [7]), 30_000, 4), path)
+    assert 7 in {
+        r["doc_id"] for r in IX.read_index_latest(spark, path).collect()
+    }
+
+
+def test_delete_refreshes_ann_stores_to_post_delete_rebuild(spark, tmp_path):
+    """The per-batch artifact refresh with a tombstone batch: both managed
+    stores (codes + graphs, via refresh_search_artifacts_batch) serve
+    exactly what a from-scratch build over the post-delete corpus serves —
+    the deleted doc is unreachable through every tier."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import assign_cell
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+        ivfpq_topk_ondisk,
+        write_ivfpq_index_managed,
+    )
+    from vector_search_question_answer_api_spark.streaming import (
+        ann_maintain,
+    )
+
+    root = str(tmp_path / "root")
+    idx_path, codes, graphs = f"{root}/index", f"{root}/codes", f"{root}/graphs"
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+
+    base = _with_ts_batch(_vecs(spark, range(60)), 1_000, 0)
+    _log_append(base, idx_path)
+    index0 = IX.read_index_latest(spark, idx_path)
+    write_ivfpq_index_managed(
+        index0, codes, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(
+        ann_hnsw.build_celled_hnsw(
+            index0, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        ),
+        graphs,
+        ids=index0.select(
+            "doc_id", assign_cell(F.col("norm_embedding"), cents).alias("cell")
+        ),
+    )
+
+    # tombstone batch for docs 0 and 41 through the shared refresh step
+    dels = IX.tombstones(_ids(spark, [0, 41], 5_000))
+    ann_maintain.refresh_search_artifacts_batch(
+        dels, 1, path=idx_path, codebooks=cbs, codes_path=codes,
+        graphs_path=graphs, centroids=cents, dim=DIM, n_cells=N_CELLS,
+        backend="numpy",
+    )
+    fin = IX.read_index_latest(spark, idx_path).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    ).persist()
+    assert {0, 41}.isdisjoint(
+        {r["doc_id"] for r in fin.select("doc_id").collect()}
+    )
+    q = fin.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def code_rows(p):
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in ivfpq_topk_ondisk(
+                spark, q, p, fin, cbs, centroids=cents, k=5, dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS, refine=8,
+            ).collect()
+        }
+
+    fresh_codes = f"{root}/fresh_codes"
+    write_ivfpq_index_managed(
+        fin, fresh_codes, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+    got = code_rows(codes)
+    assert got == code_rows(fresh_codes) and got
+    assert all(doc not in (0, 41) for doc, _ in got.values())
+
+    n = fin.count()
+
+    def graph_rows(g):
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            ).collect()
+        }
+
+    maintained = graph_rows(ann_hnsw.read_celled_hnsw_index(spark, graphs))
+    full = graph_rows(
+        ann_hnsw.build_celled_hnsw(
+            fin, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        )
+    )
+    assert maintained == full and maintained
+    assert all(doc not in (0, 41) for doc, _ in maintained.values())
+    fin.unpersist()
+
+
+def test_delete_drops_doc_from_lsh_signature_store(spark, tmp_path):
+    """A tombstone batch through append_lsh_signatures_batch removes the
+    doc from the resolved signature view (sig=NULL marker wins the
+    latest-batch resolution); on-disk serving equals a fresh rebuild on
+    the post-delete corpus, and a later re-insert revives the doc."""
+    from vector_search_question_answer_api_spark.operators import ann
+
+    path = str(tmp_path / "lsh")
+    idx = _vecs(spark, range(40)).select(
+        "doc_id", F.col("norm_embedding").cast("array<double>").alias(
+            "norm_embedding"
+        )
+    )
+    ann.write_lsh_index(idx, path, n_planes=6, n_tables=4)
+    art = ann.read_lsh_artifact(path)
+
+    tomb = spark.createDataFrame(
+        [(7, None), (23, None)],
+        "doc_id long, norm_embedding array<double>",
+    ).select(
+        "doc_id",
+        "norm_embedding",
+        F.timestamp_millis(F.lit(5_000)).alias("ts"),
+    )
+    ann.append_lsh_signatures_batch(tomb, path, 1, art)
+    resolved = {
+        r["doc_id"]
+        for r in ann.read_lsh_signatures(spark, path).select("doc_id")
+        .distinct().collect()
+    }
+    assert {7, 23}.isdisjoint(resolved) and resolved
+
+    post = idx.filter(~F.col("doc_id").isin(7, 23))
+    q = post.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def rel(p):
+        return {
+            (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
+            for r in ann.ann_lsh_topk_ondisk(spark, q, p, post, k=5).collect()
+        }
+
+    fresh = str(tmp_path / "fresh")
+    ann.write_lsh_index(
+        post, fresh, n_planes=art["n_planes"], n_tables=art["n_tables"],
+        center=art["center"],
+    )
+    got = rel(path)
+    assert got == rel(fresh) and got
+
+    # revival: a later batch re-inserts doc 7's signatures
+    revive = idx.filter(F.col("doc_id") == 7).select(
+        "doc_id",
+        "norm_embedding",
+        F.timestamp_millis(F.lit(9_000)).alias("ts"),
+    )
+    ann.append_lsh_signatures_batch(revive, path, 2, art)
+    resolved = {
+        r["doc_id"]
+        for r in ann.read_lsh_signatures(spark, path).select("doc_id")
+        .distinct().collect()
+    }
+    assert 7 in resolved and 23 not in resolved
+
+
+def test_ingest_delete_batch_end_to_end(spark, tmp_path):
+    """maintain_corpus with a `_delete` micro-batch: the resolved index,
+    both managed ANN stores, the lsh signature store, the maintained
+    center, and (via exclude_deleted) span reads all drop the doc; the
+    maintained radii sidecar equals a fresh recompute on the post-delete
+    corpus."""
+    from vector_search_question_answer_api_spark.operators import ann, ann_hnsw
+    from vector_search_question_answer_api_spark.operators.pq import codebook_grid
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming import (
+        ingest_stream as IG,
+        stats_stream as STS,
+    )
+
+    tmp = str(tmp_path)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    docs.coalesce(1).write.parquet(f"{tmp}/src/b0")
+    # batch 1: delete every doc_id % 7 == 0 (ts later than every insert)
+    dels = docs.filter("doc_id % 7 = 0").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000 + 10_000_000).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    dels.coalesce(1).write.parquet(f"{tmp}/src/b1")
+
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    art_src = f"{tmp}/art"
+    n0 = docs.count()
+    ann.write_lsh_artifact(
+        art_src, dim=DIM, n_planes=ann.recommended_n_planes(n0), center=None
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    root = f"{tmp}/corpus"
+    q = IG.maintain_corpus(
+        stream,
+        root,
+        checkpoint=f"{tmp}/ckpt",
+        codebooks=cbs,
+        ann_graphs=True,
+        centroids=cents,
+        dim=DIM,
+        n_cells=N_CELLS,
+        backend="numpy",
+        trigger_once=True,
+        lsh_artifact=art_src,
+        graph_radii=True,
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+
+    deleted = {int(r["doc_id"]) for r in dels.select("doc_id").collect()}
+    fin = IG.read_corpus_index(spark, root).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    ).persist()
+    alive = {int(r["doc_id"]) for r in fin.select("doc_id").collect()}
+    assert alive.isdisjoint(deleted) and len(alive) == n0 - len(deleted)
+
+    # lsh store resolves without the deleted docs
+    sig_docs = {
+        int(r["doc_id"])
+        for r in ann.read_lsh_signatures(spark, IG.corpus_lsh_path(root))
+        .select("doc_id").distinct().collect()
+    }
+    assert sig_docs == alive
+
+    # maintained center == corpus_center over the post-delete resolved view
+    got_center = STS.read_profile_center(spark, f"{root}/profile")
+    want_center = ann.corpus_center(fin, dim=DIM)
+    assert max(
+        abs(a - b) for a, b in zip(got_center, want_center)
+    ) < 1e-9
+
+    # graph serving == post-delete rebuild; radii sidecar exact
+    qdf = fin.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+    n = fin.count()
+
+    def rows(g):
+        return {
+            (int(r["query_id"]), int(r["rank"])): int(r["doc_id"])
+            for r in ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, qdf, centroids=cents, k=5, ef=int(n), dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            ).collect()
+        }
+
+    maintained = rows(ann_hnsw.read_celled_hnsw_index(spark, f"{root}/graphs"))
+    full = rows(
+        ann_hnsw.build_celled_hnsw(
+            fin, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        )
+    )
+    assert maintained == full and maintained
+    assert all(d not in deleted for d in maintained.values())
+    stored_radii = ann_hnsw.read_cell_radii(f"{root}/graphs")
+    fresh_radii = ann_hnsw.cell_radii(fin, centroids=cents, dim=DIM)
+    assert all(
+        abs(a - b) < 1e-9 for a, b in zip(stored_radii, fresh_radii)
+    )
+
+    # span reads exclude deleted docs
+    span_docs = {
+        int(r["doc_id"])
+        for r in IG.read_corpus_spans(
+            spark, root, k=8, exclude_deleted=True
+        ).collect()
+    }
+    assert span_docs.isdisjoint(deleted)
+    fin.unpersist()

@@ -644,14 +644,26 @@ def append_lsh_signatures_batch(
     if "_ts" in batch.columns:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("doc_id").orderBy(F.col("_ts").desc())
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_ts").desc(), F.col("v").isNotNull().asc()
+        )
         batch = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("doc_id", "v")
         )
-    sigs = signatures_from_artifact(batch, "v", art).select(
-        "doc_id", F.explode("lsh_sigs").alias("sig")
+    # tombstone rows (null vector = deletion, index_stream.tombstones)
+    # write ONE (doc_id, sig=NULL) marker row: it wins the latest-batch
+    # resolution in read_lsh_signatures, which then drops null-sig rows —
+    # the doc vanishes from the bucket join until a later batch revives it
+    alive = batch.filter(F.col("v").isNotNull())
+    dels = batch.filter(F.col("v").isNull()).select(
+        "doc_id", F.lit(None).cast("string").alias("sig")
+    )
+    sigs = (
+        signatures_from_artifact(alive, "v", art)
+        .select("doc_id", F.explode("lsh_sigs").alias("sig"))
+        .unionByName(dels)
     )
     sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(
         os.path.join(path, _LSH_SIG_LOG, f"batch={int(batch_id)}")
@@ -696,6 +708,9 @@ def read_lsh_signatures(spark, path: str) -> DataFrame:
     return (
         u.withColumn("_mx", F.max("_batch").over(w))
         .filter(F.col("_batch") == F.col("_mx"))
+        # a doc whose newest batch is a deletion marker (sig=NULL,
+        # append_lsh_signatures_batch on a tombstone row) is dropped here
+        .filter(F.col("sig").isNotNull())
         .select("doc_id", "sig")
     )
 

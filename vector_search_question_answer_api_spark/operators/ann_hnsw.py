@@ -399,7 +399,10 @@ def refresh_celled_hnsw_index(
     centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
 
     def cells_of(df):
-        return df.select(
+        # tombstone rows (null vector = deletion, index_stream.tombstones)
+        # have no NEW cell; their doc_ids still reach the sidecar old-cell
+        # lookup, so the deleted doc's cell is rebuilt without it
+        return df.filter(F.col(vec_col).isNotNull()).select(
             assign_cell(F.col(vec_col), centroids).alias("cell")
         )
 

@@ -574,7 +574,11 @@ def refresh_ivfpq_index(
     # union'd and distinct'd Spark-side before the single bounded collect
     # (≤ n_cells rows).
     ids = delta.select(F.col(index_id_col).alias("doc_id")).distinct()
-    new_cells = delta.select(
+    # tombstone rows (null vector = deletion, index_stream.tombstones)
+    # contribute no NEW cell; their doc_ids still drive the old-cell
+    # lookup below, so the deleted doc's current cell is re-encoded from
+    # the post-delete resolved view — without the row
+    new_cells = delta.filter(F.col(index_vec_col).isNotNull()).select(
         assign_cell(F.col(index_vec_col), centroids).alias("cell")
     )
     old_cells = (

@@ -19,6 +19,10 @@ INCREMENTALLY as documents arrive:
   (current generation ∪ log) picks the newest version of every ``doc_id``
   (ties broken by batch id, then event time; compacted rows carry
   ``_batch = -1`` so any later log row wins);
+- :func:`tombstones` / :func:`append_tombstones` — DELETION as a normal
+  log row with a NULL embedding (r11): resolution drops null-latest docs,
+  re-inserts revive, compaction removes them physically — takedown/PII
+  deletion with zero extra machinery;
 - :func:`compact_index` — folds the resolved view into a NEW generation
   directory with the layout writer (``sources/compaction.compact_write``),
   atomically repoints ``<path>/MANIFEST`` (``os.replace``), and RETIRES
@@ -100,12 +104,19 @@ def _log_files(path: str) -> list[str]:
 def _latest_order(cols) -> list:
     """Newest-first ordering available in this relation: (batch, event
     time) for log rows, event time alone for pre-batch rows, doc_id as the
-    degenerate order for a plain one-row-per-doc ``save_index`` artifact."""
+    degenerate order for a plain one-row-per-doc ``save_index`` artifact.
+    Within one (batch, ts) a TOMBSTONE (null embedding) sorts first —
+    an upsert and a delete of the same doc carrying identical timestamps
+    resolve deterministically to DELETED (callers should still stamp
+    deletes with their own event time; this is the tie rule, not the
+    ordering)."""
     order = []
     if "_batch" in cols:
         order.append(F.col("_batch").desc())
     if "ts" in cols:
         order.append(F.col("ts").desc())
+    if "norm_embedding" in cols:
+        order.append(F.col("norm_embedding").isNotNull().asc())
     return order or [F.col("doc_id")]
 
 def index_stream(
@@ -139,6 +150,60 @@ def index_stream(
         .cast("array<float>")
         .alias("norm_embedding"),
         V.l2_norm(F.col("embedding")).alias("norm"),
+    )
+
+
+def tombstones(
+    ids: DataFrame, id_col: str = "doc_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Deletion markers as ORDINARY index rows (r11): the ``index_stream``
+    relation with a NULL embedding — ``(ts, vec_id, doc_id,
+    norm_embedding=NULL, norm=NULL)``.  A tombstone rides the existing
+    log/append/resolution machinery unchanged (no schema change, no side
+    table): when it is a doc's newest version the read views drop the doc
+    (``read_index_latest`` filters null-embedding rows AFTER the
+    latest-wins window), a LATER re-insert revives it, and
+    ``compact_index`` physically removes it — the fold simply omits
+    null-latest docs, making compaction the right-to-be-forgotten step.
+    ``ids`` must carry the deletion EVENT TIME in ``ts_col`` (ties
+    against a same-batch same-ts upsert resolve to deleted — see
+    ``_latest_order``)."""
+    return ids.select(
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("vec_id"),
+        F.col(id_col).alias("doc_id"),
+        F.lit(None).cast("array<float>").alias("norm_embedding"),
+        F.lit(None).cast("double").alias("norm"),
+    )
+
+
+def append_tombstones(ids: DataFrame, path: str, batch_id: int) -> None:
+    """One-shot batch deletion: append :func:`tombstones` rows to the
+    index log under the given batch id (the ``maintain_index`` append,
+    callable outside a stream).  Idempotence matches the log contract:
+    duplicate appends of the same rows resolve identically."""
+    (
+        tombstones(ids)
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("append")
+        .parquet(os.path.join(path, "log"))
+    )
+
+
+def read_index_tombstones(spark: SparkSession, path: str) -> DataFrame:
+    """``(doc_id)`` of docs whose NEWEST log row is a tombstone — the
+    currently-deleted set.  Same one-window cost as the latest view; used
+    by read surfaces that serve doc-keyed artifacts not rebuilt from the
+    resolved index (e.g. span-store reads)."""
+    log = _raw_log(spark, path)
+    if log is None:
+        raise FileNotFoundError(f"no index at {path}")
+    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("norm_embedding").isNull())
+        .select("doc_id")
     )
 
 
@@ -205,7 +270,9 @@ def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     """The resolved index view: newest row per doc_id (by batch id, then
     event time) — same columns as ``build_index``.  Costs one
     window-with-limit over generation ∪ log; a freshly compacted index
-    (one generation, one row per doc, empty log) resolves to itself."""
+    (one generation, one row per doc, empty log) resolves to itself.
+    Docs whose newest row is a :func:`tombstones` marker are DROPPED —
+    deletion is resolution, same as every upsert."""
     log = _raw_log(spark, path)
     if log is None:
         raise FileNotFoundError(f"no index at {path}")
@@ -213,6 +280,7 @@ def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .filter(F.col("norm_embedding").isNotNull())
         .select("vec_id", "doc_id", "norm_embedding", "norm")
     )
 
@@ -244,6 +312,7 @@ def read_index_before_batch(
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .filter(F.col("norm_embedding").isNotNull())
         .select("vec_id", "doc_id", "norm_embedding", "norm")
     )
 
@@ -323,6 +392,10 @@ def compact_index(
     latest = (
         raw.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        # tombstone-latest docs are OMITTED from the fold: compaction is
+        # where deletion becomes physical (the grace-period sweep then
+        # removes the last log files carrying the doc's bytes)
+        .filter(F.col("norm_embedding").isNotNull())
         .select("vec_id", "doc_id", "norm_embedding", "norm")
         .withColumn("ts", F.current_timestamp())
         .withColumn("_batch", F.lit(-1))

@@ -266,13 +266,29 @@ def corpus_spans_from_store(
     k: int = SPN.DEFAULT_K,
     keep_first: bool = True,
     max_gram_freq: int | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, span_start, span_end, n_tokens)`` over the WHOLE stored
     corpus — identical output to ``operators/spans.duplicate_spans`` on
     the unioned documents (pinned in tests), but reading materialized
     occurrences + merged aggs instead of re-tokenizing raw text: the
-    per-snapshot cost drops to the two hash-shuffles."""
+    per-snapshot cost drops to the two hash-shuffles.
+
+    ``exclude_docs`` (``(doc_id)`` rows, e.g.
+    ``index_stream.read_index_tombstones`` — r11 deletion support) drops
+    those docs' occurrences before the span merge, so no DELETED doc ever
+    emits a span.  Semantics are stated honestly: the merged gram AGGS
+    still count the excluded docs' occurrences (CMS-style counts are not
+    decrementable row-at-a-time), so a surviving doc's span stays marked
+    duplicated even when its only twin was deleted — conservative for
+    every decontamination use, exact again after a store rebuild."""
     occ = read_occurrences(spark, path)
+    if exclude_docs is not None:
+        occ = occ.join(
+            F.broadcast(exclude_docs.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
     agg = read_gram_aggs(spark, path)
     dup = agg.filter(F.col("n_occ") >= 2)
     if max_gram_freq is not None:
