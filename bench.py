@@ -758,6 +758,139 @@ def _ingest_fns(spark, sf_dir):
     return {"ingest_batch": ingest_batch}, {"ingest_batch": _restore}, root
 
 
+def _ingest_delete_fns(spark, sf_dir):
+    """r11 bench entry: ONE composed-ingest DELETION micro-batch — the
+    takedown / right-to-be-forgotten path (index_stream.tombstones via a
+    ``_delete`` stream column) — through the FULL maintain_corpus fan-out
+    (index log + both managed ANN refreshes + lsh signature store +
+    maintained radii + vecmean correction) at a pinned profile: 50
+    deletions against the same 2000-doc standing corpus the
+    ``ingest_batch`` entry uses.  Its own fixture root (the upsert
+    entry's snapshot profile stays untouched for cross-round
+    comparability); snapshot-restored per attempt like ``ingest_batch``.
+    One-time pin: the post-delete resolved index excludes the 50 and the
+    graph store serves exactly what a post-delete rebuild serves.
+    Deletion should be the CHEAPEST batch in the system: id-sized log
+    append + |dirty|/n_cells refresh, zero vectors embedded.  Returns
+    (fns, pre_run hooks, cleanup root)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.operators.ivf import centroid_grid
+    from vector_search_question_answer_api_spark.operators.pq import codebook_grid
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming import (
+        ingest_stream as IG,
+    )
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_ingest_del_")
+    src = f"{root}/src"
+    os.makedirs(src, exist_ok=True)
+    N_CELLS, DIM = 16, 64
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    schema = docs.schema
+    initial = docs.filter(F.col("doc_id") < 2000)
+    dels = initial.filter(F.col("doc_id") % 40 == 0).select(
+        "doc_id",
+        F.timestamp_millis(F.lit(10_000_000)).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    initial.coalesce(1).write.parquet(f"{src}/b000")
+    n0 = initial.count()  # sf-dependent: smaller SFs hold < 2000 docs
+    art_src = f"{root}/art"
+    ann.write_lsh_artifact(
+        art_src, dim=DIM, n_planes=ann.recommended_n_planes(n0), center=None
+    )
+
+    def _run(store, ck):
+        q = IG.maintain_corpus(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*"),
+            store,
+            checkpoint=ck,
+            codebooks=cbs,
+            ann_graphs=True,
+            centroids=cents,
+            dim=DIM,
+            n_cells=N_CELLS,
+            trigger_once=True,
+            lsh_artifact=art_src,
+            graph_radii=True,
+        )
+        q.awaitTermination()
+
+    store_tpl, ck_tpl = f"{root}/store_tpl", f"{root}/ck_tpl"
+    _run(store_tpl, ck_tpl)  # bootstrap the 2000-doc corpus
+    dels.coalesce(1).write.parquet(f"{src}/b001")  # pending deletion batch
+
+    store, ck = f"{root}/store", f"{root}/ck"
+
+    def _restore():
+        for tpl, dst in ((store_tpl, store), (ck_tpl, ck)):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(tpl, dst)
+
+    def ingest_delete_batch(spark, sf_dir):
+        _run(store, ck)  # processes exactly the pending 50-deletion batch
+        return spark.range(1)
+
+    # one-time pin: resolved index excludes the deletions; graph serving
+    # == post-delete rebuild
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    _restore()
+    ingest_delete_batch(spark, sf_dir)
+    deleted = {int(r["doc_id"]) for r in dels.select("doc_id").collect()}
+    fin = IG.read_corpus_index(spark, store).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    ).persist()
+    alive = {int(r["doc_id"]) for r in fin.select("doc_id").collect()}
+    assert alive.isdisjoint(deleted) and len(alive) == n0 - len(deleted)
+    qd = fin.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+    def _rows(g):
+        return {
+            (int(r["query_id"]), int(r["rank"])): int(r["doc_id"])
+            for r in ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, qd, centroids=cents, k=5, ef=200, dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            ).collect()
+        }
+
+    got = _rows(ann_hnsw.read_celled_hnsw_index(spark, f"{store}/graphs"))
+    want = _rows(
+        ann_hnsw.build_celled_hnsw(
+            fin, centroids=cents, dim=DIM, n_cells=N_CELLS
+        )
+    )
+    assert got == want and got, "post-delete graph store != rebuild"
+    fin.unpersist()
+
+    return (
+        {"ingest_delete_batch": ingest_delete_batch},
+        {"ingest_delete_batch": _restore},
+        root,
+    )
+
+
 def _replay_exact_cross_process(m: int = 3) -> dict | None:
     """Cross-process certification for ``qa_replay_exact`` (VERDICT r10
     wrong #1 / next #2): the entry is LEVEL-UNSTABLE across processes
@@ -946,6 +1079,12 @@ def main() -> None:
         cleanup_roots.append(root)
         return fns
 
+    def _setup_ingest_del():
+        fns, hooks, root = _ingest_delete_fns(spark, sf_dir)
+        pre_run.update(hooks)
+        cleanup_roots.append(root)
+        return fns
+
     def _setup_lsh():
         fns, root, caches = _lsh_ondisk_fns(spark, sf_dir)
         cleanup_roots.append(root)
@@ -960,6 +1099,7 @@ def main() -> None:
         "ann_refresh_1pct": ("refresh", _setup_refresh),
         "span_contamination": ("span", _setup_span),
         "ingest_batch": ("ingest", _setup_ingest),
+        "ingest_delete_batch": ("ingest_del", _setup_ingest_del),
         "ann_lsh_mem": ("lsh_ondisk", _setup_lsh),
         "ann_lsh_ondisk": ("lsh_ondisk", _setup_lsh),
     }

@@ -67,6 +67,10 @@ def main() -> None:
         }:
             fns, _graphs = bench._hnsw_fn(spark, sf_dir)
             extra.update(fns)
+        if "ingest_delete_batch" in needed:
+            fns, hooks, _root = bench._ingest_delete_fns(spark, sf_dir)
+            extra.update(fns)
+            pre_run.update(hooks)
         if "ann_ivfpq_ondisk" in needed:
             fns, _root = bench._ivfpq_ondisk_fn(spark, sf_dir)
             extra.update(fns)
