@@ -395,4 +395,22 @@ def test_ingest_delete_batch_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert span_docs.isdisjoint(deleted)
+
+    # right-to-be-forgotten span compaction: after purge_corpus_spans the
+    # store is EXACT over the post-delete corpus with no exclude flag
+    from vector_search_question_answer_api_spark.operators import spans as SP
+
+    IG.purge_corpus_spans(spark, root)
+    alive_docs = docs.filter(~F.col("doc_id").isin(*deleted)).select(
+        "doc_id", "text"
+    )
+    got_spans = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+        for r in IG.read_corpus_spans(spark, root, k=8).collect()
+    }
+    want_spans = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]))
+        for r in SP.duplicate_spans(alive_docs, k=8).collect()
+    }
+    assert got_spans == want_spans
     fin.unpersist()

@@ -450,3 +450,129 @@ class TestSpanStore:
         got = _spark_spans(ST.corpus_spans_from_store(spark, path, k=8))
         want = _spark_spans(SP.duplicate_spans(d, k=8))
         assert got == want and got
+
+
+class TestSpanPurge:
+    """r11: purge_deleted_spans — the span store's right-to-be-forgotten
+    compaction.  After a purge, span semantics are EXACT over the
+    post-delete corpus (aggs rebuilt from purged occurrences, not merely
+    read-filtered) and the deleted docs' occurrence rows are physically
+    out of the live store."""
+
+    def _docs(self, spark):
+        return load_table(spark, SF, "documents").select("doc_id", "text")
+
+    def _fill(self, spark, path, parts=3):
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        d = self._docs(spark)
+        for b in range(parts):
+            ST.append_span_batch(
+                d.filter(F.col("doc_id") % parts == b), str(path), b, k=8
+            )
+        return d
+
+    def _deleted(self, spark, d):
+        return d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def test_purge_makes_spans_exact_post_delete(self, spark, tmp_path):
+        import os
+
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        store = str(tmp_path / "store")
+        d = self._fill(spark, store)
+        dels = self._deleted(spark, d)
+        alive = d.join(dels, "doc_id", "left_anti")
+
+        ST.purge_deleted_spans(spark, store, dels)
+        # EXACT equality with the one-shot operator over the post-delete
+        # corpus — no exclude filter, no conservative slack: the aggs were
+        # rebuilt, so a surviving doc whose only twin was deleted is no
+        # longer marked
+        got = _spark_spans(ST.corpus_spans_from_store(spark, store, k=8))
+        want = _spark_spans(SP.duplicate_spans(alive, k=8))
+        assert got == want and got
+        # physical: the live occurrence dirs hold NO rows for deleted docs
+        man = ST._agg_manifest(os.path.join(store, "occ"))
+        assert man is not None and man["live"] == ["batch=purged-000000"]
+        deleted_ids = {int(r["doc_id"]) for r in dels.collect()}
+        live_docs = {
+            int(r["doc_id"])
+            for r in spark.read.parquet(
+                os.path.join(store, "occ", man["live"][0])
+            ).select("doc_id").distinct().collect()
+        }
+        assert live_docs.isdisjoint(deleted_ids)
+        # retired (grace): the old dirs still exist until the next purge
+        for dd in man["retired"]:
+            assert os.path.isdir(os.path.join(store, "occ", dd))
+
+    def test_purge_then_append_then_second_purge(self, spark, tmp_path):
+        import os
+
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        store = str(tmp_path / "store")
+        d = self._fill(spark, store)
+        dels = self._deleted(spark, d)
+        ST.purge_deleted_spans(spark, store, dels)
+        old_retired = ST._agg_manifest(os.path.join(store, "occ"))["retired"]
+
+        # appends after a purge are occ-manifest-aware: re-add every
+        # deleted doc in a fresh batch, and the store must equal the
+        # one-shot over the original corpus again
+        ST.append_span_batch(
+            d.join(dels, "doc_id", "left_semi"), store, 77, k=8
+        )
+        got = _spark_spans(ST.corpus_spans_from_store(spark, store, k=8))
+        assert got == _spark_spans(SP.duplicate_spans(d, k=8))
+
+        # second purge (empty delete set): grace-deletes the first purge's
+        # retired dirs and keeps serving the same relation
+        empty = dels.limit(0)
+        ST.purge_deleted_spans(spark, store, empty)
+        for dd in old_retired:
+            assert not os.path.exists(os.path.join(store, "occ", dd))
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == got
+
+    def test_purge_crash_window_serves_old_view(self, spark, tmp_path):
+        from vector_search_question_answer_api_spark.streaming import (
+            span_stream as ST,
+        )
+
+        store = str(tmp_path / "store")
+        d = self._fill(spark, store)
+        dels = self._deleted(spark, d)
+        before = _spark_spans(ST.corpus_spans_from_store(spark, store, k=8))
+        seen: dict = {}
+
+        def probe():
+            seen["spans"] = _spark_spans(
+                ST.corpus_spans_from_store(spark, store, k=8)
+            )
+            raise RuntimeError("crash before occ publish")
+
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash before occ publish"):
+            ST.purge_deleted_spans(spark, store, dels, _pre_publish_hook=probe)
+        # mid-window and post-crash readers both see the complete OLD view
+        assert seen["spans"] == before
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == before
+        # the retried purge sweeps the orphan and converges
+        ST.purge_deleted_spans(spark, store, dels)
+        alive = d.join(dels, "doc_id", "left_anti")
+        assert _spark_spans(
+            ST.corpus_spans_from_store(spark, store, k=8)
+        ) == _spark_spans(SP.duplicate_spans(alive, k=8))

@@ -110,7 +110,8 @@ def maintain_corpus(
     the CMS/HLL/histogram profile sketches are not decrementable and keep
     counting deleted content until rebuilt; span reads exclude deleted
     docs via ``read_corpus_spans(exclude_deleted=True)`` with
-    conservative gram-agg semantics (see ``corpus_spans_from_store``).
+    conservative gram-agg semantics until :func:`purge_corpus_spans`
+    (quiesced) makes the span store exact and physically purged.
 
     ``lsh_artifact`` (an ``ann.read_lsh_artifact`` dict or its path —
     the same knob every SRP consumer takes) additionally maintains the
@@ -392,6 +393,20 @@ def corpus_lsh_path(root: str) -> str:
     ``ann.ann_lsh_topk_ondisk`` / ``ann.read_lsh_signatures`` (with
     :func:`read_corpus_index` as the deferred-fetch vector side)."""
     return _subpaths(root)["lsh"]
+
+
+def purge_corpus_spans(spark: SparkSession, root: str) -> None:
+    """Right-to-be-forgotten compaction for the ingested span store:
+    :func:`span_stream.purge_deleted_spans` against the index log's
+    currently-tombstoned docs.  QUIESCED operation — run with the ingest
+    stream stopped (the compaction protocol).  Afterwards span reads are
+    EXACT over the post-delete corpus with no ``exclude_deleted`` flag
+    needed, and the deleted docs' occurrence bytes are physically gone
+    after the next purge's grace sweep."""
+    p = _subpaths(root)
+    SPS.purge_deleted_spans(
+        spark, p["spans"], IX.read_index_tombstones(spark, p["index"])
+    )
 
 
 def read_corpus_spans(

@@ -118,6 +118,16 @@ def append_span_batch(
     sub = f"batch={int(batch_id)}"
     occ = SPN.token_gram_occurrences(batch_df, k, text_col)
     occ.write.mode("overwrite").parquet(os.path.join(path, "occ", sub))
+    # a store that has been purged (purge_deleted_spans) is occ-manifest-
+    # driven: register the new dir so readers see it (same retired guard
+    # as the agg side — a replay of a purged-away batch stays invisible
+    # and is swept by the next purge)
+    occ_dir = os.path.join(path, "occ")
+    occ_man = _agg_manifest(occ_dir)
+    if occ_man is not None:
+        live_o, ret_o = occ_man["live"], occ_man["retired"]
+        if sub not in ret_o and sub not in live_o:
+            _agg_publish(occ_dir, live_o + [sub], ret_o)
     # read back the materialized batch rows rather than recomputing the
     # gram transform for the agg (one tokenize pass per batch, as promised)
     spark = batch_df.sparkSession
@@ -167,10 +177,18 @@ def maintain_span_store(
 
 
 def read_occurrences(spark: SparkSession, path: str) -> DataFrame:
-    """All stored occurrence rows (columnar, already hashed)."""
-    return spark.read.parquet(os.path.join(path, "occ")).select(
-        "doc_id", "pos", "h1", "h2"
+    """All stored occurrence rows (columnar, already hashed).  A store
+    that has been through :func:`purge_deleted_spans` carries an occ-side
+    manifest and reads exactly its live dirs; a legacy store reads the
+    whole directory glob."""
+    occ_dir = os.path.join(path, "occ")
+    man = _agg_manifest(occ_dir)
+    src = (
+        [os.path.join(occ_dir, d) for d in sorted(man["live"])]
+        if man is not None
+        else [occ_dir]
     )
+    return spark.read.parquet(*src).select("doc_id", "pos", "h1", "h2")
 
 
 def read_gram_aggs(spark: SparkSession, path: str) -> DataFrame:
@@ -258,6 +276,119 @@ def compact_gram_store(
         _pre_publish_hook()
     # step 3: atomic manifest swap; superseded deltas go to retired
     _agg_publish(agg_dir, [dest_name], live)
+
+
+def purge_deleted_spans(
+    spark: SparkSession,
+    path: str,
+    exclude_docs: DataFrame,
+    _pre_publish_hook=None,
+) -> None:
+    """Right-to-be-forgotten compaction for the span store (r11): rewrite
+    the occurrence store WITHOUT ``exclude_docs``'s rows and rebuild the
+    gram aggregate EXACTLY from the purged occurrences — after this, span
+    semantics equal ``duplicate_spans`` over the post-delete corpus (the
+    read-time ``exclude_docs`` filter is then belt-and-braces, and the
+    deleted docs' BYTES are physically gone once the next purge's grace
+    sweep runs).
+
+    QUIESCED operation, like every compaction here: run it with the span
+    stream stopped (the documented compaction protocol) — a concurrently
+    appending batch could land between the occ snapshot and the publish.
+
+    Crash-safe publish order (the ``compact_gram_store`` protocol, applied
+    to both sides):
+
+    1. install the occ-side manifest listing the CURRENT live dirs (a
+       no-op when one exists) — from here readers are manifest-driven, so
+       a half-written purge output is invisible;
+    2. grace-delete what the previous purge retired; sweep orphaned
+       ``batch=purged-*`` dirs (a purge that died before its publish);
+    3. write the filtered occurrences to a hidden scratch dir, rename to
+       ``batch=purged-<n>`` (still unlisted — invisible);
+    4. atomically publish the occ manifest: live = the purged dir,
+       retired = everything it replaced;
+    5. rebuild the gram aggregate from the purged occurrences (count =
+       sum, canonical first occurrence = min — both recomputed, so the
+       aggs no longer count deleted docs) and publish it through the agg
+       manifest exactly like ``compact_gram_store``.
+
+    A crash anywhere leaves a complete, consistent view: before step 4
+    the old occ dirs and old aggs serve (conservative semantics); between
+    4 and 5 the occ side is purged while the aggs still over-count
+    deleted grams — the documented conservative direction — and the next
+    purge or compaction re-converges."""
+    occ_dir = os.path.join(path, "occ")
+    # step 1: make the occ side manifest-driven before anything else
+    if _agg_manifest(occ_dir) is None:
+        legacy = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(occ_dir, "batch=*"))
+            if os.path.isdir(d)
+            and not os.path.basename(d).startswith("batch=purged-")
+        )
+        if not legacy:
+            raise FileNotFoundError(f"no occurrence store at {occ_dir}")
+        _agg_publish(occ_dir, legacy, [])
+    man = _agg_manifest(occ_dir)
+    live = sorted(man["live"])
+    # step 2: grace-delete + orphan sweep
+    for d in man["retired"]:
+        shutil.rmtree(os.path.join(occ_dir, d), ignore_errors=True)
+    keep = set(live)
+    for p_ in glob.glob(os.path.join(occ_dir, "batch=purged-*")):
+        if os.path.basename(p_) not in keep:
+            shutil.rmtree(p_, ignore_errors=True)
+    # step 3: filtered occurrences to scratch, renamed into place
+    occ = spark.read.parquet(
+        *[os.path.join(occ_dir, d) for d in live]
+    ).select("doc_id", "pos", "h1", "h2")
+    purged = occ.join(
+        F.broadcast(exclude_docs.select("doc_id").distinct()),
+        "doc_id",
+        "left_anti",
+    )
+    ns = [
+        int(os.path.basename(p_).rsplit("-", 1)[-1])
+        for p_ in glob.glob(os.path.join(occ_dir, "batch=purged-*"))
+    ]
+    dest = f"batch=purged-{(max(ns) + 1 if ns else 0):06d}"
+    tmp = os.path.join(path, ".occ-purge-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    purged.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(occ_dir, dest))
+    if _pre_publish_hook is not None:
+        _pre_publish_hook()
+    # step 4: atomic occ publish
+    _agg_publish(occ_dir, [dest], live)
+    # step 5: rebuild the aggs from the purged occurrences and publish
+    # through the agg manifest (the compact_gram_store machinery)
+    agg_dir = os.path.join(path, "agg")
+    agg_man = _agg_manifest(agg_dir)
+    agg_live = _agg_live_dirs(agg_dir)
+    if not agg_live:
+        raise FileNotFoundError(f"no gram aggregate store at {agg_dir}")
+    for d in agg_man["retired"] if agg_man else []:
+        shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
+    keep_a = set(agg_live)
+    for p_ in glob.glob(os.path.join(agg_dir, "batch=compacted-*")):
+        if os.path.basename(p_) not in keep_a:
+            shutil.rmtree(p_, ignore_errors=True)
+    rebuilt = batch_gram_delta(
+        spark.read.parquet(os.path.join(occ_dir, dest)).select(
+            "doc_id", "pos", "h1", "h2"
+        )
+    )
+    ns_a = [
+        int(os.path.basename(p_).rsplit("-", 1)[-1])
+        for p_ in glob.glob(os.path.join(agg_dir, "batch=compacted-*"))
+    ]
+    dest_a = f"batch=compacted-{(max(ns_a) + 1 if ns_a else 0):06d}"
+    tmp_a = os.path.join(path, ".agg-compact-tmp")
+    shutil.rmtree(tmp_a, ignore_errors=True)
+    rebuilt.write.mode("overwrite").parquet(tmp_a)
+    os.replace(tmp_a, os.path.join(agg_dir, dest_a))
+    _agg_publish(agg_dir, [dest_a], agg_live)
 
 
 def corpus_spans_from_store(
