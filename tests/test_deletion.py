@@ -89,21 +89,44 @@ def test_tombstone_resolution_revival_and_compaction(spark, tmp_path):
     alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
     assert 5 not in alive
 
-    # compaction removes deleted docs physically: the new generation's
-    # raw parquet holds no row for them
+    # compaction removes the deleted docs' CONTENT (embedding bytes) but
+    # keeps id-only null markers so the deletion evidence survives (span
+    # purges / exclude_deleted reads keep working after compaction)
     IX.compact_index(spark, path)
     gen = [d for d in os.listdir(path) if d.startswith(".gen-")]
     assert len(gen) == 1
     raw = spark.read.parquet(os.path.join(path, gen[0]))
-    gone = {r["doc_id"] for r in raw.select("doc_id").collect()}
-    assert gone == set(range(10)) - {5, 7}
-    # post-compaction view identical; re-insert after compaction revives
+    alive_rows = {
+        r["doc_id"]
+        for r in raw.filter(F.col("norm_embedding").isNotNull())
+        .select("doc_id").collect()
+    }
+    marker_rows = {
+        r["doc_id"]
+        for r in raw.filter(F.col("norm_embedding").isNull())
+        .select("doc_id").collect()
+    }
+    assert alive_rows == set(range(10)) - {5, 7}
+    assert marker_rows == {5, 7, 99}
+    # post-compaction view identical; tombstone evidence intact
     alive = {r["doc_id"] for r in IX.read_index_latest(spark, path).collect()}
-    assert alive == gone
+    assert alive == alive_rows
+    assert {
+        r["doc_id"] for r in IX.read_index_tombstones(spark, path).collect()
+    } == {5, 7, 99}
+    # re-insert after compaction revives
     _log_append(_with_ts_batch(_vecs(spark, [7]), 30_000, 4), path)
     assert 7 in {
         r["doc_id"] for r in IX.read_index_latest(spark, path).collect()
     }
+    # drop_tombstones=True (after downstream purges): even the markers go
+    IX.compact_index(spark, path, drop_tombstones=True)
+    gen2 = sorted(d for d in os.listdir(path) if d.startswith(".gen-"))[-1]
+    raw2 = spark.read.parquet(os.path.join(path, gen2))
+    assert {r["doc_id"] for r in raw2.select("doc_id").collect()} == (
+        set(range(10)) - {5}
+    )
+    assert IX.read_index_tombstones(spark, path).count() == 0
 
 
 def test_delete_refreshes_ann_stores_to_post_delete_rebuild(spark, tmp_path):
@@ -414,3 +437,116 @@ def test_ingest_delete_batch_end_to_end(spark, tmp_path):
     }
     assert got_spans == want_spans
     fin.unpersist()
+
+
+def test_crashed_lsh_rebuild_not_resurrected_by_append(spark, tmp_path):
+    """Review fix (r11): a missing manifest over EXISTING signature data is
+    a crashed write_lsh_index rebuild — append_lsh_signatures_batch must
+    refuse to re-manifest it (the stale log's batch ids would outrank the
+    fresh base rows), not silently bootstrap."""
+    from vector_search_question_answer_api_spark.operators import ann
+
+    path = str(tmp_path / "lsh")
+    idx = _vecs(spark, range(20)).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    )
+    ann.write_lsh_index(idx, path, n_planes=6, n_tables=2)
+    art = ann.read_lsh_artifact(path)
+    os.remove(os.path.join(path, "_lsh_artifact.json")) if os.path.exists(
+        os.path.join(path, "_lsh_artifact.json")
+    ) else None
+    # find and remove the manifest file regardless of its exact name
+    for f in os.listdir(path):
+        fp = os.path.join(path, f)
+        if os.path.isfile(fp) and f.endswith(".json"):
+            os.remove(fp)
+    batch = idx.limit(3).select(
+        "doc_id", "norm_embedding",
+        F.timestamp_millis(F.lit(1000)).alias("ts"),
+    )
+    with pytest.raises(ValueError, match="signature data exists"):
+        ann.append_lsh_signatures_batch(batch, path, 5, art)
+
+
+def test_lsh_append_without_ts_refuses_duplicate_doc(spark, tmp_path):
+    """Review fix (r11): no event time -> no within-batch version order;
+    a batch with duplicate doc_ids must raise instead of keeping BOTH
+    versions' signatures forever."""
+    from vector_search_question_answer_api_spark.operators import ann
+
+    path = str(tmp_path / "lsh")
+    idx = _vecs(spark, range(10)).select(
+        "doc_id",
+        F.col("norm_embedding").cast("array<double>").alias("norm_embedding"),
+    )
+    ann.write_lsh_index(idx, path, n_planes=6, n_tables=2)
+    art = ann.read_lsh_artifact(path)
+    dup = idx.limit(1).unionByName(idx.limit(1)).select(
+        "doc_id", "norm_embedding"
+    )
+    with pytest.raises(ValueError, match="multiple rows for doc_id"):
+        ann.append_lsh_signatures_batch(dup, path, 1, art)
+    # unique rows without ts still append fine
+    ann.append_lsh_signatures_batch(
+        idx.filter("doc_id >= 8").select("doc_id", "norm_embedding"),
+        path, 2, art,
+    )
+
+
+def test_vecmean_first_batch_dedups_intra_batch_versions(spark, tmp_path):
+    """Review fix (r11): the add-side latest-per-doc dedup must apply on
+    the FIRST batch too (no superseded evidence exists, but an
+    intra-batch multi-version doc would otherwise corrupt the mean
+    forever) — and the same-ts upsert+delete tie must resolve to deleted,
+    matching the log's tie rule."""
+    from vector_search_question_answer_api_spark.streaming import (
+        stats_stream as STS,
+    )
+
+    path = str(tmp_path / "profile")
+    v = _vecs(spark, [0, 1])
+    # doc 0 appears twice in batch 0: v1 at ts=1000, v2 at ts=2000
+    b0 = (
+        v.filter("doc_id = 0")
+        .select(
+            F.timestamp_millis(F.lit(1000)).alias("ts"), "doc_id",
+            "norm_embedding",
+        )
+        .unionByName(
+            _vecs(spark, [0], seed=9).select(
+                F.timestamp_millis(F.lit(2000)).alias("ts"), "doc_id",
+                "norm_embedding",
+            )
+        )
+        .unionByName(
+            v.filter("doc_id = 1").select(
+                F.timestamp_millis(F.lit(1000)).alias("ts"), "doc_id",
+                "norm_embedding",
+            )
+        )
+    )
+    STS.write_vecmean_batch(b0, path, 0)
+    got = STS.read_profile_center(spark, path)
+    final0 = _vecs(spark, [0], seed=9).collect()[0]["norm_embedding"]
+    v1 = v.filter("doc_id = 1").collect()[0]["norm_embedding"]
+    want = [(a + b) / 2.0 for a, b in zip(final0, v1)]
+    assert max(abs(a - b) for a, b in zip(got, want)) < 1e-9
+
+    # full takedown nets the counts to zero -> () sentinel, not a crash
+    path2 = str(tmp_path / "profile2")
+    one = v.filter("doc_id = 0").select(
+        F.timestamp_millis(F.lit(1000)).alias("ts"), "doc_id",
+        "norm_embedding",
+    )
+    STS.write_vecmean_batch(one, path2, 0)
+    tomb = spark.createDataFrame([(0,)], "doc_id long").select(
+        F.timestamp_millis(F.lit(2000)).alias("ts"),
+        "doc_id",
+        F.lit(None).cast("array<float>").alias("norm_embedding"),
+    )
+    STS.write_vecmean_batch(
+        tomb, path2, 1,
+        superseded=one.select("doc_id", "norm_embedding"),
+    )
+    assert STS.read_profile_center(spark, path2) == ()

@@ -566,3 +566,65 @@ def test_corrected_center_equals_resolved_corpus_under_upserts(
         indexed, f"{root}/profile", 2, superseded=superseded
     )
     assert STS.read_profile_center(spark, f"{root}/profile") == inc
+
+
+def test_graph_radii_flag_seeds_existing_store(spark, tmp_path):
+    """Review fix (r11): a store bootstrapped WITHOUT graph_radii gets its
+    pruning sidecar seeded when the stream restarts WITH the flag — not a
+    silent no-op (the refresh's maintenance is presence-gated)."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    tmp = str(tmp_path)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+    )
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{tmp}/src/b0")
+    cents = centroid_grid(DIM, N_CELLS)
+
+    def run():
+        q = IG.maintain_corpus(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*"),
+            f"{tmp}/corpus",
+            checkpoint=f"{tmp}/ckpt",
+            ann_graphs=True,
+            centroids=cents,
+            dim=DIM,
+            n_cells=N_CELLS,
+            backend="numpy",
+            trigger_once=True,
+            graph_radii=True,
+        )
+        assert q.awaitTermination(300)
+
+    # bootstrap WITHOUT the flag
+    q0 = IG.maintain_corpus(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*"),
+        f"{tmp}/corpus",
+        checkpoint=f"{tmp}/ckpt",
+        ann_graphs=True,
+        centroids=cents,
+        dim=DIM,
+        n_cells=N_CELLS,
+        backend="numpy",
+        trigger_once=True,
+    )
+    assert q0.awaitTermination(300)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ann_hnsw.read_cell_radii(f"{tmp}/corpus/graphs")
+
+    # restart WITH the flag over a second batch: sidecar appears, exact
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{tmp}/src/b1")
+    run()
+    fin = IG.read_corpus_index(spark, f"{tmp}/corpus")
+    stored = ann_hnsw.read_cell_radii(f"{tmp}/corpus/graphs")
+    fresh = ann_hnsw.cell_radii(fin, centroids=cents, dim=DIM)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(stored, fresh))

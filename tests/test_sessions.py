@@ -359,3 +359,15 @@ def test_sequential_replays_release_tracked_state(spark, corpus):
     finally:
         caching.GROWTH_WARN_THRESHOLD = old_thresh
         caching._growth_warned = old_warned
+
+
+def test_replay_lsh_index_path_requires_lsh_retrieval(spark, corpus, tmp_path):
+    """Review fix (r11): lsh_index_path under any other retrieval strategy
+    raises instead of silently serving the wrong tier."""
+    import pytest
+
+    ev = _events(spark, [(0, "s1", DOC_A)])
+    with pytest.raises(ValueError, match="requires retrieval='lsh'"):
+        replay_sessions(
+            ev, corpus, lsh_index_path=str(tmp_path / "nope")
+        ).collect()

@@ -629,6 +629,20 @@ def append_lsh_signatures_batch(
                 "change knobs)"
             )
     except FileNotFoundError:
+        # bootstrap ONLY over a truly empty store: a missing manifest over
+        # EXISTING signature data is a crashed write_lsh_index rebuild
+        # (manifest publishes last, as the completeness marker) — writing
+        # a fresh manifest here would resurrect the stale pre-rebuild
+        # base/log as a valid-looking store whose old batch ids outrank
+        # the fresh base rows.  Refuse loudly; the rebuild is the fix.
+        if os.path.isdir(os.path.join(path, "signatures")) or os.path.isdir(
+            os.path.join(path, _LSH_SIG_LOG)
+        ):
+            raise ValueError(
+                f"append_lsh_signatures_batch: no manifest at {path!r} but "
+                "signature data exists — an interrupted write_lsh_index "
+                "rebuild; re-run write_lsh_index to publish a complete store"
+            )
         write_lsh_artifact(
             path,
             dim=art["dim"],
@@ -652,6 +666,20 @@ def append_lsh_signatures_batch(
             .filter(F.col("__rn") == 1)
             .select("doc_id", "v")
         )
+    else:
+        # no event time -> no within-batch version order: refuse a batch
+        # whose duplicate doc_ids would otherwise keep BOTH versions'
+        # signatures forever (the docstring's exactly-final-version
+        # contract); one batch-sized agg
+        dup = (
+            batch.groupBy("doc_id").count().filter(F.col("count") > 1).first()
+        )
+        if dup is not None:
+            raise ValueError(
+                "append_lsh_signatures_batch: batch has multiple rows for "
+                f"doc_id {dup['doc_id']} and no {ts_col!r} column to order "
+                "them — add the event-time column so the final version wins"
+            )
     # tombstone rows (null vector = deletion, index_stream.tombstones)
     # write ONE (doc_id, sig=NULL) marker row: it wins the latest-batch
     # resolution in read_lsh_signatures, which then drops null-sig rows —

@@ -228,6 +228,13 @@ def prepare_qa_events(
         topk_per_query,
     )
 
+    if lsh_index_path is not None and retrieval != "lsh":
+        # the stored signature table only serves the lsh tier — a caller
+        # passing it under another strategy would silently measure/serve
+        # the wrong tier (the conflict sibling below raises; so does this)
+        raise ValueError(
+            f"lsh_index_path= requires retrieval='lsh' (got {retrieval!r})"
+        )
     embedder = embedder or HashingEmbedder()
     # Two-step: materialize the UDF output, THEN normalize — Spark forbids a
     # Python UDF inside higher-order-function lambdas (l2_normalize uses

@@ -21,8 +21,10 @@ INCREMENTALLY as documents arrive:
   ``_batch = -1`` so any later log row wins);
 - :func:`tombstones` / :func:`append_tombstones` — DELETION as a normal
   log row with a NULL embedding (r11): resolution drops null-latest docs,
-  re-inserts revive, compaction removes them physically — takedown/PII
-  deletion with zero extra machinery;
+  re-inserts revive, compaction removes the content bytes while keeping
+  an id-only marker as durable deletion evidence (dropped only by an
+  explicit ``drop_tombstones=True`` after downstream purges) —
+  takedown/PII deletion with zero extra machinery;
 - :func:`compact_index` — folds the resolved view into a NEW generation
   directory with the layout writer (``sources/compaction.compact_write``),
   atomically repoints ``<path>/MANIFEST`` (``os.replace``), and RETIRES
@@ -163,11 +165,13 @@ def tombstones(
     table): when it is a doc's newest version the read views drop the doc
     (``read_index_latest`` filters null-embedding rows AFTER the
     latest-wins window), a LATER re-insert revives it, and
-    ``compact_index`` physically removes it — the fold simply omits
-    null-latest docs, making compaction the right-to-be-forgotten step.
-    ``ids`` must carry the deletion EVENT TIME in ``ts_col`` (ties
-    against a same-batch same-ts upsert resolve to deleted — see
-    ``_latest_order``)."""
+    ``compact_index`` removes the doc's CONTENT bytes while keeping its
+    null row as an id-only deletion marker (so downstream purges and
+    ``exclude_deleted`` reads keep their evidence at any point in the
+    maintenance schedule; ``drop_tombstones=True`` removes even the
+    marker once those purges have run).  ``ids`` must carry the deletion
+    EVENT TIME in ``ts_col`` (ties against a same-batch same-ts upsert
+    resolve to deleted — see ``_latest_order``)."""
     return ids.select(
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("vec_id"),
@@ -194,14 +198,14 @@ def read_index_tombstones(spark: SparkSession, path: str) -> DataFrame:
     """``(doc_id)`` of docs whose NEWEST log row is a tombstone — the
     currently-deleted set.  Same one-window cost as the latest view; used
     by read surfaces that serve doc-keyed artifacts not rebuilt from the
-    resolved index (e.g. span-store reads)."""
+    resolved index (e.g. span-store reads).  Survives compaction: the
+    fold keeps tombstoned docs' null rows as id-only markers (see
+    ``compact_index``)."""
     log = _raw_log(spark, path)
     if log is None:
         raise FileNotFoundError(f"no index at {path}")
-    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
     return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        _resolve_latest(log, keep_tombstones=True)
         .filter(F.col("norm_embedding").isNull())
         .select("doc_id")
     )
@@ -266,6 +270,21 @@ def _raw_log(spark: SparkSession, path: str, files: list[str] | None = None):
     return out
 
 
+def _resolve_latest(log: DataFrame, keep_tombstones: bool = False) -> DataFrame:
+    """The shared latest-wins resolution: newest row per doc_id by
+    ``_latest_order`` (batch, event time, tombstone-first tie), dropping
+    null-embedding (deleted) docs unless ``keep_tombstones`` — the ONE
+    place the resolution semantics live (read_index_latest,
+    read_index_before_batch, and read_index_tombstones all delegate)."""
+    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
+    latest = log.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    if not keep_tombstones:
+        latest = latest.filter(F.col("norm_embedding").isNotNull())
+    return latest.select("vec_id", "doc_id", "norm_embedding", "norm")
+
+
 def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     """The resolved index view: newest row per doc_id (by batch id, then
     event time) — same columns as ``build_index``.  Costs one
@@ -276,17 +295,14 @@ def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     log = _raw_log(spark, path)
     if log is None:
         raise FileNotFoundError(f"no index at {path}")
-    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col("norm_embedding").isNotNull())
-        .select("vec_id", "doc_id", "norm_embedding", "norm")
-    )
+    return _resolve_latest(log)
 
 
 def read_index_before_batch(
-    spark: SparkSession, path: str, batch_id: int
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    for_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The resolved index as it stood BEFORE batch ``batch_id`` appended:
     :func:`read_index_latest` restricted to rows with ``_batch <
@@ -308,17 +324,28 @@ def read_index_before_batch(
         raise FileNotFoundError(f"no index at {path}")
     if "_batch" in log.columns:
         log = log.filter(F.col("_batch") < int(batch_id))
-    w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col("norm_embedding").isNotNull())
-        .select("vec_id", "doc_id", "norm_embedding", "norm")
-    )
+    if for_docs is not None:
+        # bound the resolve to the docs the caller needs BEFORE the
+        # window: the per-batch supersession evidence only concerns the
+        # batch's own doc_ids, and semi-joining the raw log first keeps
+        # the window input at versions-per-doc x batch size instead of an
+        # O(corpus) shuffle per micro-batch (identical result — the
+        # window partitions by doc_id, so dropping other docs' rows
+        # cannot change any kept doc's resolution)
+        log = log.join(
+            F.broadcast(for_docs.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+    return _resolve_latest(log)
 
 
 def compact_index(
-    spark: SparkSession, path: str, n_files: int = 4, _pre_publish_hook=None
+    spark: SparkSession,
+    path: str,
+    n_files: int = 4,
+    _pre_publish_hook=None,
+    drop_tombstones: bool = False,
 ) -> None:
     """Fold generation ∪ log into ONE new generation: resolve the latest
     view from a SNAPSHOT of the log file list, write it range-clustered on
@@ -389,14 +416,25 @@ def compact_index(
         raise FileNotFoundError(f"no index at {path}")
     legacy_flat = old_gen is None and not snapshot
     w = Window.partitionBy("doc_id").orderBy(*_latest_order(raw.columns))
+    latest = raw.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    if drop_tombstones:
+        # full removal INCLUDING the deletion evidence: only safe once
+        # every doc-keyed downstream artifact has already been purged
+        # (purge_corpus_spans etc.) — afterwards read_index_tombstones
+        # no longer reports these docs, so exclude_deleted-style reads
+        # cannot protect a store that still carries their rows
+        latest = latest.filter(F.col("norm_embedding").isNotNull())
+    # WITHOUT drop_tombstones (default): a tombstoned doc's null row is
+    # KEPT in the fold as an id-only marker — the doc's CONTENT bytes
+    # (embedding/norm) are physically gone once the grace sweep removes
+    # the superseded log files, but the deletion EVIDENCE survives
+    # compaction, so read_index_tombstones / purge_corpus_spans /
+    # exclude_deleted reads keep working at any point in the maintenance
+    # schedule (the Delta/Iceberg tombstone-until-vacuum discipline)
     latest = (
-        raw.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        # tombstone-latest docs are OMITTED from the fold: compaction is
-        # where deletion becomes physical (the grace-period sweep then
-        # removes the last log files carrying the doc's bytes)
-        .filter(F.col("norm_embedding").isNotNull())
-        .select("vec_id", "doc_id", "norm_embedding", "norm")
+        latest.select("vec_id", "doc_id", "norm_embedding", "norm")
         .withColumn("ts", F.current_timestamp())
         .withColumn("_batch", F.lit(-1))
     )

@@ -205,19 +205,22 @@ def maintain_corpus(
             # upserted sibling's is — the tombstone row itself adds
             # nothing (null vectors are skipped by the sum)
             try:
+                # for_docs bounds the resolve to the batch's own ids
+                # BEFORE the latest-wins window — without it every
+                # micro-batch paid an O(corpus) window shuffle for
+                # batch-sized evidence
                 prev = IX.read_index_before_batch(
-                    spark, p["index"], batch_id
+                    spark,
+                    p["index"],
+                    batch_id,
+                    for_docs=indexed.select("doc_id").distinct(),
                 )
             except FileNotFoundError:
                 prev = None  # first batch: nothing to supersede
             superseded = (
                 None
                 if prev is None
-                else prev.join(
-                    F.broadcast(indexed.select("doc_id").distinct()),
-                    "doc_id",
-                    "left_semi",
-                ).select("doc_id", "norm_embedding")
+                else prev.select("doc_id", "norm_embedding")
             )
             STS.write_vecmean_batch(
                 indexed, p["profile"], batch_id, superseded=superseded
@@ -303,6 +306,29 @@ def maintain_corpus(
                             assign_cell(
                                 F.col("norm_embedding"), centroids
                             ).alias("cell"),
+                        ),
+                    )
+            if graph_radii and graphs_path:
+                # a store initialized WITHOUT the flag (or before it
+                # existed) has no sidecar and the refresh's maintenance is
+                # presence-gated — without this seed the flag would be a
+                # silent no-op on existing stores.  Seed from the
+                # post-batch resolved view (exact for the current
+                # membership); every later refresh maintains it.  A store
+                # the init branch just seeded passes the cheap stat check.
+                from vector_search_question_answer_api_spark.operators import (
+                    ann_hnsw,
+                )
+
+                try:
+                    ann_hnsw.read_cell_radii(graphs_path)
+                except FileNotFoundError:
+                    ann_hnsw.write_cell_radii(
+                        graphs_path,
+                        ann_hnsw.cell_radii(
+                            IX.read_index_latest(spark, p["index"]),
+                            centroids=centroids,
+                            dim=dim,
                         ),
                     )
         finally:

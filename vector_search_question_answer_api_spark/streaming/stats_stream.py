@@ -110,13 +110,20 @@ def write_vecmean_batch(
         )
 
     add_side = indexed_batch
-    if superseded is not None and ts_col in indexed_batch.columns:
+    if ts_col in indexed_batch.columns and "doc_id" in indexed_batch.columns:
         from pyspark.sql import Window
 
         # resolved semantics: a doc upserted twice within one batch
         # contributes exactly its final version, matching the log
-        # resolution's (batch, ts) order
-        w = Window.partitionBy("doc_id").orderBy(F.col(ts_col).desc())
+        # resolution's order INCLUDING the tombstone tie rule (same-ts
+        # upsert+delete resolves to deleted, index_stream._latest_order).
+        # Applied whether or not `superseded` evidence exists — the FIRST
+        # batch has no prior versions to subtract, but an intra-batch
+        # multi-version doc must still contribute only its final version
+        # or the merged mean diverges from the resolved corpus forever.
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col(ts_col).desc(), F.col(vec_col).isNotNull().asc()
+        )
         add_side = (
             indexed_batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -136,14 +143,21 @@ def read_profile_center(spark: SparkSession, path: str) -> tuple:
     """The incrementally-maintained corpus center: merge the per-batch
     (sum, count) rows — ``n_batches * dim`` rows, never corpus-sized —
     and divide.  Returns () for an empty store (the uncentered sentinel
-    ``with_lsh_signatures`` accepts), matching ``corpus_center``."""
+    ``with_lsh_signatures`` accepts), matching ``corpus_center`` — and
+    also () when the superseded-corrected counts net to ZERO (every doc
+    deleted): the mean of an empty corpus is undefined, and the null
+    ratio Spark returns must not crash the reader."""
     parts = _read_parts(spark, path, "vecmean")
     rows = (
         parts.groupBy("component")
-        .agg((F.sum("s") / F.sum("n")).alias("mu"))
+        # try_divide: a zero net count must yield NULL (-> the () sentinel
+        # below), not an ANSI DIVIDE_BY_ZERO error
+        .agg(F.try_divide(F.sum("s"), F.sum("n")).alias("mu"))
         .orderBy("component")
         .collect()
     )
+    if any(r["mu"] is None for r in rows):
+        return ()
     return tuple(float(r["mu"]) for r in rows)
 
 
