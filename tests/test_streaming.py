@@ -1091,3 +1091,127 @@ def test_embed_neardup_state_fn_replay_idempotent():
     )], state))
     assert replay == []
     assert list(state.get[0]) == ids_before
+
+
+def test_compaction_preserves_batch_provenance_for_before_batch_view(
+    spark, tmpdir
+):
+    """r11: compact_index(up_to_batch=N) folds ONLY batches < N and keeps
+    each folded row's original (ts, _batch), so read_index_before_batch(N)
+    resolves IDENTICALLY before and after the fold — the predicate a
+    checkpoint replay's supersession evidence depends on.  Rows of batch
+    N itself (a crashed attempt's append) are discarded with the retired
+    files — safe because the replaying handler re-appends them.  (The old
+    _batch=-1 stamp made every folded row a predecessor of every batch: a
+    mid-crash compaction would have counted the batch's OWN rows as prior
+    versions.)"""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        compact_index,
+        read_index_before_batch,
+    )
+
+    out = str(tmpdir.join("idx"))
+    rng = np.random.RandomState(5)
+
+    def batch(ids, bid, base_ms):
+        pts = rng.standard_normal((len(ids), 16))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [
+                (i, i, [float(x) for x in pts[j]], 1.0)
+                for j, i in enumerate(ids)
+            ],
+            "vec_id long, doc_id long, norm_embedding array<float>, norm double",
+        ).select(
+            F.timestamp_millis(F.lit(base_ms) + F.col("doc_id")).alias("ts"),
+            "vec_id",
+            "doc_id",
+            "norm_embedding",
+            "norm",
+        ).withColumn("_batch", F.lit(bid))
+
+    frames = [
+        batch(list(ids), bid, ms)
+        for bid, (ids, ms) in enumerate(
+            [(range(8), 1000), (range(4), 5000), (range(2, 6), 9000)]
+        )
+    ]
+    for fdf in frames:
+        fdf.write.mode("append").parquet(f"{out}/log")
+
+    def rel(df):
+        return {
+            (r["doc_id"], tuple(round(float(x), 9) for x in r["norm_embedding"]))
+            for r in df.collect()
+        }
+
+    from vector_search_question_answer_api_spark.streaming.index_stream import (
+        read_index_latest,
+    )
+
+    live_before = rel(read_index_latest(spark, out))
+    before = rel(read_index_before_batch(spark, out, 2))
+    # simulate the in-stream cadence: batch 2's handler compacts at START
+    # (its own rows — here, a crashed attempt's append — get discarded)
+    compact_index(spark, out, up_to_batch=2)
+    after = rel(read_index_before_batch(spark, out, 2))
+    assert after == before and before
+    # the handler then (re-)appends batch 2 (identical rows, as a
+    # deterministic replay would), restoring the live view
+    frames[2].write.mode("append").parquet(f"{out}/log")
+    assert rel(read_index_latest(spark, out)) == live_before
+    assert rel(read_index_before_batch(spark, out, 2)) == before
+    # and the for_docs-bounded form agrees too
+    docs2 = spark.createDataFrame([(i,) for i in range(2, 6)], "doc_id long")
+    bounded = rel(read_index_before_batch(spark, out, 2, for_docs=docs2))
+    assert bounded == {t for t in before if 2 <= t[0] < 6}
+
+
+def test_maintain_corpus_auto_compacts_index_log(spark, tmpdir):
+    """r11: compact_index_every=N folds the index log inside the composed
+    ingest — after two batches with N=1 a generation MANIFEST exists, the
+    resolved index equals the batch build, and the maintained center
+    still matches (the replay-evidence predicate survives compaction)."""
+    import os
+
+    from vector_search_question_answer_api_spark.operators import ann
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import load_table
+    from vector_search_question_answer_api_spark.streaming import (
+        ingest_stream as IG,
+        stats_stream as STS,
+    )
+
+    tmp = str(tmpdir)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+    )
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{tmp}/src/b0")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{tmp}/src/b1")
+    q = IG.maintain_corpus(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*"),
+        f"{tmp}/corpus",
+        checkpoint=f"{tmp}/ckpt",
+        trigger_once=True,
+        compact_index_every=1,
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{tmp}/corpus/index/MANIFEST")
+    got = IG.read_corpus_index(spark, f"{tmp}/corpus").select(
+        "doc_id", "norm_embedding"
+    )
+    want = build_index(docs).select("doc_id", "norm_embedding")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    center = STS.read_profile_center(spark, f"{tmp}/corpus/profile")
+    fresh = ann.corpus_center(IG.read_corpus_index(spark, f"{tmp}/corpus"))
+    assert max(abs(a - b) for a, b in zip(center, fresh)) < 1e-9

@@ -17,8 +17,10 @@ INCREMENTALLY as documents arrive:
   plain streaming MERGE);
 - :func:`read_index_latest` — the read view: one window over
   (current generation ∪ log) picks the newest version of every ``doc_id``
-  (ties broken by batch id, then event time; compacted rows carry
-  ``_batch = -1`` so any later log row wins);
+  (ties broken by batch id, then event time; compacted rows KEEP their
+  original ``(ts, _batch)`` — r11 — so any later log row wins and the
+  before-batch view stays exact across compactions; legacy inputs
+  without the columns fold as ``_batch = -1``);
 - :func:`tombstones` / :func:`append_tombstones` — DELETION as a normal
   log row with a NULL embedding (r11): resolution drops null-latest docs,
   re-inserts revive, compaction removes the content bytes while keeping
@@ -270,19 +272,37 @@ def _raw_log(spark: SparkSession, path: str, files: list[str] | None = None):
     return out
 
 
-def _resolve_latest(log: DataFrame, keep_tombstones: bool = False) -> DataFrame:
+def _resolve_latest(
+    log: DataFrame, keep_tombstones: bool = False, keep_meta: bool = False
+) -> DataFrame:
     """The shared latest-wins resolution: newest row per doc_id by
     ``_latest_order`` (batch, event time, tombstone-first tie), dropping
     null-embedding (deleted) docs unless ``keep_tombstones`` — the ONE
     place the resolution semantics live (read_index_latest,
-    read_index_before_batch, and read_index_tombstones all delegate)."""
+    read_index_before_batch, read_index_tombstones, and compact_index all
+    delegate).  ``keep_meta`` additionally carries each surviving row's
+    original ``(ts, _batch)`` (legacy inputs without them get
+    ``current_timestamp``/``-1``) — compaction uses it so folded rows keep
+    their provenance."""
     w = Window.partitionBy("doc_id").orderBy(*_latest_order(log.columns))
     latest = log.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
     if not keep_tombstones:
         latest = latest.filter(F.col("norm_embedding").isNotNull())
-    return latest.select("vec_id", "doc_id", "norm_embedding", "norm")
+    cols = ["vec_id", "doc_id", "norm_embedding", "norm"]
+    if keep_meta:
+        latest = latest.withColumn(
+            "ts",
+            F.col("ts") if "ts" in log.columns else F.current_timestamp(),
+        ).withColumn(
+            "_batch",
+            F.col("_batch").cast("long")
+            if "_batch" in log.columns
+            else F.lit(-1).cast("long"),
+        )
+        cols += ["ts", "_batch"]
+    return latest.select(*cols)
 
 
 def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
@@ -306,19 +326,25 @@ def read_index_before_batch(
 ) -> DataFrame:
     """The resolved index as it stood BEFORE batch ``batch_id`` appended:
     :func:`read_index_latest` restricted to rows with ``_batch <
-    batch_id`` (compacted generation rows carry ``_batch = -1`` and so
-    count as predecessors of every batch — correct, since a generation is
-    the resolved state as of its compaction).
+    batch_id``.
 
     The point of the filter is REPLAY SAFETY for per-batch supersession
     evidence (the vecmean correction in ``ingest_stream``): a pre-append
     snapshot taken by reading the live view is wrong on replay (the
     crashed attempt already appended the batch), whereas this predicate
     is order-independent — batch ``batch_id``'s own rows are excluded
-    whether or not the append happened.  Exactness assumes no compaction
-    runs between a crashed attempt and its replay (compaction would fold
-    the batch's rows into the ``_batch = -1`` generation); compaction is
-    caller-driven, so quiesce it with the stream — the normal protocol."""
+    whether or not the append happened.  Since r11, compaction PRESERVES
+    each folded row's original ``_batch``, so the predicate stays exact
+    even when a compaction lands between a crashed attempt and its replay
+    — the old quiesce-compaction caveat only applies to generations
+    written by pre-r11 code (their rows fold as ``_batch = -1`` and count
+    as predecessors of every batch, the resolved-state-as-of-compaction
+    approximation).
+
+    ``for_docs`` (``(doc_id)`` rows) bounds the resolve to those docs
+    BEFORE the latest-wins window — the per-batch evidence only concerns
+    the batch's own ids, and the semi-join keeps the window input at
+    versions-per-doc x batch size instead of O(corpus)."""
     log = _raw_log(spark, path)
     if log is None:
         raise FileNotFoundError(f"no index at {path}")
@@ -346,6 +372,7 @@ def compact_index(
     n_files: int = 4,
     _pre_publish_hook=None,
     drop_tombstones: bool = False,
+    up_to_batch: int | None = None,
 ) -> None:
     """Fold generation ∪ log into ONE new generation: resolve the latest
     view from a SNAPSHOT of the log file list, write it range-clustered on
@@ -415,29 +442,47 @@ def compact_index(
     if raw is None:
         raise FileNotFoundError(f"no index at {path}")
     legacy_flat = old_gen is None and not snapshot
-    w = Window.partitionBy("doc_id").orderBy(*_latest_order(raw.columns))
-    latest = raw.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    )
-    if drop_tombstones:
-        # full removal INCLUDING the deletion evidence: only safe once
-        # every doc-keyed downstream artifact has already been purged
-        # (purge_corpus_spans etc.) — afterwards read_index_tombstones
-        # no longer reports these docs, so exclude_deleted-style reads
-        # cannot protect a store that still carries their rows
-        latest = latest.filter(F.col("norm_embedding").isNotNull())
+    if up_to_batch is not None and "_batch" in raw.columns:
+        # fold ONLY the pre-batch state (the in-stream cadence contract,
+        # maintain_corpus(compact_index_every=)): called at the START of
+        # batch `up_to_batch`'s handler, this bounds the fold to batches
+        # < N so the superseded-version evidence read_index_before_batch
+        # needs is PRESERVED as the fold's latest rows (with provenance).
+        # Rows with _batch >= N in the snapshot — present only when a
+        # crashed attempt of batch N already appended — are discarded
+        # with the retired files, which is safe exactly because the
+        # caller is about to (re-)append batch N in this same handler
+        # run; a full fold (up_to_batch=None) instead discards HISTORY,
+        # so it must not land between a crashed attempt and its replay.
+        raw = raw.filter(F.col("_batch") < int(up_to_batch))
+        if raw.isEmpty():
+            return  # nothing folds (e.g. a replayed FIRST batch): no-op
+    # drop_tombstones=True: full removal INCLUDING the deletion evidence —
+    # only safe once every doc-keyed downstream artifact has already been
+    # purged (purge_corpus_spans etc.); afterwards read_index_tombstones
+    # no longer reports these docs, so exclude_deleted-style reads cannot
+    # protect a store that still carries their rows.
+    #
     # WITHOUT drop_tombstones (default): a tombstoned doc's null row is
     # KEPT in the fold as an id-only marker — the doc's CONTENT bytes
     # (embedding/norm) are physically gone once the grace sweep removes
     # the superseded log files, but the deletion EVIDENCE survives
     # compaction, so read_index_tombstones / purge_corpus_spans /
     # exclude_deleted reads keep working at any point in the maintenance
-    # schedule (the Delta/Iceberg tombstone-until-vacuum discipline)
-    latest = (
-        latest.select("vec_id", "doc_id", "norm_embedding", "norm")
-        .withColumn("ts", F.current_timestamp())
-        .withColumn("_batch", F.lit(-1))
-    )
+    # schedule (the Delta/Iceberg tombstone-until-vacuum discipline).
+    #
+    # Folded rows KEEP their original (ts, _batch) (r11; legacy inputs
+    # without them get current_timestamp/-1): compaction is then
+    # REPLAY-TRANSPARENT for read_index_before_batch — its `_batch <
+    # batch_id` predicate stays exact even when a compaction lands
+    # between a crashed attempt and its checkpoint replay, which is what
+    # makes auto-compaction inside the composed ingest safe
+    # (maintain_corpus(compact_index_every=)).  Later log rows still win
+    # the window exactly as before: a post-compaction append carries a
+    # HIGHER batch id than anything folded; a replayed append carries the
+    # SAME id with identical content, so either pick resolves alike.
+    latest = _resolve_latest(raw, keep_tombstones=not drop_tombstones,
+                             keep_meta=True)
     n = int(old_gen.split("-")[-1]) + 1 if old_gen else 0
     new_gen = f".gen-{n:06d}"
     compact_write(

@@ -85,6 +85,7 @@ def maintain_corpus(
     trigger_once: bool = False,
     lsh_artifact: "dict | str | None" = None,
     graph_radii: bool = False,
+    compact_index_every: int | None = None,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -99,6 +100,18 @@ def maintain_corpus(
     per-cell refresh keeps it exact (r11) — the maintained store serves
     ``celled_hnsw_topk_pruned`` losslessly at any point in its upsert
     history.
+
+    ``compact_index_every=N`` folds the index LOG into one generation
+    every N batches (``index_stream.compact_index``) — without it the log
+    and every read's latest-per-doc window input grow with batch count
+    (the managed cell stores auto-compact at ``compact_every_gens``; this
+    is the same cadence decision for the log itself).  Replay-safe by
+    construction (r11): the fold runs at batch START bounded to
+    ``up_to_batch=batch_id`` and folded rows keep their original
+    ``(ts, _batch)``, so this batch's before-batch evidence survives the
+    fold exactly, and a crashed attempt's own rows are discarded then
+    re-appended by the replaying handler.  Off by default — the pinned
+    bench profiles predate the knob.
 
     DELETION (r11): a stream carrying a boolean ``_delete`` column mixes
     deletions into the same flow — a deletion row needs only (doc_id, ts,
@@ -168,6 +181,23 @@ def maintain_corpus(
             ups = batch_df.filter(
                 F.coalesce(F.col("_delete"), F.lit(False)) == F.lit(False)
             ).drop("_delete")
+        if (
+            compact_index_every
+            and batch_id > 0
+            and batch_id % int(compact_index_every) == 0
+        ):
+            # fold the index log at batch START, bounded to batches < this
+            # one (up_to_batch): the superseded-version evidence this
+            # batch's vecmean correction reads survives as the fold's
+            # latest rows WITH provenance, and a crashed attempt's own
+            # rows (present only on replay) are discarded and re-appended
+            # by this very handler — see compact_index
+            try:
+                IX.compact_index(
+                    spark, p["index"], up_to_batch=int(batch_id)
+                )
+            except FileNotFoundError:
+                pass  # nothing ingested yet
         try:
             # profile + span stores: batch=<id> overwrite, replay-safe
             STS.write_profile_batch(

@@ -371,7 +371,17 @@ def embedding_neardup_stream(
     manifest is the ONLY safe way to centered signatures on a stream,
     since a stream cannot recompute a corpus mean.  State per bucket is
     <= max_bucket_entries x (8 + 8*dim) bytes; eviction is event-time,
-    exactly the MinHash tier's contract."""
+    exactly the MinHash tier's contract.
+
+    INSERT-ONLY contract (r11, deletion): this tier matches ARRIVALS —
+    re-arrivals of a seen doc_id are idempotently skipped, so updates and
+    deletions do not mutate state.  A doc deleted from the corpus
+    (``index_stream.tombstones``) keeps matching new arrivals for at most
+    ``horizon`` of event time, then its state expires — the staleness is
+    BOUNDED by the same knob that bounds state size.  Exact post-delete
+    semantics live in the batch tier over the resolved index
+    (``dedup.embedding_near_dup_pairs`` on ``read_index_latest``), which
+    excludes tombstoned docs immediately."""
     sigs = srp_sig_stream(
         vec_stream, dim, n_planes, n_tables, center,
         id_col, vec_col, artifact=artifact,
