@@ -1112,7 +1112,7 @@ def test_compaction_preserves_batch_provenance_for_before_batch_view(
         read_index_before_batch,
     )
 
-    out = str(tmpdir.join("idx"))
+    out = f"{tmpdir}/idx"  # tmpdir fixture is a plain string
     rng = np.random.RandomState(5)
 
     def batch(ids, bid, base_ms):
