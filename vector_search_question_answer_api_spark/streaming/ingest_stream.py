@@ -86,6 +86,7 @@ def maintain_corpus(
     lsh_artifact: "dict | str | None" = None,
     graph_radii: bool = False,
     compact_index_every: int | None = None,
+    compact_lsh_every: int | None = None,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -112,6 +113,16 @@ def maintain_corpus(
     fold exactly, and a crashed attempt's own rows are discarded then
     re-appended by the replaying handler.  Off by default — the pinned
     bench profiles predate the knob.
+
+    ``compact_lsh_every=N`` (r12) gives the maintained LSH signature
+    store the same cadence: every N batches the base ∪ log resolves into
+    a new base generation (``ann.compact_lsh_signatures``) — a
+    latest-wins rewrite of ``(doc_id, sig)`` rows, NO re-hashing — so a
+    long-lived ingest's read path stays a 2-column scan plus a
+    bounded-depth log window instead of growing with batch count.  Same
+    replay-safety shape: the fold runs at batch start bounded to
+    ``up_to_batch=batch_id`` (a crashed attempt's own batch dir is left
+    for the replaying handler's overwrite).  Requires ``lsh_artifact``.
 
     DELETION (r11): a stream carrying a boolean ``_delete`` column mixes
     deletions into the same flow — a deletion row needs only (doc_id, ts,
@@ -149,6 +160,13 @@ def maintain_corpus(
         centroid_grid,
     )
 
+    if compact_lsh_every and lsh_artifact is None:
+        # the cadence compacts the maintained signature store — without
+        # the artifact no store is maintained, and a silent no-op knob
+        # is worse than a loud contract
+        raise ValueError(
+            "maintain_corpus: compact_lsh_every= requires lsh_artifact="
+        )
     p = _subpaths(root)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
@@ -198,6 +216,23 @@ def maintain_corpus(
                 )
             except FileNotFoundError:
                 pass  # nothing ingested yet
+        if (
+            lsh_artifact is not None
+            and compact_lsh_every
+            and batch_id > 0
+            and batch_id % int(compact_lsh_every) == 0
+        ):
+            # signature-store compaction at batch START, bounded to
+            # batches < this one — same replay contract as the index
+            # fold above (see ann.compact_lsh_signatures)
+            from vector_search_question_answer_api_spark.operators import ann
+
+            try:
+                ann.compact_lsh_signatures(
+                    spark, p["lsh"], up_to_batch=int(batch_id)
+                )
+            except FileNotFoundError:
+                pass  # no signature store yet (first batches pending)
         try:
             # profile + span stores: batch=<id> overwrite, replay-safe
             STS.write_profile_batch(
