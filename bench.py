@@ -359,6 +359,37 @@ def _lsh_ondisk_fns(spark, sf_dir):
     def ann_lsh_ondisk(spark, sf_dir):
         return ann.ann_lsh_topk_ondisk(spark, q, path, idx, k=5)
 
+    # r12 (VERDICT r11 #3): the SAME store served AS MAINTAINED — base
+    # plus a 4-deep maintenance log (two ~2%-of-corpus re-upsert batches
+    # and a delete/revive pair), so the timed read pays the full
+    # log-bearing resolution (log window + broadcast anti-join on the
+    # base) that the compacted entries never see.  LOG DEPTH: 4 batches,
+    # ~4% of corpus rows + 2 marker rows.  The batches are built to be
+    # net-IDENTITY (same vectors re-upserted; the deleted doc revived
+    # with its original vector), so the tier must emit exactly the
+    # compacted store's relation — the timing difference IS the
+    # between-compactions resolution cost, isolated.
+    m_path = root + "/lsh_maintained"
+    ann.write_lsh_index(idx, m_path, n_planes=8, n_tables=8, center=center)
+    n_docs = idx.count()
+    B = max(1, n_docs // 50)
+    ts = F.timestamp_millis(F.lit(1_000_000))
+    tomb = idx.filter(F.col("doc_id") == 0).select(
+        "doc_id",
+        F.lit(None).cast("array<double>").alias("norm_embedding"),
+        ts.alias("ts"),
+    )
+    revive = idx.filter(F.col("doc_id") == 0).withColumn("ts", ts)
+    up1 = idx.filter(F.col("doc_id") < B).withColumn("ts", ts)
+    up2 = idx.filter(
+        (F.col("doc_id") >= B) & (F.col("doc_id") < 2 * B)
+    ).withColumn("ts", ts)
+    for i, b in enumerate((tomb, revive, up1, up2)):
+        ann.append_lsh_signatures_batch(b, m_path, i, art)
+
+    def ann_lsh_maintained(spark, sf_dir):
+        return ann.ann_lsh_topk_ondisk(spark, q, m_path, idx, k=5)
+
     def rel(df):
         return {
             (r["query_id"], r["doc_id"], round(r["distance"], 9), r["rank"])
@@ -367,8 +398,14 @@ def _lsh_ondisk_fns(spark, sf_dir):
 
     a, b = rel(ann_lsh_mem(spark, sf_dir)), rel(ann_lsh_ondisk(spark, sf_dir))
     assert a and a == b, f"lsh tiers disagree ({len(a)} vs {len(b)})"
+    m = rel(ann_lsh_maintained(spark, sf_dir))
+    assert m == a, f"maintained lsh tier disagrees ({len(m)} vs {len(a)})"
     return (
-        {"ann_lsh_mem": ann_lsh_mem, "ann_lsh_ondisk": ann_lsh_ondisk},
+        {
+            "ann_lsh_mem": ann_lsh_mem,
+            "ann_lsh_ondisk": ann_lsh_ondisk,
+            "ann_lsh_maintained": ann_lsh_maintained,
+        },
         root,
         [idx],
     )
@@ -1102,6 +1139,7 @@ def main() -> None:
         "ingest_delete_batch": ("ingest_del", _setup_ingest_del),
         "ann_lsh_mem": ("lsh_ondisk", _setup_lsh),
         "ann_lsh_ondisk": ("lsh_ondisk", _setup_lsh),
+        "ann_lsh_maintained": ("lsh_ondisk", _setup_lsh),
     }
     done_groups: set[str] = set()
 

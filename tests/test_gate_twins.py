@@ -370,3 +370,40 @@ def test_token_budget_twin_detects_sample_drift(spark, monkeypatch):
     monkeypatch.setattr(P, "token_budget_sample", corrupted)
     with pytest.raises(ValueError, match="token-budget twin"):
         inventory.queries()["mixture_sample"](spark, SF).count()
+
+
+def test_deletion_twin_detects_tie_rule_drop(spark, monkeypatch):
+    """r12: the deletion roundtrip twin must fire when the tombstone-first
+    tie rule is inverted (a same-(batch, ts) upsert+delete resolving to
+    ALIVE is exactly the seeded resolution bug VERDICT r11 #4 names)."""
+    import vector_search_question_answer_api_spark.streaming.index_stream as IX
+
+    def corrupted(cols):
+        order = []
+        if "_batch" in cols:
+            order.append(F.col("_batch").desc())
+        if "ts" in cols:
+            order.append(F.col("ts").desc())
+        if "norm_embedding" in cols:
+            # inverted: the UPSERT wins the tie
+            order.append(F.col("norm_embedding").isNotNull().desc())
+        return order or [F.col("doc_id")]
+
+    monkeypatch.setattr(IX, "_latest_order", corrupted)
+    with pytest.raises(ValueError, match="tombstone-first tie rule"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_deletion_twin_detects_kept_tombstones(spark, monkeypatch):
+    """r12: a resolution that stops dropping tombstoned docs (deleted
+    content resurfaces in the serving view) must make the twin raise."""
+    import vector_search_question_answer_api_spark.streaming.index_stream as IX
+
+    real = IX._resolve_latest
+
+    def corrupted(log, keep_tombstones=False, keep_meta=False):
+        return real(log, keep_tombstones=True, keep_meta=keep_meta)
+
+    monkeypatch.setattr(IX, "_resolve_latest", corrupted)
+    with pytest.raises(ValueError, match="deletion roundtrip"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()

@@ -2815,6 +2815,173 @@ def _knn_graph_twin_check(normed: DataFrame) -> None:
             )
 
 
+def _deletion_roundtrip_twin_check(normed: DataFrame) -> None:
+    """Driver-visible correctness for DOCUMENT DELETION (VERDICT r11 #3
+    "deletion has zero driver-gate visibility"), run in-gate by the
+    oracle-green ann_ivf_topk gate — not a separate registered gate (the
+    driver records at most 50 rows, tests/test_registry_contract.py).
+
+    The lifecycle exercised on the gate's own corpus, through the real
+    index-log machinery (``streaming/index_stream``):
+
+    1. batch 0 ingests every doc; batch 1 deletes two docs (tombstones)
+       and upserts a third with a MOVED vector;
+    2. the resolved view must equal the post-delete corpus EXACTLY, and
+       k-NN SERVING over it must equal serving over a from-scratch
+       relation of that corpus (the post-delete ≡ rebuild contract);
+    3. batch 2 plants a same-(batch, ts) upsert+delete tie — the
+       tombstone-first tie rule (``index_stream._latest_order``) must
+       resolve it to DELETED;
+    4. batch 3 revives a deleted doc — resolution must bring it back
+       while the other tombstones stay visible in
+       ``read_index_tombstones``.
+
+    Mutation-tested in tests/test_gate_twins.py: dropping the
+    tombstone-first tie rule or resolving with tombstones kept both make
+    this raise.  All frames are corpus-sized at the correctness SF;
+    bench never runs this (RUN_TWIN_CHECKS)."""
+    import shutil
+    import tempfile
+
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_expr,
+    )
+    from vector_search_question_answer_api_spark.streaming import (
+        index_stream as IX,
+    )
+
+    spark = normed.sparkSession
+    idx = normed.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("nv").cast("array<float>").alias("norm_embedding"),
+    )
+
+    def _log_rows(df, ts_ms: int):
+        return df.select(
+            F.timestamp_millis(F.lit(ts_ms)).alias("ts"),
+            F.col("doc_id").alias("vec_id"),
+            "doc_id",
+            "norm_embedding",
+            F.lit(1.0).alias("norm"),
+        )
+
+    def _rel(df):
+        # a null embedding (a tombstone row leaking through a broken
+        # resolution) must surface as a VALUE difference, not a crash
+        return {
+            (
+                int(r["doc_id"]),
+                None
+                if r["norm_embedding"] is None
+                else tuple(r["norm_embedding"]),
+            )
+            for r in df.select("doc_id", "norm_embedding").collect()
+        }
+
+    moved = idx.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.reverse("norm_embedding").alias("norm_embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="gate_deletion_log_")
+    try:
+        import os
+
+        log_p = os.path.join(tmp, "log")
+        _log_rows(idx, 1_000).withColumn(
+            "_batch", F.lit(0)
+        ).write.mode("append").parquet(log_p)
+        b1 = _log_rows(moved, 2_000).unionByName(
+            IX.tombstones(
+                idx.filter(F.col("doc_id").isin(0, 1)).select(
+                    "doc_id", F.timestamp_millis(F.lit(2_000)).alias("ts")
+                )
+            )
+        )
+        b1.withColumn("_batch", F.lit(1)).write.mode("append").parquet(log_p)
+        expected = idx.filter(~F.col("doc_id").isin(0, 1, 2)).unionByName(
+            moved
+        )
+        resolved = IX.read_index_latest(spark, tmp)
+        got, want = _rel(resolved), _rel(expected)
+        if got != want or not got:
+            raise ValueError(
+                "deletion roundtrip: resolved index differs from the "
+                f"post-delete rebuild ({len(got ^ want)} rows differ)"
+            )
+        tombs = {
+            int(r["doc_id"])
+            for r in IX.read_index_tombstones(spark, tmp).collect()
+        }
+        if tombs != {0, 1}:
+            raise ValueError(
+                f"deletion roundtrip: tombstone view is {sorted(tombs)}, "
+                "want [0, 1]"
+            )
+        # SERVING equality, post-delete vs rebuild: same queries, same k
+        q = idx.filter(F.col("doc_id").isin(3, 4)).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("norm_embedding").cast("array<double>").alias("qvec"),
+        )
+
+        def _serve(index_df):
+            return {
+                (int(r["query_id"]), int(r["doc_id"]), int(r["rank"]))
+                for r in knn_exact_expr(q, index_df, k=3).collect()
+            }
+
+        if _serve(resolved) != _serve(expected):
+            raise ValueError(
+                "deletion roundtrip: post-delete serving differs from a "
+                "from-scratch rebuild over the post-delete corpus"
+            )
+        # tombstone-first TIE rule: same (batch, ts) upsert+delete of doc
+        # 5 must resolve to deleted
+        tie = _log_rows(
+            idx.filter(F.col("doc_id") == 5), 3_000
+        ).unionByName(
+            IX.tombstones(
+                idx.filter(F.col("doc_id") == 5).select(
+                    "doc_id", F.timestamp_millis(F.lit(3_000)).alias("ts")
+                )
+            )
+        )
+        tie.withColumn("_batch", F.lit(2)).write.mode("append").parquet(log_p)
+        alive5 = (
+            IX.read_index_latest(spark, tmp)
+            .filter(F.col("doc_id") == 5)
+            .count()
+        )
+        if alive5 != 0:
+            raise ValueError(
+                "deletion roundtrip: same-(batch, ts) upsert+delete tie "
+                "resolved to ALIVE — the tombstone-first tie rule is broken"
+            )
+        # REVIVAL: a later re-insert of doc 0 brings it back; 1 and 5
+        # remain deleted
+        _log_rows(idx.filter(F.col("doc_id") == 0), 4_000).withColumn(
+            "_batch", F.lit(3)
+        ).write.mode("append").parquet(log_p)
+        revived = _rel(IX.read_index_latest(spark, tmp))
+        want2 = {p for p in want if p[0] != 5} | _rel(
+            idx.filter(F.col("doc_id") == 0)
+        )
+        if revived != want2:
+            raise ValueError(
+                "deletion roundtrip: revival drifted "
+                f"({len(revived ^ want2)} rows differ)"
+            )
+        tombs2 = {
+            int(r["doc_id"])
+            for r in IX.read_index_tombstones(spark, tmp).collect()
+        }
+        if tombs2 != {1, 5}:
+            raise ValueError(
+                f"deletion roundtrip: post-revival tombstone view is "
+                f"{sorted(tombs2)}, want [1, 5]"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register("ann_ivf_topk", _ivf_oracle_sql(n_cells=16, nprobe=4, k=5))
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4-approx tier B: IVF (Sivic & Zisserman 2003 / FAISS IVFFlat shape)
@@ -2842,6 +3009,10 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _celled_hnsw_twin_check(normed)
         # r7 (VERDICT r6 #2): corpus k-NN graph driver-verified
         _knn_graph_twin_check(normed)
+        # r12 (VERDICT r11 #3): deletion lifecycle driver-verified —
+        # tombstone resolution, post-delete serving ≡ rebuild, the
+        # same-(batch, ts) tie rule, and revival
+        _deletion_roundtrip_twin_check(normed)
     cents = centroid_grid(64, 16)
     docs = normed.select(
         F.col("vec_id").alias("doc_id"), F.col("nv").alias("cvec")
