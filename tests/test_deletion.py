@@ -550,3 +550,114 @@ def test_vecmean_first_batch_dedups_intra_batch_versions(spark, tmp_path):
         superseded=one.select("doc_id", "norm_embedding"),
     )
     assert STS.read_profile_center(spark, path2) == ()
+
+
+def test_session_takedown_batch_equals_stream(spark, tmp_path):
+    """VERDICT r11 #7: a deleted doc must not live on as session context.
+    Delete the context doc mid-stream -> the next question drops the
+    stored context (the no-context branch) and re-retrieves; the deleted
+    doc is no longer servable as a candidate; a different question then
+    re-acquires a live context.  Batch replay with event-time tombstones
+    over the FULL index reproduces the stream bit-for-bit."""
+    from datetime import datetime, timedelta
+
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        prepare_qa_events,
+        replay_sessions,
+    )
+    from vector_search_question_answer_api_spark.streaming.session_stream import (
+        attach_session_state,
+    )
+
+    T0 = datetime(2024, 1, 1, 12, 0, 0)
+    DOC_A = "alpha strain with thc 20% relaxing indica profile for evening use"
+    DOC_B = "citrus sativa energizing bright flavor daytime focus boost blend"
+    docs = spark.createDataFrame(
+        [
+            (0, DOC_A, "en", "s", len(DOC_A)),
+            (1, DOC_B, "en", "s", len(DOC_B)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = build_index(docs).cache()
+    # doc 0 deleted at T0+90s — between events 1 and 2
+    del_ms = int((T0 + timedelta(seconds=90)).timestamp() * 1000)
+    log_path = str(tmp_path / "ix")
+    IX.append_tombstones(_ids(spark, [0], del_ms), log_path, 0)
+    tombs = IX.read_index_tombstones(spark, log_path, with_ts=True)
+    assert {(int(r["doc_id"]), r["ts"]) for r in tombs.collect()} == {
+        (0, T0 + timedelta(seconds=90))
+    }
+
+    rows = [
+        (0, T0, "s1", DOC_A),                          # -> context 0
+        (1, T0 + timedelta(minutes=1), "s1", DOC_A),   # keeps context 0
+        (2, T0 + timedelta(minutes=2), "s1", DOC_A),   # post-delete: drop +
+        #                                      re-retrieve -> doc 0 is gone
+        #                                      as a candidate too -> fallback
+        (3, T0 + timedelta(minutes=3), "s1", DOC_B),   # re-acquires doc 1
+    ]
+    qa = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, session_id string, question string"
+    )
+    # without tombstones the deleted doc would keep serving as context —
+    # the r11 gap this closes
+    stale = {
+        r["event_id"]: r for r in replay_sessions(qa, index).collect()
+    }
+    assert stale[2]["context_doc_id"] == 0
+    got = {
+        r["event_id"]: r
+        for r in replay_sessions(qa, index, tombstones=tombs).collect()
+    }
+    assert got[0]["context_doc_id"] == 0 and got[0]["context_changed"]
+    assert got[1]["context_doc_id"] == 0
+    assert got[2]["context_doc_id"] is None and got[2]["used_fallback"]
+    assert not got[2]["context_changed"]
+    assert got[3]["context_doc_id"] == 1 and got[3]["context_changed"]
+    assert not got[3]["used_fallback"]
+
+    # stream: same events in TWO micro-batches split at the deletion time,
+    # state carried across — must equal the batch replay column-for-column
+    prepared = prepare_qa_events(qa, index)
+    src = str(tmp_path / "prepared")
+    ckpt = str(tmp_path / "ckpt")
+    dest = str(tmp_path / "out")
+    schema = None
+    stream_out = {}
+    for pred in ("event_id < 2", "event_id >= 2"):
+        prepared.filter(pred).write.mode("append").parquet(src)
+        schema = schema or spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = attach_session_state(stream, tombstones=tombs)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+        for r in spark.read.parquet(dest).collect():
+            stream_out[r["event_id"]] = r
+    assert set(stream_out) == set(got)
+    for eid in got:
+        for col in (
+            "session_id",
+            "context_doc_id",
+            "context_changed",
+            "is_new_topic",
+            "used_fallback",
+            "answer",
+            "history_len",
+            "expired_before",
+        ):
+            assert stream_out[eid][col] == got[eid][col], (
+                f"event {eid} col {col}: "
+                f"{stream_out[eid][col]} != {got[eid][col]}"
+            )
+    index.unpersist()

@@ -71,15 +71,39 @@ def _as_vec(v) -> np.ndarray | None:
     return np.asarray(v, dtype=np.float64)
 
 
+def _is_deleted(doc_id, ts, deleted: "dict | None") -> bool:
+    """Event-time deletion check: doc ``doc_id`` is deleted AS OF ``ts``
+    when the takedown map carries it with a deletion time <= ts (a None
+    deletion time means deleted at all times)."""
+    if not deleted or doc_id is None:
+        return False
+    if int(doc_id) not in deleted:
+        return False
+    dts = deleted[int(doc_id)]
+    return dts is None or ts >= dts
+
+
 def _fold_session_rows(
     rows: Iterable[dict[str, Any]],
     cfg: EngineConfig,
     state: _SessionState | None = None,
+    deleted: "dict | None" = None,
 ) -> tuple[list[dict[str, Any]], _SessionState]:
     """The per-session decision loop.  ``rows`` must be time-ordered dicts
     with: event_id, ts, question, q_vec (normalized), cand_doc_id,
     cand_dist, cand_vec (the candidate doc's normalized vector, attached by
-    join in prepare_qa_events).  Returns (output rows, final state)."""
+    join in prepare_qa_events).  Returns (output rows, final state).
+
+    ``deleted`` (r12, VERDICT r11 #7 — session-state takedown) maps
+    doc_id -> deletion event time (None = always): a session whose
+    CONTEXT doc is deleted as of the current event's time drops it before
+    deciding — exactly the reference's no-context branch
+    (services/qa_service.py:49-65 would simply fail to re-find the doc) —
+    forcing re-retrieval; and a retrieval CANDIDATE that is deleted as of
+    the event time is treated as a miss (the doc no longer exists to be
+    served).  Event-time semantics make the fold as-of-correct: events
+    BEFORE the deletion still used the doc, which is what a streaming run
+    whose deletion landed mid-stream observed."""
     state = state or _SessionState()
     ttl = timedelta(minutes=cfg.session_ttl_minutes)
     out = []
@@ -90,10 +114,21 @@ def _fold_session_rows(
         )
         if expired:
             state = _SessionState()
+        if _is_deleted(state.context_doc_id, ts, deleted):
+            # takedown: the context doc no longer exists — drop it so this
+            # event takes the cold-retrieval branch (history is kept; only
+            # the deleted doc's presence in state ends)
+            state.context_doc_id = None
+            state.context_vec = None
 
         q_vec = r["q_vec"]
         cand_id, cand_dist = r["cand_doc_id"], r["cand_dist"]
-        hit_ok = cand_id is not None and cand_dist is not None and cand_dist < cfg.retrieval_max_distance
+        hit_ok = (
+            cand_id is not None
+            and cand_dist is not None
+            and cand_dist < cfg.retrieval_max_distance
+            and not _is_deleted(cand_id, ts, deleted)
+        )
 
         is_new_topic = False
         context_changed = False
@@ -424,6 +459,24 @@ def _attach_candidates(
     return with_vec.join(hits_with_vec, "event_id", "left")
 
 
+def tombstone_map(tombstones) -> "dict | None":
+    """Normalize a takedown set into the fold's doc_id -> deletion-time
+    dict: accepts a dict as-is, or a DataFrame of ``(doc_id[, ts])`` rows
+    — e.g. ``index_stream.read_index_tombstones(spark, path,
+    with_ts=True)`` — COLLECTED driver-side.  Takedown sets are
+    driver-sized by contract (a deletion list is operator input, not a
+    data relation); the dict rides the fold closure like the config."""
+    if tombstones is None:
+        return None
+    if isinstance(tombstones, dict):
+        return {int(k): v for k, v in tombstones.items()}
+    cols = tombstones.columns
+    return {
+        int(r["doc_id"]): (r["ts"] if "ts" in cols else None)
+        for r in tombstones.collect()
+    }
+
+
 def replay_sessions(
     qa_events: DataFrame,
     index: DataFrame,
@@ -432,6 +485,7 @@ def replay_sessions(
     usage: "UsageCounters | None" = None,
     retrieval: str = "exact",
     graphs: DataFrame | None = None,
+    tombstones=None,
     **retrieval_kwargs,
 ) -> DataFrame:
     """Batch replay of the stateful /qa pipeline: precompute retrieval
@@ -443,6 +497,17 @@ def replay_sessions(
     utils/ollama_monitor.py:30-88): Spark accumulators instead of psutil
     polls, readable on the driver after an action.
 
+    ``tombstones`` (r12, VERDICT r11 #7) applies document deletion to the
+    SESSION lifecycle with event-time semantics: a ``(doc_id, ts)``
+    DataFrame (``read_index_tombstones(..., with_ts=True)``) or a
+    doc_id -> deletion-ts dict.  As of each deletion's time, a session
+    holding that doc as context drops it (forcing re-retrieval — the
+    no-context branch) and the doc stops being servable as a retrieval
+    candidate; events BEFORE the deletion are untouched, so a batch
+    replay over the FULL index (including since-deleted docs) reproduces
+    exactly what a streaming run with the deletion landing mid-stream
+    observed (pinned batch ≡ stream in tests/test_deletion.py).
+
     ``retrieval_kwargs`` pass through to :func:`prepare_qa_events` (e.g.
     ``graph_n_cells``/``graph_nprobe``/``graph_ef`` for the graph tier —
     they must match the layout of a pre-built ``graphs`` frame)."""
@@ -451,6 +516,7 @@ def replay_sessions(
         **retrieval_kwargs,
     )
     cfg_ = cfg
+    deleted = tombstone_map(tombstones)
     ev_acc = usage.events if usage is not None else None
     sess_acc = usage.sessions if usage is not None else None
 
@@ -458,7 +524,7 @@ def replay_sessions(
         pdf = pdf.sort_values(["ts", "event_id"])
         sid = pdf["session_id"].iloc[0]
         rows = pdf.to_dict("records")
-        out, _ = _fold_session_rows(rows, cfg_)
+        out, _ = _fold_session_rows(rows, cfg_, deleted=deleted)
         if ev_acc is not None:
             ev_acc.add(len(out))
             sess_acc.add(1)

@@ -196,21 +196,24 @@ def append_tombstones(ids: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
-def read_index_tombstones(spark: SparkSession, path: str) -> DataFrame:
+def read_index_tombstones(
+    spark: SparkSession, path: str, with_ts: bool = False
+) -> DataFrame:
     """``(doc_id)`` of docs whose NEWEST log row is a tombstone — the
     currently-deleted set.  Same one-window cost as the latest view; used
     by read surfaces that serve doc-keyed artifacts not rebuilt from the
     resolved index (e.g. span-store reads).  Survives compaction: the
     fold keeps tombstoned docs' null rows as id-only markers (see
-    ``compact_index``)."""
+    ``compact_index``).  ``with_ts=True`` (r12) additionally returns each
+    tombstone's deletion EVENT TIME — the input the session-takedown
+    replay needs (``sessions.replay_sessions(tombstones=...)``)."""
     log = _raw_log(spark, path)
     if log is None:
         raise FileNotFoundError(f"no index at {path}")
-    return (
-        _resolve_latest(log, keep_tombstones=True)
-        .filter(F.col("norm_embedding").isNull())
-        .select("doc_id")
-    )
+    dels = _resolve_latest(
+        log, keep_tombstones=True, keep_meta=with_ts
+    ).filter(F.col("norm_embedding").isNull())
+    return dels.select("doc_id", "ts") if with_ts else dels.select("doc_id")
 
 
 def maintain_index(

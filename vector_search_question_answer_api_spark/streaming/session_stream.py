@@ -59,8 +59,23 @@ STATE_SCHEMA = (
 )
 
 
-def make_session_stateful_fn(cfg=DEFAULT_CONFIG):
-    """Build the applyInPandasWithState function closure."""
+def make_session_stateful_fn(cfg=DEFAULT_CONFIG, tombstones=None):
+    """Build the applyInPandasWithState function closure.
+
+    ``tombstones`` (r12): a doc_id -> deletion-event-time dict (see
+    ``operators.sessions.tombstone_map``) applied with event-time
+    semantics inside the fold — a stored session whose context doc is
+    deleted as of the current event drops it (forcing re-retrieval), and
+    a deleted doc stops being accepted as a retrieval candidate.  The
+    dict is captured at query(-restart) time; because the check is
+    event-time (ts >= deletion ts), passing deletions up front is exactly
+    equivalent to their landing mid-stream — batch ≡ stream holds with
+    the same map on both sides (pinned in tests/test_deletion.py)."""
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        tombstone_map,
+    )
+
+    deleted = tombstone_map(tombstones)
 
     def fn(
         key: tuple,
@@ -88,7 +103,7 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG):
         for pdf in pdfs:
             rows.extend(pdf.to_dict("records"))
         rows.sort(key=lambda r: (r["ts"], r["event_id"]))
-        out, final = _fold_session_rows(rows, cfg, prior)
+        out, final = _fold_session_rows(rows, cfg, prior, deleted=deleted)
         state.update(
             (
                 final.context_doc_id,
@@ -116,16 +131,18 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG):
 
 
 def attach_session_state(
-    prepared_stream: DataFrame, cfg=DEFAULT_CONFIG
+    prepared_stream: DataFrame, cfg=DEFAULT_CONFIG, tombstones=None
 ) -> DataFrame:
     """Wire the stateful stage onto a prepared (q_vec/cand/cand_vec columns)
     stream.  Applies the TTL watermark on ``ts`` — late events beyond the TTL
-    may be dropped, matching the reference's 30-min session horizon."""
+    may be dropped, matching the reference's 30-min session horizon.
+    ``tombstones`` passes through to :func:`make_session_stateful_fn`
+    (session-state takedown, event-time applied)."""
     watermarked = prepared_stream.withWatermark(
         "ts", f"{cfg.session_ttl_minutes} minutes"
     )
     return watermarked.groupBy("session_id").applyInPandasWithState(
-        make_session_stateful_fn(cfg),
+        make_session_stateful_fn(cfg, tombstones=tombstones),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
