@@ -63,6 +63,7 @@ def _subpaths(root: str) -> dict[str, str]:
         "profile": os.path.join(root, "profile"),
         "spans": os.path.join(root, "spans"),
         "lsh": os.path.join(root, "lsh"),
+        "docs": os.path.join(root, "docs"),
     }
 
 
@@ -87,6 +88,8 @@ def maintain_corpus(
     graph_radii: bool = False,
     compact_index_every: int | None = None,
     compact_lsh_every: int | None = None,
+    docs_store: bool = False,
+    profile_rebuild_every: int | None = None,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -123,6 +126,26 @@ def maintain_corpus(
     replay-safety shape: the fold runs at batch start bounded to
     ``up_to_batch=batch_id`` (a crashed attempt's own batch dir is left
     for the replaying handler's overwrite).  Requires ``lsh_artifact``.
+
+    ``docs_store=True`` (r12) additionally persists each batch's RAW
+    document rows (doc_id, ts, text, n_chars, deletion marker) under
+    ``<root>/docs/batch=<id>`` — the engine's own copy of the corpus
+    (what a 100 TB pipeline's data lake holds anyway), resolvable to the
+    latest live version per doc via :func:`read_corpus_docs`.  Map-only
+    per batch, ``batch=<id>`` overwrite (replay-safe).
+
+    ``profile_rebuild_every=N`` (r12, VERDICT r11 #5) bounds the ONE
+    staleness the profile sketches inherently accumulate: CMS / histogram
+    / HLL are linear counters that cannot subtract deleted or superseded
+    content, so without a cadence they summarize every version ever
+    ingested.  Every N batches ``stats_stream.rebuild_profile`` re-sketches
+    the RESOLVED corpus (from the docs store — hence this knob requires
+    ``docs_store=True``) into a profile generation; reads then merge that
+    base with only the batches since, so drift is bounded by N batches of
+    churn instead of the store's lifetime.  One corpus pass per rebuild —
+    the inherent price of a rebuild, paid at the cadence, never per batch
+    or per read.  Replay-safe like the compactions: runs at batch START
+    over ``batch < batch_id`` evidence.
 
     DELETION (r11): a stream carrying a boolean ``_delete`` column mixes
     deletions into the same flow — a deletion row needs only (doc_id, ts,
@@ -166,6 +189,14 @@ def maintain_corpus(
         # is worse than a loud contract
         raise ValueError(
             "maintain_corpus: compact_lsh_every= requires lsh_artifact="
+        )
+    if profile_rebuild_every and not docs_store:
+        # the rebuild re-sketches TEXT, which only the docs store holds
+        # (the index log stores embeddings) — require the store explicitly
+        # rather than silently enabling a second copy of the corpus
+        raise ValueError(
+            "maintain_corpus: profile_rebuild_every= requires "
+            "docs_store=True (the rebuild re-sketches the resolved TEXT)"
         )
     p = _subpaths(root)
     if centroids is None:
@@ -217,6 +248,26 @@ def maintain_corpus(
             except FileNotFoundError:
                 pass  # nothing ingested yet
         if (
+            profile_rebuild_every
+            and batch_id > 0
+            and batch_id % int(profile_rebuild_every) == 0
+        ):
+            # profile rebuild at batch START over `batch < batch_id` docs
+            # (order-independent evidence — replay-safe; the crashed
+            # attempt's own docs dir is excluded and overwritten below)
+            try:
+                resolved_docs = read_corpus_docs(
+                    spark, root, before_batch=int(batch_id)
+                )
+                STS.rebuild_profile(
+                    spark, p["profile"], resolved_docs,
+                    covered_up_to=int(batch_id),
+                    depth=cms_depth, width=cms_width, n_bins=n_bins,
+                    chars_hi=chars_hi,
+                )
+            except FileNotFoundError:
+                pass  # nothing ingested yet
+        if (
             lsh_artifact is not None
             and compact_lsh_every
             and batch_id > 0
@@ -234,6 +285,31 @@ def maintain_corpus(
             except FileNotFoundError:
                 pass  # no signature store yet (first batches pending)
         try:
+            if docs_store:
+                # raw document rows, batch=<id> overwrite (replay-safe):
+                # the corpus copy the profile rebuild (and any future
+                # text-derived artifact rebuild) resolves from
+                doc_rows = ups.select(
+                    "doc_id",
+                    "ts",
+                    "text",
+                    "n_chars",
+                    F.lit(False).alias("_tomb"),
+                )
+                if dels is not None:
+                    nc_t = ups.schema["n_chars"].dataType
+                    doc_rows = doc_rows.unionByName(
+                        dels.select(
+                            "doc_id",
+                            "ts",
+                            F.lit(None).cast("string").alias("text"),
+                            F.lit(None).cast(nc_t).alias("n_chars"),
+                            F.lit(True).alias("_tomb"),
+                        )
+                    )
+                doc_rows.write.mode("overwrite").parquet(
+                    os.path.join(p["docs"], f"batch={int(batch_id)}")
+                )
             # profile + span stores: batch=<id> overwrite, replay-safe
             STS.write_profile_batch(
                 ups, p["profile"], batch_id,
@@ -412,6 +488,39 @@ def maintain_corpus(
 def read_corpus_index(spark: SparkSession, root: str) -> DataFrame:
     """The resolved latest-wins embedding index."""
     return IX.read_index_latest(spark, _subpaths(root)["index"])
+
+
+def read_corpus_docs(
+    spark: SparkSession, root: str, before_batch: int | None = None
+) -> DataFrame:
+    """The resolved DOCUMENT corpus from the ``docs_store=True`` store:
+    latest version per doc (by batch, then event time; a same-(batch, ts)
+    upsert+delete tie resolves to deleted — the index-log tie rule),
+    deleted docs dropped.  ``before_batch=N`` restricts to rows with
+    ``batch < N`` — the order-independent evidence predicate the
+    in-stream profile rebuild uses (replay-safe).  One latest-per-doc
+    window over the store — the rebuild-cadence cost, never a per-read
+    one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = _subpaths(root)["docs"]
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"no docs store at {d} (maintain_corpus(docs_store=True))"
+        )
+    df = spark.read.parquet(d)
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < int(before_batch))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("batch").desc(), F.col("ts").desc(), F.col("_tomb").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("_tomb"))
+        .select("doc_id", "ts", "text", "n_chars")
+    )
 
 
 def read_corpus_profile(spark: SparkSession, root: str) -> dict:

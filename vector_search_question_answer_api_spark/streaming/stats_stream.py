@@ -193,8 +193,141 @@ def maintain_profile(
     return writer.start()
 
 
+# profile generations (rebuild_profile): PROF_MANIFEST records the current
+# generation dir, the batch id it covers up to, and WHICH sketch kinds it
+# rebuilt (vecmean is never one — it is exactly maintained by supersession
+# and a rebuild would be strictly worse); PROF_RETIRED lists paths the last
+# rebuild superseded, physically deleted by the next one (grace period).
+_PROF_MANIFEST = "PROF_MANIFEST"
+_PROF_RETIRED = "PROF_RETIRED"
+_REBUILT_KINDS = ("cms", "hist", "hll")
+
+
+def _prof_manifest(path: str) -> "dict | None":
+    import json
+
+    try:
+        with open(os.path.join(path, _PROF_MANIFEST), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def rebuild_profile(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    covered_up_to: int,
+    depth: int = SK.DEFAULT_DEPTH,
+    width: int = SK.DEFAULT_WIDTH,
+    n_bins: int = 64,
+    chars_hi: float = 4096.0,
+    lgk: int = 12,
+) -> None:
+    """Rebuild the CMS / histogram / HLL sketches from ``docs`` — the
+    RESOLVED document corpus as of batch ``covered_up_to`` (latest version
+    per doc, deleted docs excluded) — bounding the one staleness these
+    linear summaries inherently accumulate (VERDICT r11 #5: they are not
+    decrementable, so without a rebuild they keep counting deleted and
+    superseded content forever).
+
+    Protocol = the signature-store compaction discipline: the one-shot
+    sketches land in ``.prof-gen-<n>/{cms,hist,hll}``, ``PROF_MANIFEST``
+    publishes atomically with ``covered_up_to``, and reads merge the
+    generation with only the per-batch dirs at ``batch >= covered_up_to``
+    — so post-rebuild drift is bounded by the batches SINCE the rebuild,
+    not the store's lifetime.  The superseded generation and the covered
+    batch dirs are grace-retired (``PROF_RETIRED``) and physically
+    deleted by the NEXT rebuild.  The vecmean rows are untouched: the
+    maintained center is already exact under churn and deletion.
+
+    Replay-safe at the ``maintain_corpus(profile_rebuild_every=)`` call
+    site: invoked at batch START with ``covered_up_to=batch_id`` over the
+    docs store's ``batch < batch_id`` rows — order-independent evidence,
+    so a replayed rebuild writes a new generation with identical content.
+    Cost: ONE corpus pass at the rebuild cadence (that is what a rebuild
+    is); everything between rebuilds stays per-batch-sized."""
+    import glob as _glob
+    import json
+    import shutil
+
+    # grace sweep: drop what the PREVIOUS rebuild retired
+    try:
+        with open(os.path.join(path, _PROF_RETIRED), encoding="utf-8") as f:
+            for stale in (ln.strip() for ln in f):
+                if stale and os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    cur = _prof_manifest(path)
+    cur_gen = cur["gen"] if cur else None
+    # orphan sweep: a rebuild that died before its manifest publish
+    for d in _glob.glob(os.path.join(path, ".prof-gen-*")):
+        if os.path.isdir(d) and os.path.basename(d) != cur_gen:
+            shutil.rmtree(d, ignore_errors=True)
+    n = int(cur_gen.split("-")[-1]) + 1 if cur_gen else 0
+    gen = f".prof-gen-{n:06d}"
+    gen_p = os.path.join(path, gen)
+    toks = SK.token_stream(docs)
+    SK.cms_sketch(toks, depth=depth, width=width).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gen_p, "cms"))
+    SK.histogram_sketch(docs, "n_chars", 0.0, chars_hi, n_bins).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gen_p, "hist"))
+    SK.hll_sketch(toks, "token", lgk=lgk).write.mode("overwrite").parquet(
+        os.path.join(gen_p, "hll")
+    )
+    tmp = os.path.join(path, ".PROF_MANIFEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "gen": gen,
+                "covered_up_to": int(covered_up_to),
+                "kinds": list(_REBUILT_KINDS),
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, _PROF_MANIFEST))  # atomic publish
+    retire: list[str] = []
+    if cur_gen:
+        retire.append(os.path.realpath(os.path.join(path, cur_gen)))
+    for kind in _REBUILT_KINDS:
+        for d in _glob.glob(os.path.join(path, kind, "batch=*")):
+            if int(os.path.basename(d).split("=")[1]) < int(covered_up_to):
+                retire.append(os.path.realpath(d))
+    tmp_r = os.path.join(path, ".PROF_RETIRED.tmp")
+    with open(tmp_r, "w", encoding="utf-8") as f:
+        f.write("\n".join(retire) + "\n")
+    os.replace(tmp_r, os.path.join(path, _PROF_RETIRED))
+
+
 def _read_parts(spark: SparkSession, path: str, kind: str) -> DataFrame:
     d = os.path.join(path, kind)
+    m = _prof_manifest(path)
+    if m is not None and kind in m.get("kinds", ()):
+        # generation-based kind: merge the rebuilt base with only the
+        # batches SINCE the rebuild (older dirs are covered by the
+        # generation and grace-retired on disk; listing them explicitly
+        # also keeps an emptied batch dir from breaking schema inference)
+        import glob as _glob
+
+        gen_d = os.path.join(path, m["gen"], kind)
+        covered = int(m["covered_up_to"])
+        gen = spark.read.parquet(gen_d)
+        live_dirs = [
+            b
+            for b in _glob.glob(os.path.join(d, "batch=*"))
+            if int(os.path.basename(b).split("=")[1]) >= covered
+        ]
+        if not live_dirs:
+            return gen
+        live = (
+            spark.read.option("basePath", d)
+            .parquet(*live_dirs)
+            .drop("batch")
+        )
+        return gen.unionByName(live)
     if not os.path.isdir(d):
         # match read_index_latest: a missing store is a caller error with a
         # named path, not an AttributeError three frames later (ADVICE r7)
