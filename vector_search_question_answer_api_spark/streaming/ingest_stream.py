@@ -132,7 +132,11 @@ def maintain_corpus(
     ``<root>/docs/batch=<id>`` — the engine's own copy of the corpus
     (what a 100 TB pipeline's data lake holds anyway), resolvable to the
     latest live version per doc via :func:`read_corpus_docs`.  Map-only
-    per batch, ``batch=<id>`` overwrite (replay-safe).
+    per batch, ``batch=<id>`` overwrite (replay-safe).  Enable it from
+    the FIRST batch: turned on mid-life it only covers batches since,
+    and a profile rebuild from a partial store would silently UNDERCOUNT
+    the older docs (the store cannot tell partial from complete — the
+    one integrity property the batch-dir layout does not carry).
 
     ``profile_rebuild_every=N`` (r12, VERDICT r11 #5) bounds the ONE
     staleness the profile sketches inherently accumulate: CMS / histogram
