@@ -321,6 +321,34 @@ def read_index_latest(spark: SparkSession, path: str) -> DataFrame:
     return _resolve_latest(log)
 
 
+def read_index_asof(spark: SparkSession, path: str, ts) -> DataFrame:
+    """TIME-TRAVEL read (r12): the resolved index as of EVENT time ``ts``
+    — rows with ``ts <= T`` resolved latest-wins, so upserts after ``T``
+    are invisible, a doc deleted after ``T`` is still served, and a doc
+    deleted before ``T`` is dropped.  The reproducibility read a training
+    pipeline needs ("which corpus state produced this dataset?"), derived
+    entirely from the log the store already keeps — zero extra state.
+
+    Retention contract (the Delta/Iceberg time-travel-vs-vacuum analog,
+    stated honestly): EXACT for any ``T`` while every version's log row
+    survives; ``compact_index`` keeps only each doc's LATEST row (with
+    its original ``(ts, _batch)``), so after a compaction an as-of read
+    older than a doc's surviving version cannot reproduce the superseded
+    content — the doc resolves to ABSENT at such a ``T`` (its only row
+    carries a newer ts), never to a wrong version.  Pin as-of
+    reproducibility needs by compacting on a retention schedule, exactly
+    like a table format's vacuum horizon."""
+    log = _raw_log(spark, path)
+    if log is None:
+        raise FileNotFoundError(f"no index at {path}")
+    if "ts" not in log.columns:
+        raise ValueError(
+            "read_index_asof: this index carries no event time (a plain "
+            "save_index artifact) — no as-of axis to travel on"
+        )
+    return _resolve_latest(log.filter(F.col("ts") <= F.lit(ts)))
+
+
 def read_index_before_batch(
     spark: SparkSession,
     path: str,

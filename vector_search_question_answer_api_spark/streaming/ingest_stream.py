@@ -495,16 +495,23 @@ def read_corpus_index(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_corpus_docs(
-    spark: SparkSession, root: str, before_batch: int | None = None
+    spark: SparkSession,
+    root: str,
+    before_batch: int | None = None,
+    asof_ts=None,
 ) -> DataFrame:
     """The resolved DOCUMENT corpus from the ``docs_store=True`` store:
     latest version per doc (by batch, then event time; a same-(batch, ts)
     upsert+delete tie resolves to deleted — the index-log tie rule),
     deleted docs dropped.  ``before_batch=N`` restricts to rows with
     ``batch < N`` — the order-independent evidence predicate the
-    in-stream profile rebuild uses (replay-safe).  One latest-per-doc
-    window over the store — the rebuild-cadence cost, never a per-read
-    one."""
+    in-stream profile rebuild uses (replay-safe).  ``asof_ts=T`` (r12)
+    time-travels on the EVENT axis instead: rows with ``ts <= T``
+    resolved latest-wins — and because the docs store is never compacted
+    (every version's row survives), docs-store as-of reads are EXACT at
+    any ``T``, unlike ``read_index_asof`` whose exactness is bounded by
+    the index compaction horizon.  One latest-per-doc window over the
+    store — the rebuild-cadence cost, never a per-read one."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -516,6 +523,8 @@ def read_corpus_docs(
     df = spark.read.parquet(d)
     if before_batch is not None:
         df = df.filter(F.col("batch") < int(before_batch))
+    if asof_ts is not None:
+        df = df.filter(F.col("ts") <= F.lit(asof_ts))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("batch").desc(), F.col("ts").desc(), F.col("_tomb").desc()
     )
