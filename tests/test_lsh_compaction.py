@@ -405,3 +405,30 @@ def test_in_stream_compaction_cadence(spark, tmp_path):
     assert _sig_set(ann.read_lsh_signatures(spark, lsh_path)) == _sig_set(
         ann.read_lsh_signatures(spark, rebuilt)
     )
+
+
+def test_recommended_lsh_compaction_every_codifies_sweep():
+    """r12: the compaction-cadence rule N* = sqrt(2C/(r*m)) pinned at the
+    measured sweep point (measurements/r12_lsh_log_depth.json: marginal
+    premium m=0.020 s/log batch, fold cost C=0.90 s on the bench
+    geometry) and at its limits."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_lsh_compaction_every,
+    )
+
+    # the measured point: one read per batch interval -> compact every ~9
+    assert recommended_lsh_compaction_every(1, 0.895, 0.0203) == 9
+    # read-heavy serving pulls the cadence to every batch
+    assert recommended_lsh_compaction_every(100, 0.895, 0.0203) == 1
+    # nothing reads between batches -> fold rarely (capped)
+    assert recommended_lsh_compaction_every(0, 0.895, 0.0203) == 256
+    # a free fold -> compact always
+    assert recommended_lsh_compaction_every(10, 0.0, 0.0203) == 1
+    # cost rate r*m*N/2 + C/N really is minimized at the returned N
+    r, C, m = 1, 0.895, 0.0203
+    n_star = recommended_lsh_compaction_every(r, C, m)
+
+    def rate(n):
+        return r * m * n / 2 + C / n
+
+    assert all(rate(n_star) <= rate(n) + 1e-9 for n in (n_star - 1, n_star + 1))

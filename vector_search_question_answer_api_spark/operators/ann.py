@@ -122,6 +122,38 @@ def recommended_lsh_params(
     return planes, tables
 
 
+def recommended_lsh_compaction_every(
+    reads_per_batch: float,
+    fold_cost_sec: float,
+    marginal_resolve_sec: float,
+    max_every: int = 256,
+) -> int:
+    """The signature-store compaction-cadence rule as code (SCALE.md r12
+    log-depth sweep): with cadence N (``maintain_corpus(compact_lsh_every
+    =N)``), ``r`` serving reads per batch interval, a measured marginal
+    resolution premium ``m`` per log batch (the window + anti-join the
+    log-bearing read pays) and fold cost ``C``
+    (``compact_lsh_signatures``), the average cost rate per batch
+    interval is ``r*m*N/2 + C/N`` — premiums grow linearly in the depth
+    the cadence allows, the fold amortizes over it — minimized at
+    ``N* = sqrt(2C / (r*m))``.
+
+    Advisory like every ``recommended_*`` rule: no serving default
+    changes under a caller's feet.  Low read rates push the cadence out
+    (the log stays shallow per read anyway at r<1); read-heavy serving
+    pulls it toward compacting every batch.  Measured constants for the
+    bench geometry live in ``measurements/r12_lsh_log_depth.json``
+    (``tools/lsh_log_depth.py``)."""
+    import math
+
+    if reads_per_batch <= 0 or marginal_resolve_sec <= 0:
+        return max_every  # nothing reads the premium — fold rarely
+    if fold_cost_sec <= 0:
+        return 1
+    n = math.sqrt(2.0 * fold_cost_sec / (reads_per_batch * marginal_resolve_sec))
+    return max(1, min(max_every, round(n)))
+
+
 @lru_cache(maxsize=None)
 def hyperplanes(
     dim: int, n_planes: int = DEFAULT_N_PLANES, n_tables: int = DEFAULT_N_TABLES
