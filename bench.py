@@ -411,6 +411,114 @@ def _lsh_ondisk_fns(spark, sf_dir):
     )
 
 
+def _bm25_stored_fns(spark, sf_dir):
+    """r12 bench entries: the maintained lexical (BM25) postings store
+    (operators/lexical_store.py) vs the one-shot ``bm25_topk`` gate —
+    the last serving artifact that was still rebuilt per query.  Three
+    regimes on the SAME gate fixture (every 100th doc's text as the
+    query side):
+
+    - ``bm25_oneshot``: ``bm25_topk`` as-is — re-tokenizes the corpus
+      per call, the one-shot batch shape (the correctness gate's exact
+      code path, here so the amortization delta lives in the ledger);
+    - ``bm25_stored``: serves from a compacted store (build outside the
+      timed loop) — a pruned parquet slice + the scoring joins, zero
+      corpus tokenization;
+    - ``bm25_stored_maintained``: the same store with a 4-deep
+      NET-IDENTITY maintenance log (two ~2%-of-corpus re-upserts of the
+      same text, one delete/revive pair) — the timed read pays the full
+      log-bearing resolution (log window + broadcast anti-join), so the
+      delta vs ``bm25_stored`` is the between-compactions premium,
+      isolated (the ``ann_lsh_maintained`` protocol).
+
+    One-time pins outside the loop: all three emit the identical
+    relation.  LOG DEPTH stated: 4 batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.inventory import (
+        _bm25_gate_inputs,
+    )
+    from vector_search_question_answer_api_spark.operators import (
+        lexical_store as LXS,
+    )
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        bm25_topk,
+    )
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_bm25_")
+    docs, q = _bm25_gate_inputs(spark, sf_dir)
+    docs = docs.persist()
+    n_docs = docs.count()
+    path = root + "/postings"
+    LXS.write_postings_index(docs, path, n_buckets=32)
+
+    # maintained twin: same base + a 4-deep net-identity log
+    m_path = root + "/postings_maintained"
+    LXS.write_postings_index(docs, m_path, n_buckets=32)
+    B = max(1, n_docs // 50)
+    ts = F.timestamp_millis(F.col("doc_id") + F.lit(1_000_000))
+
+    def _b(df, tomb=False):
+        if tomb:
+            return df.select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                ts.alias("ts"),
+                F.lit(True).alias("_tomb"),
+            )
+        return df.select(
+            "doc_id", "text", ts.alias("ts"), F.lit(False).alias("_tomb")
+        )
+
+    batches = (
+        _b(docs.filter(F.col("doc_id") == 0), tomb=True),
+        _b(docs.filter(F.col("doc_id") == 0)),
+        _b(docs.filter((F.col("doc_id") > 0) & (F.col("doc_id") % 50 == 1))),
+        _b(docs.filter((F.col("doc_id") > 0) & (F.col("doc_id") % 50 == 2))),
+    )
+    for i, b in enumerate(batches):
+        LXS.append_postings_batch(
+            b, m_path, i, n_buckets=32, tomb_col="_tomb"
+        )
+
+    def bm25_oneshot(spark, sf_dir):
+        return bm25_topk(docs, q, k=5)
+
+    def bm25_stored(spark, sf_dir):
+        return LXS.bm25_topk_stored(spark, path, q, k=5)
+
+    def bm25_stored_maintained(spark, sf_dir):
+        return LXS.bm25_topk_stored(spark, m_path, q, k=5)
+
+    def rel(df):
+        return {
+            (
+                int(r["query_id"]),
+                int(r["doc_id"]),
+                round(r["score"], 9),
+                int(r["rank"]),
+            )
+            for r in df.collect()
+        }
+
+    ref = rel(bm25_oneshot(spark, sf_dir))
+    s = rel(bm25_stored(spark, sf_dir))
+    assert s and s == ref, f"stored bm25 disagrees ({len(s)} vs {len(ref)})"
+    m = rel(bm25_stored_maintained(spark, sf_dir))
+    assert m == ref, f"maintained bm25 disagrees ({len(m)} vs {len(ref)})"
+    return (
+        {
+            "bm25_oneshot": bm25_oneshot,
+            "bm25_stored": bm25_stored,
+            "bm25_stored_maintained": bm25_stored_maintained,
+        },
+        root,
+        [docs],
+    )
+
+
 def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     """r9 bench entries (VERDICT r8 #2): the reference's richest lifecycle
     — the stateful /qa replay (embed -> k=1 retrieve -> topic fold -> stub
@@ -1128,6 +1236,12 @@ def main() -> None:
         cleanup_caches.extend(caches)
         return fns
 
+    def _setup_bm25_store():
+        fns, root, caches = _bm25_stored_fns(spark, sf_dir)
+        cleanup_roots.append(root)
+        cleanup_caches.extend(caches)
+        return fns
+
     lazy_groups: dict[str, tuple] = {
         "qa_replay_exact": ("qa", _setup_qa),
         "qa_replay_graph": ("qa", _setup_qa),
@@ -1140,6 +1254,9 @@ def main() -> None:
         "ann_lsh_mem": ("lsh_ondisk", _setup_lsh),
         "ann_lsh_ondisk": ("lsh_ondisk", _setup_lsh),
         "ann_lsh_maintained": ("lsh_ondisk", _setup_lsh),
+        "bm25_oneshot": ("bm25_store", _setup_bm25_store),
+        "bm25_stored": ("bm25_store", _setup_bm25_store),
+        "bm25_stored_maintained": ("bm25_store", _setup_bm25_store),
     }
     done_groups: set[str] = set()
 

@@ -113,9 +113,6 @@ def bm25_topk(
     """
     postings, doclens, stats = build_postings(documents, id_col, text_col)
 
-    # df per term = number of postings rows for it (one per doc).
-    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -126,6 +123,44 @@ def bm25_topk(
             ).alias("term"),
         )
     )
+    return score_postings_bm25(
+        postings,
+        qterms,
+        stats,
+        k=k,
+        k1=k1,
+        b=b,
+        round_digits=round_digits,
+        max_doc_freq=max_doc_freq,
+    )
+
+
+def score_postings_bm25(
+    postings: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """The BM25 scoring tail shared by :func:`bm25_topk` (postings built
+    fresh from a corpus relation) and
+    ``lexical_store.bm25_topk_stored`` (postings resolved from the
+    maintained on-disk store): (query_id, doc_id, score, rank) from a
+    ``(term, doc_id, tf, dl)`` postings relation, a ``(query_id, term)``
+    query-term relation, and a one-row ``(n_docs, avgdl)`` stats
+    relation.  One code path means the stored tier is relation-equal to
+    the one-shot BY CONSTRUCTION — identical idf smoothing, identical
+    contribution expression, identical rounded-measure + id tiebreak.
+
+    ``df`` per term is counted from ``postings`` — correct for any
+    postings relation that contains EVERY live posting of each term it
+    mentions (the full corpus relation trivially; the store's query-term
+    slice because slicing restricts terms, never docs)."""
+    # df per term = number of postings rows for it (one per doc).
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # idf onto the (tiny) query-term side: broadcast qterms into the
     # term-keyed df relation, keep only terms any query mentions.

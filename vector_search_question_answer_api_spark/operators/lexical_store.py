@@ -1,0 +1,730 @@
+"""Maintained on-disk lexical (BM25) postings store.
+
+Engine extension, closing the last rebuilt-per-query serving artifact:
+``keyword_search.bm25_topk`` re-tokenizes the CORPUS on every call —
+fine for a one-shot batch job, wrong as a serving plan (the reference
+keeps its retrieval index always-fresh on disk and never rebuilds it
+per query, services/index_service.py:95; this store gives the lexical
+tier the same lifecycle the embedding index, LSH signature table,
+profile, and span store already have: build once, maintain per ingest
+batch, compact on a cadence, delete through).
+
+Layout at ``path/``:
+
+- ``_postings_manifest.json`` — knob manifest (family, n_buckets,
+  tokenizer family), published LAST by the initial build (the
+  completeness marker every maintained store here uses);
+- base generation (``postings/`` + ``doclens/`` from
+  :func:`write_postings_index`, or the newest ``.pgen-*`` from
+  :func:`compact_postings` named by ``PG_MANIFEST``):
+  - postings: (term, doc_id, tf, dl) parquet PARTITIONED BY
+    ``tb = pmod(xxhash64(term), n_buckets)`` and term-sorted within
+    files — a query touches only its terms' buckets (static partition
+    pruning on the collected ``tb`` set, ≤ n_buckets longs) and its
+    terms' row groups (parquet min/max pushdown on the sorted column);
+  - doclens: (doc_id, dl) — the per-doc version/liveness relation;
+- maintenance log (``append_postings_batch``):
+  ``postings_log/batch=<id>`` (term, doc_id, tf, dl) and
+  ``doclens_log/batch=<id>`` (doc_id, dl; ``dl`` NULL = tombstone).
+
+Resolution is LOG-SIZED, the ``ann.read_lsh_signatures`` discipline
+(VERDICT r11 #1 applied from birth rather than retrofitted): every log
+batch id outranks the base by construction (a fold consumes only
+batches below the surviving log), so base rows whose doc appears in the
+log are superseded unconditionally — removed by a broadcast anti-join
+on the log's doc ids; the latest-per-doc window runs over the LOG only.
+The corpus-sized base never rides a shuffle.
+
+Deletion: a tombstone is a doclens-log row with NULL ``dl`` and no
+postings rows.  The newest-batch-wins join then resolves the doc to
+absent (its older postings rows, base or log, match no surviving
+version).  Compaction makes the removal physical.
+
+Scale shape (100 TB): the base is the bucketed on-disk inverted index
+the one-shot docstring promised "at scale this is the relation you'd
+persist" — serving reads the query-term slice only; per ingest batch
+the append tokenizes BATCH rows only (batch-local explode + count);
+the only corpus-sized work left is the compaction fold (a latest-wins
+rewrite, NO re-tokenization) and the 2-column doclens aggregate for
+(n_docs, avgdl).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.functions import text as TXT
+
+POSTINGS_FAMILY = "bm25-postings-ws-v1"
+_KNOB_MANIFEST = "_postings_manifest.json"
+_PG_MANIFEST = "PG_MANIFEST"
+_PG_RETIRED = "PG_RETIRED"
+_POST_LOG = "postings_log"
+_DL_LOG = "doclens_log"
+
+
+def _term_bucket(term, n_buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(int(n_buckets)))
+
+
+def _batch_tokens(
+    batch: DataFrame, id_col: str, text_col: str, ts_col: str | None
+) -> DataFrame:
+    """(doc_id, toks, dl) for a batch, deduped to the LATEST row per doc
+    (by ``ts_col`` when present — the ``append_lsh_signatures_batch``
+    intra-batch latest-wins rule, matching ``read_index_latest``)."""
+    rows = batch
+    if ts_col is not None and ts_col in batch.columns:
+        w = Window.partitionBy(id_col).orderBy(F.col(ts_col).desc())
+        rows = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return rows.select(
+        F.col(id_col).alias("doc_id"),
+        TXT.tokens(TXT.preprocess_text(F.col(text_col))).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+
+
+def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:
+    """(tb, term, doc_id, tf, dl) from a (doc_id, toks, dl) relation."""
+    return (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term"), n_buckets))
+        .select("tb", "term", "doc_id", "tf", "dl")
+    )
+
+
+# ---------------------------------------------------------------- manifest
+
+
+def read_postings_manifest(path: str) -> dict:
+    """The store's knob manifest; FileNotFoundError if absent (an absent
+    manifest over existing data is a crashed build — see the append's
+    refuse-to-bootstrap rule)."""
+    with open(os.path.join(path, _KNOB_MANIFEST), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, "." + _KNOB_MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _KNOB_MANIFEST))
+
+
+# ------------------------------------------------------------- generations
+
+
+def _pg_base(path: str) -> str | None:
+    """Dir of the current base GENERATION (contains ``postings/`` +
+    ``doclens/``): the ``PG_MANIFEST`` pointer (compacted store), else
+    the store root itself when the initial build's dirs exist, else
+    None (log-only store bootstrapped by the stream)."""
+    try:
+        with open(os.path.join(path, _PG_MANIFEST), encoding="utf-8") as f:
+            gen = f.read().strip()
+        if gen:
+            return os.path.join(path, gen)
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(os.path.join(path, "postings")):
+        return path
+    return None
+
+
+def _pg_retired(path: str) -> set[str]:
+    try:
+        with open(os.path.join(path, _PG_RETIRED), encoding="utf-8") as f:
+            return {os.path.realpath(ln.strip()) for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _log_dirs(path: str, sub: str) -> list[str]:
+    """``batch=<id>`` dirs of one log, OLDEST first, excluding dirs the
+    last compaction retired (still on disk through the grace period)."""
+    retired = _pg_retired(path)
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(path, sub, "batch=*"))
+        if os.path.isdir(d) and os.path.realpath(d) not in retired
+    ]
+    return sorted(dirs, key=lambda d: int(os.path.basename(d).split("=")[1]))
+
+
+def _read_log(spark, path: str, sub: str, dirs: list[str]) -> DataFrame:
+    return (
+        spark.read.option("basePath", os.path.join(path, sub))
+        .parquet(*dirs)
+        .withColumn("_batch", F.col("batch").cast("long"))
+        .drop("batch")
+    )
+
+
+# ------------------------------------------------------------------ build
+
+
+def write_postings_index(
+    documents: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """One-shot build of the on-disk inverted index: tokenize the corpus
+    ONCE, write postings bucketed by term hash and term-sorted within
+    files, write doclens, then publish the knob manifest LAST (the
+    completeness marker — a crash leaves no manifest and readers refuse
+    the partial store).  Returns the manifest.
+
+    Like ``ann.write_lsh_index`` this is also the full-rebuild path for
+    an existing store: the maintenance log, generation pointer, and all
+    ``.pgen-*`` dirs are cleared first so stale state cannot shadow or
+    outrank the fresh base."""
+    # de-publish first: readers refuse a manifest-less store, so the
+    # rebuild window is loud, never silently stale
+    try:
+        os.remove(os.path.join(path, _KNOB_MANIFEST))
+    except FileNotFoundError:
+        pass
+    for fname in (_PG_MANIFEST, _PG_RETIRED):
+        try:
+            os.remove(os.path.join(path, fname))
+        except FileNotFoundError:
+            pass
+    for d in (_POST_LOG, _DL_LOG):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for d in glob.glob(os.path.join(path, ".pgen-*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+    toks = _batch_tokens(documents, id_col, text_col, ts_col=None)
+    posts = _postings_of(toks, n_buckets)
+    # one task per bucket writes one term-sorted file: partition pruning
+    # on tb + row-group min/max pushdown on term both serve the read path
+    (
+        posts.repartition("tb")
+        .sortWithinPartitions("tb", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "postings"))
+    )
+    toks.select("doc_id", "dl").write.mode("overwrite").parquet(
+        os.path.join(path, "doclens")
+    )
+    manifest = {
+        "family": POSTINGS_FAMILY,
+        "n_buckets": int(n_buckets),
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+# ----------------------------------------------------------------- append
+
+
+def append_postings_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    tomb_col: str | None = None,
+) -> None:
+    """Incrementally maintain the store with ONE micro-batch: tokenize
+    the BATCH rows only (batch-local explode + count — nothing
+    corpus-sized), write their postings under
+    ``postings_log/batch=<id>`` and their (doc_id, dl) rows under
+    ``doclens_log/batch=<id>``.  Replay safety is the ``batch=<id>``
+    OVERWRITE pattern; the batch is deduped to its latest row per doc
+    first, matching ``read_index_latest``'s resolution.
+
+    ``tomb_col`` (boolean) marks deletion rows: a tombstoned doc writes
+    ONE doclens row with NULL ``dl`` and no postings — the resolved
+    read drops the doc, compaction makes the removal physical.
+
+    The manifest is verified (or created for a stream-bootstrapped
+    store) every batch; orphaned data without a manifest is refused —
+    the ``append_lsh_signatures_batch`` crashed-rebuild rule."""
+    try:
+        manifest = read_postings_manifest(path)
+        if manifest.get("family") != POSTINGS_FAMILY or int(
+            manifest.get("n_buckets", -1)
+        ) != int(n_buckets):
+            raise ValueError(
+                f"append_postings_batch: store at {path!r} has knobs "
+                f"{manifest!r}, caller passed n_buckets={n_buckets} "
+                f"(family {POSTINGS_FAMILY!r}) — refusing to append rows "
+                "bucketed differently (rebuild via write_postings_index "
+                "to change knobs)"
+            )
+    except FileNotFoundError:
+        if (
+            os.path.isdir(os.path.join(path, "postings"))
+            or os.path.isdir(os.path.join(path, _POST_LOG))
+            or os.path.isfile(os.path.join(path, _PG_MANIFEST))
+        ):
+            raise ValueError(
+                f"append_postings_batch: no manifest at {path!r} but "
+                "postings data exists — a crashed write_postings_index "
+                "left a partial store; rebuild it rather than appending"
+            )
+        os.makedirs(path, exist_ok=True)
+        _write_manifest(
+            path, {"family": POSTINGS_FAMILY, "n_buckets": int(n_buckets)}
+        )
+
+    ups = batch
+    tombs = None
+    if tomb_col is not None and tomb_col in batch.columns:
+        tombs = batch.filter(F.col(tomb_col) == F.lit(True))
+        ups = batch.filter(
+            F.coalesce(F.col(tomb_col), F.lit(False)) == F.lit(False)
+        )
+    toks = _batch_tokens(ups, id_col, text_col, ts_col)
+    if tombs is not None:
+        # a doc both upserted and tombstoned in one batch resolves to
+        # DELETED — the index log's tie rule (tombstone wins a same-batch
+        # tie); drop its live rows at the source so neither postings nor
+        # a live doclens row is ever written for it
+        toks = toks.join(
+            F.broadcast(tombs.select(F.col(id_col).alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+    posts = _postings_of(toks, n_buckets)
+    # postings FIRST, doclens SECOND: the doclens dir is the batch's
+    # commit marker — a crash between the two leaves a postings-only
+    # batch the read path resolves away and compaction leaves in place
+    posts.write.mode("overwrite").parquet(
+        os.path.join(path, _POST_LOG, f"batch={int(batch_id)}")
+    )
+    dl_rows = toks.select("doc_id", "dl")
+    if tombs is not None:
+        dl_rows = dl_rows.unionByName(
+            tombs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(None).cast("int").alias("dl"),
+            ).distinct()
+        )
+    dl_rows.write.mode("overwrite").parquet(
+        os.path.join(path, _DL_LOG, f"batch={int(batch_id)}")
+    )
+
+
+# ------------------------------------------------------------- resolution
+
+
+def _log_latest_live(dl_log: DataFrame) -> DataFrame:
+    """(doc_id, _mx) — newest batch per doc over the doclens LOG, live
+    rows only (a doc whose newest row is a NULL-dl tombstone is absent).
+    Window input is log-sized by construction."""
+    w = Window.partitionBy("doc_id")
+    return (
+        dl_log.withColumn("_mx", F.max("_batch").over(w))
+        .filter(F.col("_batch") == F.col("_mx"))
+        .filter(F.col("dl").isNotNull())
+        .select("doc_id", "_mx")
+    )
+
+
+def _resolved_parts(spark, path: str):
+    """(base_gen_dir, post_dirs, dl_dirs) of the current store state."""
+    base = _pg_base(path)
+    post_dirs = _log_dirs(path, _POST_LOG)
+    dl_dirs = _log_dirs(path, _DL_LOG)
+    if base is None and not dl_dirs:
+        raise FileNotFoundError(f"no postings store at {path}")
+    return base, post_dirs, dl_dirs
+
+
+def read_doclens(spark, path: str) -> DataFrame:
+    """Resolved (doc_id, dl) of live docs: base doclens minus docs the
+    log mentions (broadcast anti-join — the base never shuffles) ∪ the
+    log's latest live rows."""
+    read_postings_manifest(path)
+    base, _post_dirs, dl_dirs = _resolved_parts(spark, path)
+    base_dl = (
+        spark.read.parquet(os.path.join(base, "doclens")).select(
+            "doc_id", "dl"
+        )
+        if base is not None
+        else None
+    )
+    if not dl_dirs:
+        return base_dl
+    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs)
+    w = Window.partitionBy("doc_id")
+    log_live = (
+        dl_log.withColumn("_mx", F.max("_batch").over(w))
+        .filter(F.col("_batch") == F.col("_mx"))
+        .filter(F.col("dl").isNotNull())
+        .select("doc_id", F.col("dl").cast("int").alias("dl"))
+    )
+    if base_dl is None:
+        return log_live
+    log_docs = dl_log.select("doc_id").distinct()
+    return base_dl.join(
+        F.broadcast(log_docs), "doc_id", "left_anti"
+    ).unionByName(log_live)
+
+
+def read_postings(
+    spark,
+    path: str,
+    terms: list[str] | None = None,
+    term_buckets: list[int] | None = None,
+) -> DataFrame:
+    """Resolved (term, doc_id, tf, dl) postings of the LIVE corpus.
+
+    ``terms`` (the serving path) prunes the base scan to the query
+    terms' buckets (static partition filter on the ≤ n_buckets ``tb``
+    values — pass ``term_buckets`` precomputed by :func:`term_bucket_of`
+    to avoid an extra job, else one 1-row job derives them here) and
+    their row groups (parquet pushdown on the sorted ``term`` column).
+    The log side is read whole — it is log-sized.
+
+    Resolution never shuffles the base: log-mentioned docs leave via a
+    broadcast anti-join on the doclens log's doc ids; log postings keep
+    only each doc's newest LIVE version (broadcast join against the
+    log-sized latest-live relation)."""
+    manifest = read_postings_manifest(path)
+    n_buckets = int(manifest["n_buckets"])
+    base, post_dirs, dl_dirs = _resolved_parts(spark, path)
+
+    def _slice(df: DataFrame) -> DataFrame:
+        if terms is None:
+            return df
+        return df.filter(F.col("term").isin([str(t) for t in terms]))
+
+    base_posts = None
+    if base is not None:
+        base_posts = spark.read.parquet(os.path.join(base, "postings"))
+        if terms is not None:
+            tbs = (
+                sorted(set(int(t) for t in term_buckets))
+                if term_buckets is not None
+                else term_bucket_of(spark, terms, n_buckets)
+            )
+            base_posts = base_posts.filter(F.col("tb").isin(tbs))
+        base_posts = _slice(base_posts).select("term", "doc_id", "tf", "dl")
+    if not dl_dirs:
+        if base_posts is None:
+            raise FileNotFoundError(f"no postings store at {path}")
+        return base_posts
+    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs)
+    latest_live = _log_latest_live(dl_log)
+    log_posts = (
+        _slice(_read_log(spark, path, _POST_LOG, post_dirs))
+        if post_dirs
+        else None
+    )
+    resolved_log = (
+        log_posts.join(
+            F.broadcast(latest_live),
+            (log_posts["doc_id"] == latest_live["doc_id"])
+            & (log_posts["_batch"] == latest_live["_mx"]),
+        )
+        .select(
+            log_posts["term"],
+            log_posts["doc_id"],
+            log_posts["tf"],
+            log_posts["dl"],
+        )
+        if log_posts is not None
+        else None
+    )
+    if base_posts is None:
+        if resolved_log is None:
+            raise FileNotFoundError(f"no postings store at {path}")
+        return resolved_log
+    log_docs = dl_log.select("doc_id").distinct()
+    kept = base_posts.join(F.broadcast(log_docs), "doc_id", "left_anti")
+    return (
+        kept if resolved_log is None else kept.unionByName(resolved_log)
+    )
+
+
+def term_bucket_of(spark, terms: list[str], n_buckets: int) -> list[int]:
+    """The distinct ``tb`` partition values of the given terms, computed
+    in ONE tiny job that evaluates the WRITE PATH's own expression
+    (``pmod(xxhash64(term), n_buckets)``) — so the pruning filter can
+    never bit-diverge from how the store was bucketed.  Bounded by
+    min(len(terms), n_buckets) values."""
+    lits = F.array(*[F.lit(str(t)) for t in terms])
+    row = (
+        spark.range(1)
+        .select(F.explode(lits).alias("term"))
+        .select(_term_bucket(F.col("term"), n_buckets).alias("tb"))
+        .agg(F.collect_set("tb").alias("tbs"))
+        .first()
+    )
+    return sorted(int(t) for t in row["tbs"])
+
+
+# ---------------------------------------------------------------- serving
+
+
+def corpus_stats(spark, path: str) -> DataFrame:
+    """ONE row (n_docs, avgdl) over the live corpus — an aggregate of the
+    resolved 2-column doclens relation (kept a DataFrame; never a driver
+    collect)."""
+    return read_doclens(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def bm25_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_digits: int = 6,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k per query SERVED FROM
+    THE STORE — relation-equal to ``keyword_search.bm25_topk`` over the
+    resolved live corpus (same idf smoothing, same contribution, same
+    rounded-measure + id tiebreak; pinned in tests/test_lexical_store.py)
+    without re-tokenizing a single corpus row.
+
+    ``queries`` is small by the same contract as the one-shot (it is
+    broadcast); its DISTINCT terms are collected once to drive partition
+    pruning — a bounded handful of strings, never corpus rows."""
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        score_postings_bm25,
+    )
+
+    manifest = read_postings_manifest(path)
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                TXT.tokens(TXT.preprocess_text(F.col(query_text_col)))
+            )
+        ).alias("term"),
+    )
+    # ONE tiny job collects (term, tb) together — terms drive row-group
+    # pushdown, tbs drive partition pruning, both from the write path's
+    # own expressions so neither can bit-diverge from the store
+    pairs = (
+        qterms.select("term")
+        .distinct()
+        .withColumn(
+            "tb", _term_bucket(F.col("term"), int(manifest["n_buckets"]))
+        )
+        .collect()
+    )
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    # the slice fans into BOTH the df aggregate and the scoring join —
+    # persist it (tracked, like build_postings does for the one-shot)
+    # so the pruned scan + resolution runs once
+    from vector_search_question_answer_api_spark.caching import (
+        persist_tracked,
+    )
+
+    postings = persist_tracked(
+        read_postings(
+            spark,
+            path,
+            terms=[r["term"] for r in pairs],
+            term_buckets=[int(r["tb"]) for r in pairs],
+        )
+    )
+    return score_postings_bm25(
+        postings,
+        qterms,
+        corpus_stats(spark, path),
+        k=k,
+        k1=k1,
+        b=b,
+        round_digits=round_digits,
+        max_doc_freq=max_doc_freq,
+    )
+
+
+# -------------------------------------------------------------- compaction
+
+
+def compact_postings(
+    spark, path: str, up_to_batch: int | None = None
+) -> bool:
+    """Fold base ∪ log into ONE new base generation — WITHOUT
+    re-tokenizing anything (postings are already computed; the fold is a
+    latest-wins rewrite).  Returns True if a generation was published,
+    False for a no-op.
+
+    Protocol = ``ann.compact_lsh_signatures`` verbatim (itself the
+    ``index_stream.compact_index`` discipline): resolve via the same
+    log-sized read path, write ``.pgen-<n+1>`` (postings re-bucketed by
+    ``tb``, term-sorted; doclens), publish ``PG_MANIFEST`` atomically,
+    RETIRE (not delete) the superseded generation dirs and folded log
+    dirs into ``PG_RETIRED`` for one grace cycle, sweep crashed-attempt
+    orphans.  ``up_to_batch=N`` bounds the fold to log batches < N —
+    the in-stream cadence contract (a replaying batch N's own dir is
+    excluded and left for its handler's overwrite).
+
+    Deleted docs simply VANISH from the fold; deletion evidence for
+    downstream consumers lives in the index log
+    (``read_index_tombstones``), not here."""
+    manifest = read_postings_manifest(path)
+    n_buckets = int(manifest["n_buckets"])
+
+    for stale in _pg_retired(path):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+    cur = _pg_base(path)
+    retired_now = _pg_retired(path)
+    cur_real = os.path.realpath(cur) if cur is not None else ""
+    for d in glob.glob(os.path.join(path, ".pgen-*")):
+        if (
+            os.path.isdir(d)
+            and os.path.realpath(d) != cur_real
+            and os.path.realpath(d) not in retired_now
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _bounded(dirs: list[str]) -> list[str]:
+        if up_to_batch is None:
+            return dirs
+        return [
+            d
+            for d in dirs
+            if int(os.path.basename(d).split("=")[1]) < int(up_to_batch)
+        ]
+
+    dl_dirs = _bounded(_log_dirs(path, _DL_LOG))
+    # the doclens write is the batch's COMMIT MARKER (append writes
+    # postings first, doclens second — a crash between the two leaves a
+    # postings dir the read path resolves away).  Fold and retire ONLY
+    # committed batches: a postings-only dir stays in place untouched
+    # for the replaying handler's overwrite — retiring it would make the
+    # re-appended batch invisible (_log_dirs excludes retired realpaths).
+    committed = {
+        int(os.path.basename(d).split("=")[1]) for d in dl_dirs
+    }
+    post_dirs = [
+        d
+        for d in _bounded(_log_dirs(path, _POST_LOG))
+        if int(os.path.basename(d).split("=")[1]) in committed
+    ]
+    if not dl_dirs:
+        return False
+
+    # resolve EXACTLY the read path's relation, bounded to the fold set
+    base = cur
+    base_posts = (
+        spark.read.parquet(os.path.join(base, "postings")).select(
+            "term", "doc_id", "tf", "dl"
+        )
+        if base is not None
+        else None
+    )
+    base_dl = (
+        spark.read.parquet(os.path.join(base, "doclens")).select(
+            "doc_id", "dl"
+        )
+        if base is not None
+        else None
+    )
+    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs) if dl_dirs else None
+    if dl_log is not None:
+        latest_live = _log_latest_live(dl_log)
+        log_docs = dl_log.select("doc_id").distinct()
+        w = Window.partitionBy("doc_id")
+        log_dl_live = (
+            dl_log.withColumn("_mx", F.max("_batch").over(w))
+            .filter(F.col("_batch") == F.col("_mx"))
+            .filter(F.col("dl").isNotNull())
+            .select("doc_id", F.col("dl").cast("int").alias("dl"))
+        )
+        folded_dl = (
+            base_dl.join(F.broadcast(log_docs), "doc_id", "left_anti")
+            .unionByName(log_dl_live)
+            if base_dl is not None
+            else log_dl_live
+        )
+        if post_dirs:
+            log_posts = _read_log(spark, path, _POST_LOG, post_dirs)
+            resolved_log_posts = log_posts.join(
+                F.broadcast(latest_live),
+                (log_posts["doc_id"] == latest_live["doc_id"])
+                & (log_posts["_batch"] == latest_live["_mx"]),
+            ).select(
+                log_posts["term"],
+                log_posts["doc_id"],
+                log_posts["tf"],
+                log_posts["dl"],
+            )
+        else:
+            resolved_log_posts = None
+        if base_posts is not None:
+            folded_posts = base_posts.join(
+                F.broadcast(log_docs), "doc_id", "left_anti"
+            )
+            if resolved_log_posts is not None:
+                folded_posts = folded_posts.unionByName(resolved_log_posts)
+        else:
+            folded_posts = resolved_log_posts
+    else:
+        folded_dl, folded_posts = base_dl, base_posts
+    if folded_posts is None or folded_dl is None:
+        return False
+
+    if cur is not None and os.path.basename(cur).startswith(".pgen-"):
+        n = int(os.path.basename(cur).split("-")[-1]) + 1
+    else:
+        n = 0
+    new_gen = f".pgen-{n:06d}"
+    gen_dir = os.path.join(path, new_gen)
+    (
+        folded_posts.withColumn("tb", _term_bucket(F.col("term"), n_buckets))
+        .repartition("tb")
+        .sortWithinPartitions("tb", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(gen_dir, "postings"))
+    )
+    folded_dl.write.mode("overwrite").parquet(
+        os.path.join(gen_dir, "doclens")
+    )
+    tmp = os.path.join(path, ".PG_MANIFEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(new_gen + "\n")
+    os.replace(tmp, os.path.join(path, _PG_MANIFEST))  # atomic publish
+    retire = [os.path.realpath(d) for d in post_dirs + dl_dirs]
+    if cur is not None and cur != path:
+        retire.append(os.path.realpath(cur))
+    elif cur is not None:
+        # the initial build's root-level dirs retire individually (the
+        # root itself obviously cannot be deleted)
+        retire.append(os.path.realpath(os.path.join(path, "postings")))
+        retire.append(os.path.realpath(os.path.join(path, "doclens")))
+    tmp_r = os.path.join(path, ".PG_RETIRED.tmp")
+    with open(tmp_r, "w", encoding="utf-8") as f:
+        f.write("\n".join(retire) + "\n")
+    os.replace(tmp_r, os.path.join(path, _PG_RETIRED))
+    return True

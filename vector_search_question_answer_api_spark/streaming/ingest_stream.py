@@ -64,6 +64,7 @@ def _subpaths(root: str) -> dict[str, str]:
         "spans": os.path.join(root, "spans"),
         "lsh": os.path.join(root, "lsh"),
         "docs": os.path.join(root, "docs"),
+        "postings": os.path.join(root, "postings"),
     }
 
 
@@ -90,6 +91,9 @@ def maintain_corpus(
     compact_lsh_every: int | None = None,
     docs_store: bool = False,
     profile_rebuild_every: int | None = None,
+    postings_store: bool = False,
+    postings_buckets: int = 64,
+    compact_postings_every: int | None = None,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -151,6 +155,21 @@ def maintain_corpus(
     or per read.  Replay-safe like the compactions: runs at batch START
     over ``batch < batch_id`` evidence.
 
+    ``postings_store=True`` (r12) maintains the on-disk BM25 lexical
+    index at ``<root>/postings`` (``lexical_store``): per micro-batch the
+    BATCH rows alone are tokenized into ``batch=<id>`` postings + doclens
+    log dirs (map-only + a batch-local count — nothing corpus-sized), a
+    deletion becomes a doclens tombstone, and
+    ``lexical_store.bm25_topk_stored(spark, corpus_postings_path(root),
+    queries)`` serves keyword search relation-equal to the one-shot
+    ``bm25_topk`` over the resolved live corpus without re-tokenizing a
+    single corpus row.  ``compact_postings_every=N`` gives the store the
+    same fold cadence as the index and signature logs (latest-wins
+    rewrite — NO re-tokenization; same batch-START replay contract).
+    ``postings_buckets`` fixes the term-hash partition count for the
+    store's lifetime (the serving path prunes base scans to the query
+    terms' buckets).
+
     DELETION (r11): a stream carrying a boolean ``_delete`` column mixes
     deletions into the same flow — a deletion row needs only (doc_id, ts,
     ``_delete=true``) and becomes an index-log tombstone
@@ -187,6 +206,12 @@ def maintain_corpus(
         centroid_grid,
     )
 
+    if compact_postings_every and not postings_store:
+        raise ValueError(
+            "maintain_corpus: compact_postings_every= requires "
+            "postings_store=True (the cadence compacts the maintained "
+            "lexical store)"
+        )
     if compact_lsh_every and lsh_artifact is None:
         # the cadence compacts the maintained signature store — without
         # the artifact no store is maintained, and a silent no-op knob
@@ -272,6 +297,26 @@ def maintain_corpus(
             except FileNotFoundError:
                 pass  # nothing ingested yet
         if (
+            postings_store
+            and compact_postings_every
+            and batch_id > 0
+            and batch_id % int(compact_postings_every) == 0
+        ):
+            # lexical-store fold at batch START bounded to batches < this
+            # one — the same replay contract as the index/lsh folds (see
+            # lexical_store.compact_postings; a crashed attempt's own
+            # batch dirs are excluded and overwritten below)
+            from vector_search_question_answer_api_spark.operators import (
+                lexical_store as LXS,
+            )
+
+            try:
+                LXS.compact_postings(
+                    spark, p["postings"], up_to_batch=int(batch_id)
+                )
+            except FileNotFoundError:
+                pass  # no postings store yet (first batches pending)
+        if (
             lsh_artifact is not None
             and compact_lsh_every
             and batch_id > 0
@@ -313,6 +358,34 @@ def maintain_corpus(
                     )
                 doc_rows.write.mode("overwrite").parquet(
                     os.path.join(p["docs"], f"batch={int(batch_id)}")
+                )
+            if postings_store:
+                # maintained lexical (BM25) index: tokenize BATCH rows
+                # only, batch=<id> overwrite (replay-safe); a deletion
+                # becomes a doclens tombstone the resolved read drops
+                # (lexical_store.append_postings_batch)
+                from vector_search_question_answer_api_spark.operators import (
+                    lexical_store as LXS,
+                )
+
+                lex = ups.select(
+                    "doc_id", "text", "ts", F.lit(False).alias("_ptomb")
+                )
+                if dels is not None:
+                    lex = lex.unionByName(
+                        dels.select(
+                            "doc_id",
+                            F.lit(None).cast("string").alias("text"),
+                            "ts",
+                            F.lit(True).alias("_ptomb"),
+                        )
+                    )
+                LXS.append_postings_batch(
+                    lex,
+                    p["postings"],
+                    batch_id,
+                    n_buckets=int(postings_buckets),
+                    tomb_col="_ptomb",
                 )
             # profile + span stores: batch=<id> overwrite, replay-safe
             STS.write_profile_batch(
@@ -606,6 +679,14 @@ def corpus_lsh_path(root: str) -> str:
     ``ann.ann_lsh_topk_ondisk`` / ``ann.read_lsh_signatures`` (with
     :func:`read_corpus_index` as the deferred-fetch vector side)."""
     return _subpaths(root)["lsh"]
+
+
+def corpus_postings_path(root: str) -> str:
+    """Path of the maintained on-disk BM25 postings store
+    (``maintain_corpus(postings_store=True)``) — hand it to
+    ``lexical_store.bm25_topk_stored`` for keyword search served
+    without re-tokenizing a single corpus row."""
+    return _subpaths(root)["postings"]
 
 
 def purge_corpus_spans(spark: SparkSession, root: str) -> None:
