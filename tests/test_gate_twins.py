@@ -407,3 +407,31 @@ def test_deletion_twin_detects_kept_tombstones(spark, monkeypatch):
     monkeypatch.setattr(IX, "_resolve_latest", corrupted)
     with pytest.raises(ValueError, match="deletion roundtrip"):
         inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_bm25_stored_twin_detects_ignored_log(spark, monkeypatch):
+    """r12: a lexical-store resolution that ignores the maintenance log
+    (serves the stale base through tombstones and revivals) must make the
+    bm25_topk gate's stored twin raise at the post-delete stage."""
+    import vector_search_question_answer_api_spark.operators.lexical_store as LXS
+
+    monkeypatch.setattr(LXS, "_log_dirs", lambda path, sub: [])
+    with pytest.raises(ValueError, match="tombstone was ignored"):
+        inventory.queries()["bm25_topk"](spark, SF).count()
+
+
+def test_bm25_stored_twin_detects_wrong_scores(spark, monkeypatch):
+    """A stored serving path whose scores drift from the one-shot scorer
+    (e.g. a corrupted corpus-stats denominator) must raise at stage 1."""
+    import vector_search_question_answer_api_spark.operators.lexical_store as LXS
+
+    real = LXS.bm25_topk_stored
+
+    def corrupted(spark_, path, queries, k=5, **kw):
+        return real(spark_, path, queries, k=k, **kw).withColumn(
+            "score", F.col("score") + 1.0
+        )
+
+    monkeypatch.setattr(LXS, "bm25_topk_stored", corrupted)
+    with pytest.raises(ValueError, match="stored serving differs"):
+        inventory.queries()["bm25_topk"](spark, SF).count()

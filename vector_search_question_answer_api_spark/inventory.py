@@ -3417,11 +3417,118 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense (|queries| x |docs|), the worst case for any sparse index.  The
     plan is still the scale-safe one (broadcast query side, one shuffle
     keyed (query_id, doc_id)); a Zipfian real corpus prunes candidates by
-    orders of magnitude."""
+    orders of magnitude.
+
+    In-gate twin: ``_bm25_stored_twin_check`` runs the maintained
+    postings store (operators/lexical_store.py) through a full lifecycle
+    on the gate's own corpus — stored serving ≡ this one-shot, tombstone
+    a result doc → post-delete serving ≡ a post-delete one-shot, revive
+    it verbatim → equality again — so the driver's oracle transitively
+    verifies the lexical store every run (the ann_ivf_topk roundtrip
+    precedent; mutation-tested in tests/test_gate_twins.py)."""
     from vector_search_question_answer_api_spark.operators.keyword_search import bm25_topk
 
     d, q = _bm25_gate_inputs(spark, sf_dir)
-    return bm25_topk(d, q, k=5).orderBy("query_id", "rank")
+    out = bm25_topk(d, q, k=5).orderBy("query_id", "rank")
+    _bm25_stored_twin_check(spark, d, q, out)
+    return out
+
+
+def _bm25_stored_twin_check(
+    spark: SparkSession, documents: DataFrame, queries: DataFrame,
+    oneshot: DataFrame,
+) -> None:
+    """Driver-visible correctness for the maintained BM25 postings store
+    (operators/lexical_store.py), run in-gate by the oracle-green
+    bm25_topk gate — not a separate registered gate (the driver records
+    at most 50 rows, tests/test_registry_contract.py).
+
+    Lifecycle on the gate's own corpus, NET-IDENTITY framed so every
+    stage has an exact expected relation:
+
+    1. one-shot build → stored serving must equal the gate's own
+       (oracle-verified) one-shot relation exactly;
+    2. tombstone the top-ranked result doc through the maintenance log
+       (``append_postings_batch`` with a NULL-text deletion row) →
+       stored serving must equal a one-shot over the corpus MINUS that
+       doc (post-delete serving ≡ post-delete rebuild — the deletion
+       round-trip rule, VERDICT r11 #4 extended to the lexical store),
+       and must DIFFER from the pre-delete relation (the tombstone is
+       visibly load-bearing, so an ignored-log mutation cannot pass
+       vacuously);
+    3. revive the doc verbatim in a later batch → stored serving must
+       equal the original relation again.
+
+    The fuller store contract (compaction equivalence, crash windows,
+    plan pins) lives in tests/test_lexical_store.py; this twin is the
+    slice the driver's oracle can transitively certify."""
+    import shutil
+    import tempfile
+
+    from vector_search_question_answer_api_spark.operators import (
+        lexical_store as LXS,
+    )
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        bm25_topk,
+    )
+
+    def rel(df: DataFrame):
+        return sorted(
+            (int(r["query_id"]), int(r["doc_id"]),
+             round(float(r["score"]), 6), int(r["rank"]))
+            for r in df.collect()
+        )
+
+    ref = rel(oneshot)
+    if not ref:
+        raise ValueError("bm25 stored twin: one-shot relation is empty")
+    victim = ref[0][1]  # rank-1 doc of the smallest query id
+    tmp = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bm25_twin_")
+    try:
+        LXS.write_postings_index(documents, tmp, n_buckets=8)
+        got = rel(LXS.bm25_topk_stored(spark, tmp, queries, k=5))
+        if got != ref:
+            raise ValueError(
+                "bm25 stored twin: stored serving differs from the "
+                f"one-shot: {sorted(set(got) ^ set(ref))[:4]}"
+            )
+        tomb = spark.createDataFrame(
+            [(victim,)], "doc_id long"
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(True).alias("_tomb"),
+        )
+        LXS.append_postings_batch(tomb, tmp, 0, n_buckets=8, tomb_col="_tomb")
+        got_del = rel(LXS.bm25_topk_stored(spark, tmp, queries, k=5))
+        ref_del = rel(
+            bm25_topk(
+                documents.filter(F.col("doc_id") != victim), queries, k=5
+            )
+        )
+        if got_del == ref:
+            raise ValueError(
+                f"bm25 stored twin: deleting doc {victim} changed nothing "
+                "— the tombstone was ignored by the resolved read"
+            )
+        if got_del != ref_del:
+            raise ValueError(
+                "bm25 stored twin: post-delete serving differs from the "
+                "post-delete one-shot: "
+                f"{sorted(set(got_del) ^ set(ref_del))[:4]}"
+            )
+        revive = documents.filter(F.col("doc_id") == victim).select(
+            "doc_id", "text"
+        )
+        LXS.append_postings_batch(revive, tmp, 1, n_buckets=8)
+        got_rev = rel(LXS.bm25_topk_stored(spark, tmp, queries, k=5))
+        if got_rev != ref:
+            raise ValueError(
+                "bm25 stored twin: revived serving differs from the "
+                f"original one-shot: {sorted(set(got_rev) ^ set(ref))[:4]}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
