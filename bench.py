@@ -519,6 +519,171 @@ def _bm25_stored_fns(spark, sf_dir):
     )
 
 
+def _hybrid_stored_fns(spark, sf_dir):
+    """r12 bench entries: hybrid (BM25 + dense LSH) retrieval, both tiers
+    served from the stores the composed ingest maintains, at the corpus
+    COMMITTED EPOCH (snapshot-consistent across stores) — vs the one-shot
+    that recomputes both tiers per call:
+
+    - ``hybrid_oneshot``: re-tokenizes the corpus for BM25 AND re-embeds
+      + re-hashes it for the LSH tier, every call — the
+      rebuild-everything shape;
+    - ``hybrid_stored``: ``hybrid_store.hybrid_search_stored`` — pruned
+      postings slice + stored signature table + epoch-bounded index
+      resolution + the same ``rrf_fuse``.
+
+    The fixture is a REAL ``maintain_corpus`` run (3 micro-batches:
+    inserts, inserts + ~1% updates, updates + deletions) with docs +
+    postings + lsh stores, so the timed stored path pays the true
+    resolution (log windows, broadcast anti-joins, marker listing).
+    One-time pin outside the loop: both entries emit the identical
+    relation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.operators import (
+        ann,
+        hybrid_store as HS,
+    )
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from vector_search_question_answer_api_spark.sources.tables import (
+        load_table,
+    )
+    from vector_search_question_answer_api_spark.streaming import (
+        ingest_stream as IG,
+    )
+
+    root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bench_hybrid_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    n = docs.count()
+    cut = max(1, int(n * 0.6))
+    b0 = docs.filter(F.col("doc_id") < cut)
+    upd1 = (
+        docs.filter(F.col("doc_id") % 97 == 3)
+        .withColumn("text", F.concat(F.lit("updated "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(10_000_000)))
+    )
+    b1 = docs.filter(F.col("doc_id") >= cut).unionByName(upd1)
+    upd2 = (
+        docs.filter(F.col("doc_id") % 97 == 7)
+        .withColumn("text", F.concat(F.lit("updated twice "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(20_000_000)))
+    )
+    dels = docs.filter(F.col("doc_id") % 211 == 5).select(
+        "doc_id",
+        F.timestamp_millis(F.lit(20_000_000)).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    b2 = upd2.unionByName(dels)
+    for i, b in enumerate((b0, b1, b2)):
+        # one file per source batch: maxFilesPerTrigger=1 makes each a
+        # micro-batch, so the committed epoch is deterministic (= 2)
+        b.coalesce(1).write.parquet(f"{root}/src/b{i}")
+    art = {
+        "family": ann.LSH_FAMILY,
+        "dim": 64,
+        "n_planes": ann.recommended_n_planes(n),
+        "n_tables": ann.DEFAULT_N_TABLES,
+        "center": ann.corpus_center(build_index(b0.drop("_delete"))),
+    }
+    corpus = f"{root}/corpus"
+    q = IG.maintain_corpus(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src/*"),
+        corpus,
+        checkpoint=f"{root}/ckpt",
+        dim=64,
+        trigger_once=True,
+        lsh_artifact=art,
+        docs_store=True,
+        postings_store=True,
+        postings_buckets=32,
+    )
+    assert q.awaitTermination(600), "hybrid fixture ingest did not finish"
+    assert IG.corpus_committed_epoch(corpus) == 2
+
+    # the one-shot side reads a PLAIN parquet corpus (same rows the
+    # stores resolve to) — it must not pay the stores' resolution
+    IG.read_corpus_docs(spark, corpus).write.parquet(f"{root}/final_docs")
+    fdocs = spark.read.parquet(f"{root}/final_docs")
+    queries = (
+        fdocs.filter(F.col("doc_id") % 500 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        .join(
+            IG.read_corpus_index(spark, corpus).select(
+                F.col("doc_id").alias("query_id"),
+                F.col("norm_embedding").alias("qvec"),
+            ),
+            "query_id",
+        )
+        .persist()
+    )
+    assert queries.count() > 0
+
+    def hybrid_oneshot(spark, sf_dir):
+        idx = build_index(fdocs)
+        return rrf_fuse(
+            [
+                bm25_topk(
+                    fdocs, queries.select("query_id", "query_text"), k=20
+                ).select("query_id", "doc_id", "rank"),
+                ann.ann_lsh_topk(
+                    queries.select("query_id", "qvec"), idx, k=20,
+                    artifact=art,
+                ).select("query_id", "doc_id", "rank"),
+            ],
+            k=10,
+        )
+
+    def hybrid_stored(spark, sf_dir):
+        return HS.hybrid_search_stored(
+            spark, corpus, queries, k=10, pool=20, dense="lsh"
+        )
+
+    def rel(df):
+        return {
+            (
+                int(r["query_id"]),
+                int(r["doc_id"]),
+                round(float(r["rrf_score"]), 9),
+                int(r["rank"]),
+            )
+            for r in df.collect()
+        }
+
+    a = rel(hybrid_oneshot(spark, sf_dir))
+    b = rel(hybrid_stored(spark, sf_dir))
+    assert a and a == b, (
+        f"hybrid stored disagrees with one-shot ({len(a)} vs {len(b)})"
+    )
+    return (
+        {"hybrid_oneshot": hybrid_oneshot, "hybrid_stored": hybrid_stored},
+        root,
+        [queries],
+    )
+
+
 def _qa_replay_fns(spark, sf_dir, with_graphs: bool = True):
     """r9 bench entries (VERDICT r8 #2): the reference's richest lifecycle
     — the stateful /qa replay (embed -> k=1 retrieve -> topic fold -> stub
@@ -1242,6 +1407,12 @@ def main() -> None:
         cleanup_caches.extend(caches)
         return fns
 
+    def _setup_hybrid():
+        fns, root, caches = _hybrid_stored_fns(spark, sf_dir)
+        cleanup_roots.append(root)
+        cleanup_caches.extend(caches)
+        return fns
+
     lazy_groups: dict[str, tuple] = {
         "qa_replay_exact": ("qa", _setup_qa),
         "qa_replay_graph": ("qa", _setup_qa),
@@ -1257,6 +1428,8 @@ def main() -> None:
         "bm25_oneshot": ("bm25_store", _setup_bm25_store),
         "bm25_stored": ("bm25_store", _setup_bm25_store),
         "bm25_stored_maintained": ("bm25_store", _setup_bm25_store),
+        "hybrid_oneshot": ("hybrid", _setup_hybrid),
+        "hybrid_stored": ("hybrid", _setup_hybrid),
     }
     done_groups: set[str] = set()
 

@@ -1,0 +1,397 @@
+"""Cross-store snapshot consistency (r12): corpus commit markers,
+epoch-bounded store reads, and hybrid retrieval served from the
+maintained postings + index (+ LSH) stores at one committed epoch.
+
+The torn-read scenario these pin: ``maintain_corpus`` writes its stores
+sequentially per micro-batch, so a reader spanning two stores mid-batch
+can see postings that already carry batch N while the index log does
+not.  The commit marker (written LAST) plus the stores' ``up_to_batch=``
+bounds make the multi-store read snapshot-consistent."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators import (
+    ann,
+    hybrid_store as HS,
+    lexical_store as LXS,
+)
+from vector_search_question_answer_api_spark.operators.index_build import (
+    build_index,
+)
+from vector_search_question_answer_api_spark.operators.keyword_search import (
+    bm25_topk,
+    rrf_fuse,
+)
+from vector_search_question_answer_api_spark.operators.search import (
+    knn_exact_expr,
+)
+from vector_search_question_answer_api_spark.sources.tables import load_table
+from vector_search_question_answer_api_spark.streaming import (
+    ingest_stream as IG,
+)
+
+DIM, N_CELLS = 64, 8
+SF = "/root/testdata/sf0.001"
+POOL, K = 10, 5
+
+
+@pytest.fixture(scope="module")
+def consistent(spark, tmp_path_factory):
+    """Three-batch maintain_corpus with docs + postings + lsh stores:
+    batch 0 inserts ids 0-39; batch 1 adds 40-59 and UPDATES 0-7;
+    batch 2 updates 4-11 and DELETES 0-1.  Yields (root, artifact,
+    {epoch: expected live docs relation}) with expectations derived from
+    the SOURCE batches, independent of any store."""
+    tmp = tmp_path_factory.mktemp("consistent")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    b0 = docs.filter("doc_id < 40")
+    upd1 = (
+        docs.filter("doc_id < 8")
+        .withColumn("text", F.concat(F.lit("update one "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(10_000_000)))
+    )
+    b1 = docs.filter("doc_id >= 40 AND doc_id < 60").unionByName(upd1)
+    upd2 = (
+        docs.filter("doc_id >= 4 AND doc_id < 12")
+        .withColumn("text", F.concat(F.lit("update two "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(20_000_000)))
+    )
+    dels = docs.filter("doc_id IN (0, 1)").select(
+        "doc_id",
+        F.timestamp_millis(F.lit(20_000_000)).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    b2 = upd2.unionByName(dels)
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+    center = ann.corpus_center(build_index(b0.drop("_delete")))
+    art = {
+        "family": ann.LSH_FAMILY,
+        "dim": DIM,
+        "n_planes": ann.DEFAULT_N_PLANES,
+        "n_tables": ann.DEFAULT_N_TABLES,
+        "center": center,
+    }
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = IG.maintain_corpus(
+        stream,
+        str(tmp / "corpus"),
+        checkpoint=str(tmp / "ckpt"),
+        dim=DIM,
+        n_cells=N_CELLS,
+        trigger_once=True,
+        lsh_artifact=art,
+        docs_store=True,
+        postings_store=True,
+        postings_buckets=8,
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+    expected = {
+        0: b0.drop("_delete"),
+        1: docs.filter("doc_id >= 8 AND doc_id < 60")
+        .unionByName(upd1)
+        .drop("_delete"),
+        2: docs.filter("doc_id >= 12 AND doc_id < 60")
+        .unionByName(upd1.filter("doc_id IN (2, 3)"))
+        .unionByName(upd2)
+        .drop("_delete"),
+    }
+    return str(tmp / "corpus"), art, expected
+
+
+def _queries(spark, root, ids=(5, 20, 45)):
+    """External query batch: text + (already normalized) vector, taken
+    from the final corpus state so every tier has matching candidates."""
+    idx = IG.read_corpus_index(spark, root)
+    docs = IG.read_corpus_docs(spark, root)
+    return (
+        docs.filter(F.col("doc_id").isin(*ids))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        )
+        .join(
+            idx.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("norm_embedding").alias("qvec"),
+            ),
+            "query_id",
+        )
+    )
+
+
+def _rel(df):
+    return sorted(
+        (
+            int(r["query_id"]),
+            int(r["doc_id"]),
+            round(float(r["rrf_score"]), 9),
+            int(r["rank"]),
+        )
+        for r in df.collect()
+    )
+
+
+def _rel_knn(df):
+    return sorted(
+        (
+            int(r["query_id"]),
+            int(r["doc_id"]),
+            round(float(r["distance"]), 9),
+            int(r["rank"]),
+        )
+        for r in df.collect()
+    )
+
+
+def test_committed_epoch_and_markers(spark, consistent):
+    root, _art, _exp = consistent
+    assert IG.corpus_committed_epoch(root) == 2
+    files = sorted(glob.glob(os.path.join(root, "commits", "batch-*.json")))
+    assert len(files) == 3
+    with open(files[0], encoding="utf-8") as f:
+        m = json.load(f)
+    assert m["batch"] == 0
+    assert {"index", "docs", "postings", "lsh"} <= set(m["stores"])
+
+
+def test_docs_store_resolves_each_epoch_exactly(spark, consistent):
+    root, _art, expected = consistent
+
+    def rows(df):
+        return sorted(
+            (int(r["doc_id"]), r["text"])
+            for r in df.select("doc_id", "text").collect()
+        )
+
+    for e, want in expected.items():
+        got = IG.read_corpus_docs(spark, root, up_to_batch=e)
+        assert rows(got) == rows(want), f"epoch {e}"
+    with pytest.raises(ValueError, match="not.*both|both"):
+        IG.read_corpus_docs(spark, root, before_batch=1, up_to_batch=1)
+
+
+def test_hybrid_stored_matches_oneshot_at_every_epoch(spark, consistent):
+    """The headline pin: at EVERY committed epoch, hybrid serving from
+    the maintained stores equals the one-shot hybrid (corpus-tokenizing
+    bm25 + from-scratch index build + the same rrf_fuse) over the
+    source-derived corpus state at that epoch."""
+    root, _art, expected = consistent
+    q = _queries(spark, root)
+    for e, docs_e in expected.items():
+        idx_oneshot = build_index(docs_e)
+        oneshot = rrf_fuse(
+            [
+                bm25_topk(
+                    docs_e, q.select("query_id", "query_text"), k=POOL
+                ).select("query_id", "doc_id", "rank"),
+                knn_exact_expr(
+                    q.select("query_id", "qvec"), idx_oneshot, k=POOL
+                ).select("query_id", "doc_id", "rank"),
+            ],
+            k=K,
+        )
+        got = HS.hybrid_search_stored(
+            spark, root, q, k=K, pool=POOL, epoch=e
+        )
+        assert _rel(got) == _rel(oneshot) and _rel(got), f"epoch {e}"
+    # the COMMITTED sentinel resolves to the newest marker
+    sent = HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL)
+    last = HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL, epoch=2)
+    assert _rel(sent) == _rel(last)
+
+
+def test_hybrid_lsh_tier_serves_epochs_from_stored_signatures(
+    spark, consistent
+):
+    """The stored-LSH dense tier at a historical epoch equals the
+    in-memory LSH over the same epoch-bounded index (same artifact, so
+    bit-identical signatures); the fused stored hybrid equals the
+    one-shot lsh hybrid at the committed epoch."""
+    root, art, expected = consistent
+    q = _queries(spark, root)
+    for e in (1, 2):
+        idx_e = IG.read_corpus_index(spark, root, up_to_batch=e)
+        stored = ann.ann_lsh_topk_ondisk(
+            spark,
+            q.select("query_id", "qvec"),
+            IG.corpus_lsh_path(root),
+            idx_e,
+            k=POOL,
+            up_to_batch=e,
+        )
+        mem = ann.ann_lsh_topk(
+            q.select("query_id", "qvec"), idx_e, k=POOL, artifact=art
+        )
+        assert _rel_knn(stored) == _rel_knn(mem) and _rel_knn(stored), (
+            f"epoch {e}"
+        )
+    fused = HS.hybrid_search_stored(
+        spark, root, q, k=K, pool=POOL, dense="lsh"
+    )
+    idx2 = IG.read_corpus_index(spark, root, up_to_batch=2)
+    oneshot = rrf_fuse(
+        [
+            bm25_topk(
+                expected[2], q.select("query_id", "query_text"), k=POOL
+            ).select("query_id", "doc_id", "rank"),
+            ann.ann_lsh_topk(
+                q.select("query_id", "qvec"), idx2, k=POOL, artifact=art
+            ).select("query_id", "doc_id", "rank"),
+        ],
+        k=K,
+    )
+    assert _rel(fused) == _rel(oneshot) and _rel(fused)
+
+
+def test_bounded_reads_below_horizon_raise(spark, consistent, tmp_path):
+    """Compaction folds away per-batch provenance: a bound below the
+    horizon RAISES (never silently serves folded rows as historical);
+    a bound AT the horizon still resolves exactly."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+    )
+    # postings store built purely from appends, then folded
+    p = str(tmp_path / "post")
+    for b in range(3):
+        LXS.append_postings_batch(
+            docs.filter(f"doc_id >= {b * 10} AND doc_id < {(b + 1) * 10}"),
+            p,
+            b,
+            n_buckets=4,
+        )
+    want = sorted(
+        (int(r["doc_id"]), int(r["dl"]))
+        for r in LXS.read_doclens(spark, p).collect()
+    )
+    assert LXS.compact_postings(spark, p)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        LXS.read_doclens(spark, p, up_to_batch=1)
+    got = sorted(
+        (int(r["doc_id"]), int(r["dl"]))
+        for r in LXS.read_doclens(spark, p, up_to_batch=2).collect()
+    )
+    assert got == want
+    # lsh store: same discipline
+    lp = str(tmp_path / "lsh")
+    idx = build_index(docs.filter("doc_id < 30"))
+    n = idx.count()
+    art = {
+        "family": ann.LSH_FAMILY,
+        "dim": DIM,
+        "n_planes": ann.recommended_n_planes(n),
+        "n_tables": ann.DEFAULT_N_TABLES,
+        "center": None,
+    }
+    for b in range(3):
+        ann.append_lsh_signatures_batch(
+            idx.filter(f"doc_id >= {b * 10} AND doc_id < {(b + 1) * 10}"),
+            lp,
+            b,
+            art,
+        )
+    want_sig = sorted(
+        (int(r["doc_id"]), str(r["sig"]))
+        for r in ann.read_lsh_signatures(spark, lp).collect()
+    )
+    assert ann.compact_lsh_signatures(spark, lp)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        ann.read_lsh_signatures(spark, lp, up_to_batch=0)
+    got_sig = sorted(
+        (int(r["doc_id"]), str(r["sig"]))
+        for r in ann.read_lsh_signatures(spark, lp, up_to_batch=2).collect()
+    )
+    assert got_sig == want_sig
+
+
+def test_marker_write_is_idempotent(spark, tmp_path):
+    root = str(tmp_path)
+    assert IG.corpus_committed_epoch(root) is None
+    commits = os.path.join(root, "commits")
+    IG._write_commit_marker(commits, 5, ["index"])
+    IG._write_commit_marker(commits, 5, ["index", "docs"])  # replay
+    files = glob.glob(os.path.join(commits, "batch-*.json"))
+    assert len(files) == 1
+    with open(files[0], encoding="utf-8") as f:
+        assert json.load(f)["stores"] == ["docs", "index"]
+    assert IG.corpus_committed_epoch(root) == 5
+
+
+def test_torn_batch_invisible_at_committed_epoch(spark, consistent):
+    """Simulate the mid-handler crash window: an in-flight batch 3 lands
+    in the postings AND lsh stores but not the index log, and no commit
+    marker exists.  The committed-epoch hybrid read is unchanged; the
+    unbounded live view visibly tears (the new doc ranks in the sparse
+    tier while the dense tier has never seen it).  LAST in this file:
+    the torn dirs are removed again in the cleanup."""
+    root, art, _exp = consistent
+    q = _queries(spark, root)
+    before = _rel(HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL))
+    ppath = IG.corpus_postings_path(root)
+    lpath = IG.corpus_lsh_path(root)
+    qtext = q.filter("query_id = 5").select("query_text").first()[0]
+    newdoc = spark.createDataFrame(
+        [(900, qtext)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.timestamp_millis(F.lit(30_000_000)).alias("ts"),
+        "text",
+        F.length("text").alias("n_chars"),
+    )
+    try:
+        LXS.append_postings_batch(newdoc, ppath, 3, n_buckets=8)
+        ann.append_lsh_signatures_batch(build_index(newdoc), lpath, 3, art)
+        assert IG.corpus_committed_epoch(root) == 2  # no marker: not committed
+        after = _rel(
+            HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL)
+        )
+        assert after == before
+        # the tear is real: the unbounded live view sees the torn batch
+        live_docs = {
+            int(r["doc_id"])
+            for r in LXS.read_doclens(spark, ppath).collect()
+        }
+        assert 900 in live_docs
+        bounded_docs = {
+            int(r["doc_id"])
+            for r in LXS.read_doclens(spark, ppath, up_to_batch=2).collect()
+        }
+        assert 900 not in bounded_docs
+        live = _rel(
+            HS.hybrid_search_stored(
+                spark, root, q, k=K, pool=POOL, epoch=None
+            )
+        )
+        assert live != before
+    finally:
+        for d in (
+            os.path.join(ppath, "postings_log", "batch=3"),
+            os.path.join(ppath, "doclens_log", "batch=3"),
+            os.path.join(lpath, "signatures_log", "batch=3"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)

@@ -401,6 +401,44 @@ def test_base_scan_rides_no_exchange_and_prunes_partitions(spark, store):
             j -= 1
 
 
+def test_bounded_read_keeps_the_plan_pins(spark, store):
+    """The r12 epoch bound (``up_to_batch=``) only changes WHICH log
+    dirs are read — the resolution plan keeps both pins: base scan under
+    no Exchange, partition filter present."""
+    _append(_batch_df(spark, [(6, "lazy spark doc", 10)]), store, 0)
+    _append(_batch_df(spark, [(7, "lazy cat doc", 10)]), store, 2)
+    tbs = LX.term_bucket_of(spark, ["lazy"], 8)
+    resolved = LX.read_postings(
+        spark, store, terms=["lazy"], term_buckets=tbs, up_to_batch=1
+    )
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan  # batch 0 still resolves via the log
+    lines = plan.splitlines()
+    base_idx = _base_scan_lines(lines)
+    assert base_idx, plan
+    for bi in base_idx:
+        assert "PartitionFilters" in lines[bi] and "tb" in lines[bi]
+        assert "PartitionFilters: []" not in lines[bi], lines[bi]
+        j, cur = bi - 1, _node_offset(lines[bi])
+        while j >= 0:
+            o = _node_offset(lines[j])
+            if o < cur:
+                assert "Exchange" not in lines[j], (
+                    f"base scan rides an Exchange:\n{lines[j]}\n\n{plan}"
+                )
+                cur = o
+            j -= 1
+    # and the bound is effective: batch 2's doc is absent at epoch 1
+    docs = {
+        int(r["doc_id"])
+        for r in LX.read_doclens(spark, store, up_to_batch=1).collect()
+    }
+    assert 7 not in docs
+    assert 7 in {
+        int(r["doc_id"]) for r in LX.read_doclens(spark, store).collect()
+    }
+
+
 def test_empty_query_terms_returns_empty(spark, store):
     q = spark.createDataFrame([(1, "   ")], ["query_id", "query_text"])
     assert LX.bm25_topk_stored(spark, store, q).count() == 0

@@ -3430,7 +3430,8 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d, q = _bm25_gate_inputs(spark, sf_dir)
     out = bm25_topk(d, q, k=5).orderBy("query_id", "rank")
-    _bm25_stored_twin_check(spark, d, q, out)
+    if RUN_TWIN_CHECKS:
+        _bm25_stored_twin_check(spark, d, q, out)
     return out
 
 

@@ -438,6 +438,7 @@ _LSH_SIG_LOG = "signatures_log"
 # lazily-executed reader plan survives one full compaction cycle.
 _SIG_MANIFEST = "SIG_MANIFEST"
 _SIG_RETIRED = "SIG_RETIRED"
+_SIG_HORIZON = "SIG_HORIZON"
 
 
 def _sig_base_dir(path: str) -> str | None:
@@ -466,6 +467,33 @@ def _sig_retired(path: str) -> set[str]:
             return {os.path.realpath(ln.strip()) for ln in f if ln.strip()}
     except FileNotFoundError:
         return set()
+
+
+def _sig_horizon(path: str) -> int | None:
+    """Highest log batch id a compaction has folded into the base, or
+    None if the store has never compacted (a bounded read can then serve
+    any ``up_to_batch`` exactly — the whole history is still in the
+    log)."""
+    import os
+
+    try:
+        with open(os.path.join(path, _SIG_HORIZON), encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _stamp_sig_horizon(path: str, batch_id: int) -> None:
+    """Record the fold horizon BEFORE the generation manifest publishes:
+    a crash between the two leaves a too-high horizon over an unfolded
+    store — bounded reads below it raise unnecessarily (loud, safe),
+    never silently serve folded rows as if they were historical."""
+    import os
+
+    tmp = os.path.join(path, "." + _SIG_HORIZON + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{int(batch_id)}\n")
+    os.replace(tmp, os.path.join(path, _SIG_HORIZON))
 
 
 def _sig_log_dirs(path: str) -> list[str]:
@@ -638,7 +666,7 @@ def write_lsh_index(
     # (safe while the knob manifest is absent — readers refuse the store)
     import glob
 
-    for f in (_SIG_MANIFEST, _SIG_RETIRED):
+    for f in (_SIG_MANIFEST, _SIG_RETIRED, _SIG_HORIZON):
         try:
             os.remove(os.path.join(path, f))
         except FileNotFoundError:
@@ -826,12 +854,27 @@ def _read_sig_log(spark, path: str, dirs: list[str]) -> DataFrame:
     )
 
 
-def read_lsh_signatures(spark, path: str) -> DataFrame:
+def read_lsh_signatures(
+    spark, path: str, up_to_batch: int | None = None
+) -> DataFrame:
     """The resolved ``(doc_id, sig)`` view of a stored LSH index: base
     signature table (``write_lsh_index`` or the newest
     :func:`compact_lsh_signatures` generation) ∪ maintenance log
     (``append_lsh_signatures_batch``), newest batch per doc winning —
     the ``read_index_latest`` resolution, on signature rows.
+
+    ``up_to_batch=B`` (r12, the consistent-read bound) restricts the log
+    to batches ``<= B`` — the relation as it stood when batch B's append
+    landed.  Exact only back to the COMPACTION HORIZON: the folded base
+    keeps no per-batch provenance, so a bound below the highest folded
+    batch RAISES rather than silently serving post-B rows as historical
+    (the ``read_index_asof`` exactness discipline).  In the
+    ``maintain_corpus`` flow this never fires for committed epochs — the
+    in-stream cadence folds only batches older than the one being
+    handled, so ``corpus_committed_epoch`` is always >= the horizon.
+    A full ``write_lsh_index`` rebuild clears the horizon along with the
+    log — it resets the store's history (the rebuilt base IS epoch zero);
+    don't mix mid-stream rebuilds with bounded reads of older epochs.
 
     The resolution is LOG-SIZED (VERDICT r11 #1): the latest-per-doc
     window runs over the LOG only (typically a few batches between
@@ -844,8 +887,24 @@ def read_lsh_signatures(spark, path: str) -> DataFrame:
     scan with no shuffle at all.  Base rows are null-free by
     construction (both writers hash only live vectors), so the
     tombstone drop applies on the log side only."""
+    import os
+
     base_p = _sig_base_dir(path)
     log_dirs = _sig_log_dirs(path)
+    if up_to_batch is not None:
+        horizon = _sig_horizon(path)
+        if horizon is not None and int(up_to_batch) < horizon:
+            raise ValueError(
+                f"read_lsh_signatures: up_to_batch={int(up_to_batch)} is "
+                f"below the compaction horizon {horizon} at {path!r} — "
+                "the folded base keeps no per-batch provenance, so that "
+                "historical state is no longer resolvable"
+            )
+        log_dirs = [
+            d
+            for d in log_dirs
+            if int(os.path.basename(d).split("=")[1]) <= int(up_to_batch)
+        ]
     if base_p is None and not log_dirs:
         raise FileNotFoundError(f"no LSH signature store at {path}")
     base = (
@@ -854,6 +913,8 @@ def read_lsh_signatures(spark, path: str) -> DataFrame:
         else None
     )
     if not log_dirs:
+        if base is None:
+            raise FileNotFoundError(f"no LSH signature store at {path}")
         return base
     resolved_log = _resolve_sig_log(_read_sig_log(spark, path, log_dirs))
     if base is None:
@@ -972,6 +1033,13 @@ def compact_lsh_signatures(
     folded.sortWithinPartitions("sig").write.mode("overwrite").parquet(
         os.path.join(path, new_gen)
     )
+    # horizon BEFORE the manifest: a crash between the two over-claims
+    # (bounded reads below it raise needlessly) but never under-claims
+    # (serving folded rows as historical state) — see _stamp_sig_horizon
+    _stamp_sig_horizon(
+        path,
+        max(int(os.path.basename(d).split("=")[1]) for d in snapshot),
+    )
     tmp = os.path.join(path, ".SIG_MANIFEST.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(new_gen + "\n")
@@ -996,6 +1064,7 @@ def lsh_candidates_ondisk(
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
     broadcast_queries: bool = True,
+    up_to_batch: int | None = None,
 ) -> DataFrame:
     """:func:`lsh_candidates` against a stored :func:`write_lsh_index`:
     the corpus side is the persisted signature table (2-column scan, no
@@ -1003,9 +1072,12 @@ def lsh_candidates_ondisk(
     maintenance log exists, see :func:`read_lsh_signatures`); the query
     side hashes with the manifest's exact (dim, planes, tables, center),
     so both sides collide bit-identically by construction.  Output schema
-    matches ``lsh_candidates``."""
+    matches ``lsh_candidates``.  ``up_to_batch`` bounds the signature
+    resolution to a committed epoch (pass the matching epoch-bounded
+    ``index`` relation for a fully consistent read — the signature side
+    alone cannot make the deferred vector fetch historical)."""
     art = read_lsh_artifact(path)
-    stored = read_lsh_signatures(spark, path)
+    stored = read_lsh_signatures(spark, path, up_to_batch=up_to_batch)
     q = signatures_from_artifact(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -1047,13 +1119,17 @@ def ann_lsh_topk_ondisk(
     query_id_col: str = "query_id",
     index_id_col: str = "doc_id",
     broadcast_queries: bool = True,
+    up_to_batch: int | None = None,
 ) -> DataFrame:
     """:func:`ann_lsh_topk` served from the stored signature index —
     identical output to the in-memory form with the manifest's knobs
-    (pinned in tests), minus the corpus-wide signature kernel per call."""
+    (pinned in tests), minus the corpus-wide signature kernel per call.
+    ``up_to_batch`` bounds the stored side to a committed epoch (pair it
+    with an epoch-bounded ``index``)."""
     cand = lsh_candidates_ondisk(
         spark, queries, path, index, query_vec_col, index_vec_col,
         query_id_col, index_id_col, broadcast_queries,
+        up_to_batch=up_to_batch,
     )
     scored = cand.select(
         "query_id",

@@ -1,0 +1,144 @@
+"""Hybrid retrieval served ENTIRELY from maintained stores — and
+snapshot-consistent across them (r12).
+
+The reference serves dense-only search (services/search_service.py:21-46
+runs one kNN over the hnswlib index); a production RAG stack at 100 TB
+pairs that with a lexical tier and fuses ranks — reciprocal-rank fusion
+(Cormack, Clarke & Buettcher, SIGIR 2009) is the standard score-free
+combiner, and this engine's one-shot form is the oracle-green
+``hybrid_rrf_topk`` gate (``keyword_search.rrf_fuse``).
+
+What this module adds is the MAINTAINED-STORE serving path: the sparse
+side comes from the on-disk BM25 postings store (``lexical_store``), the
+dense side from the maintained embedding index (plus, optionally, the
+maintained LSH signature table for candidate generation) — no corpus
+tokenization, no corpus signature kernel, per query batch.  Because the
+composed ingest (``streaming/ingest_stream.maintain_corpus``) writes the
+stores SEQUENTIALLY within each micro-batch, a naive two-store read can
+be torn: postings already carrying batch N while the index log does not.
+Serving at the CORPUS COMMITTED EPOCH (``corpus_committed_epoch``; every
+store reader bounded by ``up_to_batch=``) removes the tear by
+construction — both tiers see exactly the same corpus state, the one the
+last fully-committed batch left behind.
+
+Scale shape: everything here delegates to readers that already carry the
+store contracts — pruned 2-column scans, log-sized windows, broadcast
+anti-joins (never a base shuffle), broadcast query sides — and the
+fusion itself is one union + one hash aggregation over per-query top-pool
+rows (``rrf_fuse``).  Nothing corpus-sized moves per query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMMITTED = "committed"
+
+
+def resolve_epoch(root: str, epoch) -> int | None:
+    """Normalize an epoch argument: the ``COMMITTED`` sentinel reads the
+    corpus commit markers; an int passes through; None means UNBOUNDED
+    (live view — each store's freshest state, with no cross-store
+    consistency claim).  ``COMMITTED`` on a corpus with no markers (e.g.
+    stores built one-shot, never maintained by the stream) resolves to
+    None: there is no in-flight batch to be torn against."""
+    if epoch == COMMITTED:
+        from vector_search_question_answer_api_spark.streaming.ingest_stream import (
+            corpus_committed_epoch,
+        )
+
+        return corpus_committed_epoch(root)
+    if epoch is None:
+        return None
+    return int(epoch)
+
+
+def hybrid_search_stored(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    c: int = 60,
+    dense: str = "exact",
+    epoch=COMMITTED,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, doc_id, rrf_score, rank): hybrid top-k over a
+    ``maintain_corpus`` root, both tiers served from maintained stores at
+    ONE corpus epoch.
+
+    ``queries`` carries (query_id, query_text, qvec) — text drives the
+    sparse tier, the (already L2-normalized) vector drives the dense
+    tier; both are small by the usual broadcast contract.
+
+    ``dense="exact"``: brute-force cosine over the epoch-bounded resolved
+    index (``knn_exact_expr`` — the broadcast-nested-loop plan; corpus
+    never moves).  ``dense="lsh"``: candidates from the maintained LSH
+    signature table (bucket equi-join on stored signatures), distances
+    from the same epoch-bounded index — the 100 TB serving tier; the
+    fused relation then reflects the LSH tier's recall, exactly as the
+    one-shot ``ann_lsh_topk`` would at that epoch.
+
+    ``pool`` is each tier's candidate depth before fusion (the one-shot
+    hybrid gate's top-20 convention); ``c`` the RRF constant.
+
+    Pinned in tests/test_consistent_reads.py: for every committed epoch,
+    this relation EQUALS the one-shot hybrid (``bm25_topk`` over the
+    resolved docs + ``knn_exact_expr`` over the resolved index, fused by
+    the same ``rrf_fuse``) computed on the corpus state at that epoch —
+    and a torn in-flight batch (one store written, marker absent) changes
+    nothing until its commit marker lands."""
+    from vector_search_question_answer_api_spark.operators import (
+        ann,
+        lexical_store as LXS,
+    )
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        rrf_fuse,
+    )
+    from vector_search_question_answer_api_spark.operators.search import (
+        knn_exact_expr,
+    )
+    from vector_search_question_answer_api_spark.streaming.ingest_stream import (
+        corpus_lsh_path,
+        corpus_postings_path,
+        read_corpus_index,
+    )
+
+    e = resolve_epoch(root, epoch)
+    idx = read_corpus_index(spark, root, up_to_batch=e)
+    sparse = LXS.bm25_topk_stored(
+        spark,
+        corpus_postings_path(root),
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_text_col).alias("query_text"),
+        ),
+        k=pool,
+        up_to_batch=e,
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    if dense == "exact":
+        dense_top = knn_exact_expr(qv, idx, k=pool)
+    elif dense == "lsh":
+        dense_top = ann.ann_lsh_topk_ondisk(
+            spark, qv, corpus_lsh_path(root), idx, k=pool, up_to_batch=e
+        )
+    else:
+        raise ValueError(
+            f"hybrid_search_stored: dense={dense!r} (want 'exact' or 'lsh')"
+        )
+    return rrf_fuse(
+        [
+            sparse.select("query_id", "doc_id", "rank"),
+            dense_top.select("query_id", "doc_id", "rank"),
+        ],
+        k=k,
+        c=c,
+    )

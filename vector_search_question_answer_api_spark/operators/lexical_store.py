@@ -65,6 +65,7 @@ POSTINGS_FAMILY = "bm25-postings-ws-v1"
 _KNOB_MANIFEST = "_postings_manifest.json"
 _PG_MANIFEST = "PG_MANIFEST"
 _PG_RETIRED = "PG_RETIRED"
+_PG_HORIZON = "PG_HORIZON"
 _POST_LOG = "postings_log"
 _DL_LOG = "doclens_log"
 
@@ -150,6 +151,54 @@ def _pg_retired(path: str) -> set[str]:
         return set()
 
 
+def _pg_horizon(path: str) -> int | None:
+    """Highest log batch id a compaction has folded into the base, or
+    None for a never-compacted store (any bound is then exact — the
+    whole maintenance history is still in the log)."""
+    try:
+        with open(os.path.join(path, _PG_HORIZON), encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _stamp_pg_horizon(path: str, batch_id: int) -> None:
+    """Record the fold horizon BEFORE the generation manifest publishes
+    (the ``ann._stamp_sig_horizon`` rule): a crash between the two
+    over-claims — bounded reads below it raise needlessly — but never
+    silently serves folded rows as historical state."""
+    tmp = os.path.join(path, "." + _PG_HORIZON + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{int(batch_id)}\n")
+    os.replace(tmp, os.path.join(path, _PG_HORIZON))
+
+
+def _bounded_log_dirs(
+    path: str, sub: str, up_to_batch: int | None
+) -> list[str]:
+    """``_log_dirs`` restricted to batches <= ``up_to_batch`` — the
+    consistent-read bound (r12).  Raises below the compaction horizon:
+    the folded base keeps no per-batch provenance, so older states are no
+    longer resolvable (the ``read_index_asof`` exactness discipline).  A
+    ``write_postings_index`` full rebuild clears the horizon along with
+    the log — it resets the store's history."""
+    dirs = _log_dirs(path, sub)
+    if up_to_batch is None:
+        return dirs
+    horizon = _pg_horizon(path)
+    if horizon is not None and int(up_to_batch) < horizon:
+        raise ValueError(
+            f"lexical_store: up_to_batch={int(up_to_batch)} is below the "
+            f"compaction horizon {horizon} at {path!r} — that historical "
+            "state is no longer resolvable"
+        )
+    return [
+        d
+        for d in dirs
+        if int(os.path.basename(d).split("=")[1]) <= int(up_to_batch)
+    ]
+
+
 def _log_dirs(path: str, sub: str) -> list[str]:
     """``batch=<id>`` dirs of one log, OLDEST first, excluding dirs the
     last compaction retired (still on disk through the grace period)."""
@@ -197,7 +246,7 @@ def write_postings_index(
         os.remove(os.path.join(path, _KNOB_MANIFEST))
     except FileNotFoundError:
         pass
-    for fname in (_PG_MANIFEST, _PG_RETIRED):
+    for fname in (_PG_MANIFEST, _PG_RETIRED, _PG_HORIZON):
         try:
             os.remove(os.path.join(path, fname))
         except FileNotFoundError:
@@ -339,22 +388,26 @@ def _log_latest_live(dl_log: DataFrame) -> DataFrame:
     )
 
 
-def _resolved_parts(spark, path: str):
-    """(base_gen_dir, post_dirs, dl_dirs) of the current store state."""
+def _resolved_parts(spark, path: str, up_to_batch: int | None = None):
+    """(base_gen_dir, post_dirs, dl_dirs) of the current store state,
+    log dirs bounded to ``up_to_batch`` when given (consistent reads)."""
     base = _pg_base(path)
-    post_dirs = _log_dirs(path, _POST_LOG)
-    dl_dirs = _log_dirs(path, _DL_LOG)
+    post_dirs = _bounded_log_dirs(path, _POST_LOG, up_to_batch)
+    dl_dirs = _bounded_log_dirs(path, _DL_LOG, up_to_batch)
     if base is None and not dl_dirs:
         raise FileNotFoundError(f"no postings store at {path}")
     return base, post_dirs, dl_dirs
 
 
-def read_doclens(spark, path: str) -> DataFrame:
+def read_doclens(
+    spark, path: str, up_to_batch: int | None = None
+) -> DataFrame:
     """Resolved (doc_id, dl) of live docs: base doclens minus docs the
     log mentions (broadcast anti-join — the base never shuffles) ∪ the
-    log's latest live rows."""
+    log's latest live rows.  ``up_to_batch`` bounds the log to a
+    committed epoch (see ``_bounded_log_dirs``)."""
     read_postings_manifest(path)
-    base, _post_dirs, dl_dirs = _resolved_parts(spark, path)
+    base, _post_dirs, dl_dirs = _resolved_parts(spark, path, up_to_batch)
     base_dl = (
         spark.read.parquet(os.path.join(base, "doclens")).select(
             "doc_id", "dl"
@@ -385,6 +438,7 @@ def read_postings(
     path: str,
     terms: list[str] | None = None,
     term_buckets: list[int] | None = None,
+    up_to_batch: int | None = None,
 ) -> DataFrame:
     """Resolved (term, doc_id, tf, dl) postings of the LIVE corpus.
 
@@ -398,10 +452,11 @@ def read_postings(
     Resolution never shuffles the base: log-mentioned docs leave via a
     broadcast anti-join on the doclens log's doc ids; log postings keep
     only each doc's newest LIVE version (broadcast join against the
-    log-sized latest-live relation)."""
+    log-sized latest-live relation).  ``up_to_batch`` bounds the log to
+    a committed epoch (see ``_bounded_log_dirs``)."""
     manifest = read_postings_manifest(path)
     n_buckets = int(manifest["n_buckets"])
-    base, post_dirs, dl_dirs = _resolved_parts(spark, path)
+    base, post_dirs, dl_dirs = _resolved_parts(spark, path, up_to_batch)
 
     def _slice(df: DataFrame) -> DataFrame:
         if terms is None:
@@ -476,11 +531,13 @@ def term_bucket_of(spark, terms: list[str], n_buckets: int) -> list[int]:
 # ---------------------------------------------------------------- serving
 
 
-def corpus_stats(spark, path: str) -> DataFrame:
+def corpus_stats(
+    spark, path: str, up_to_batch: int | None = None
+) -> DataFrame:
     """ONE row (n_docs, avgdl) over the live corpus — an aggregate of the
     resolved 2-column doclens relation (kept a DataFrame; never a driver
     collect)."""
-    return read_doclens(spark, path).agg(
+    return read_doclens(spark, path, up_to_batch=up_to_batch).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
@@ -496,6 +553,7 @@ def bm25_topk_stored(
     query_text_col: str = "query_text",
     round_digits: int = 6,
     max_doc_freq: float | None = None,
+    up_to_batch: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): BM25 top-k per query SERVED FROM
     THE STORE — relation-equal to ``keyword_search.bm25_topk`` over the
@@ -505,7 +563,12 @@ def bm25_topk_stored(
 
     ``queries`` is small by the same contract as the one-shot (it is
     broadcast); its DISTINCT terms are collected once to drive partition
-    pruning — a bounded handful of strings, never corpus rows."""
+    pruning — a bounded handful of strings, never corpus rows.
+
+    ``up_to_batch`` serves the corpus as of a committed epoch — both the
+    pruned postings slice AND the corpus stats (n_docs, avgdl) resolve at
+    the same bound, so historical scores are exactly what a live query at
+    that epoch returned."""
     from vector_search_question_answer_api_spark.operators.keyword_search import (
         score_postings_bm25,
     )
@@ -547,12 +610,13 @@ def bm25_topk_stored(
             path,
             terms=[r["term"] for r in pairs],
             term_buckets=[int(r["tb"]) for r in pairs],
+            up_to_batch=up_to_batch,
         )
     )
     return score_postings_bm25(
         postings,
         qterms,
-        corpus_stats(spark, path),
+        corpus_stats(spark, path, up_to_batch=up_to_batch),
         k=k,
         k1=k1,
         b=b,
@@ -710,6 +774,13 @@ def compact_postings(
     )
     folded_dl.write.mode("overwrite").parquet(
         os.path.join(gen_dir, "doclens")
+    )
+    # horizon BEFORE the manifest (see _stamp_pg_horizon): folded batches
+    # are the committed dl set — a postings-only crashed dir is neither
+    # folded nor retired, so it stays resolvable after its replay
+    _stamp_pg_horizon(
+        path,
+        max(int(os.path.basename(d).split("=")[1]) for d in dl_dirs),
     )
     tmp = os.path.join(path, ".PG_MANIFEST.tmp")
     with open(tmp, "w", encoding="utf-8") as f:

@@ -39,6 +39,27 @@ Store layout under one root::
     <root>/spans/...    (span_stream occ/agg)
     <root>/lsh/...      (on-disk LSH signature table; when lsh_artifact
                          given — manifest + base + batch=<id> log)
+    <root>/docs/...     (raw document rows; when docs_store=True)
+    <root>/postings/... (maintained BM25 lexical index; when
+                         postings_store=True)
+    <root>/commits/...  (corpus COMMIT MARKERS, r12 — one tiny json per
+                         completed batch, written LAST by the handler)
+
+CROSS-STORE CONSISTENCY (r12): the handler writes the stores
+sequentially, so a reader that spans two stores mid-batch can see a TORN
+state — e.g. postings already carrying batch N while the index log does
+not.  The commit marker bounds that: ``corpus_committed_epoch(root)`` is
+the newest batch every enabled store has fully absorbed, and each
+retrieval store's reader takes ``up_to_batch=`` (``read_corpus_index`` /
+``read_corpus_docs`` here; ``lexical_store.read_postings`` /
+``bm25_topk_stored``; ``ann.read_lsh_signatures`` /
+``ann_lsh_topk_ondisk``), so serving every side at the committed epoch is
+snapshot-consistent by construction.  A crash mid-handler leaves no
+marker; the checkpoint replay overwrites each store's ``batch=<id>`` data
+and the marker lands when the replay completes — epoch-bounded readers
+never observe the torn window.  The cell-managed ANN stores (codes /
+graphs) maintain IN PLACE (single-version); they are not epoch-bounded —
+consistent multi-store serving composes index + docs + postings + lsh.
 """
 
 from __future__ import annotations
@@ -65,6 +86,7 @@ def _subpaths(root: str) -> dict[str, str]:
         "lsh": os.path.join(root, "lsh"),
         "docs": os.path.join(root, "docs"),
         "postings": os.path.join(root, "postings"),
+        "commits": os.path.join(root, "commits"),
     }
 
 
@@ -549,6 +571,25 @@ def maintain_corpus(
                             dim=dim,
                         ),
                     )
+            # CORPUS COMMIT MARKER — LAST, after every enabled store
+            # absorbed this batch: epoch-bounded readers
+            # (corpus_committed_epoch + the stores' up_to_batch= bounds)
+            # get snapshot consistency ACROSS stores, and a crash
+            # anywhere above leaves no marker — the replaying handler's
+            # overwrites land first, then the marker (idempotent: same
+            # name, atomic os.replace)
+            stores = ["index", "profile", "spans"]
+            if docs_store:
+                stores.append("docs")
+            if postings_store:
+                stores.append("postings")
+            if lsh_artifact is not None:
+                stores.append("lsh")
+            if codebooks is not None:
+                stores.append("codes")
+            if ann_graphs:
+                stores.append("graphs")
+            _write_commit_marker(p["commits"], batch_id, stores)
         finally:
             if indexed is not None:
                 indexed.unpersist()
@@ -562,9 +603,54 @@ def maintain_corpus(
     return writer.start()
 
 
-def read_corpus_index(spark: SparkSession, root: str) -> DataFrame:
-    """The resolved latest-wins embedding index."""
-    return IX.read_index_latest(spark, _subpaths(root)["index"])
+def _write_commit_marker(
+    commits_dir: str, batch_id: int, stores: list[str]
+) -> None:
+    """One tiny json per completed batch, atomic publish (tmp +
+    ``os.replace``).  Replay-idempotent: the same batch id rewrites the
+    same file."""
+    import json
+
+    os.makedirs(commits_dir, exist_ok=True)
+    tmp = os.path.join(commits_dir, f".batch-{int(batch_id)}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"batch": int(batch_id), "stores": sorted(stores)}, f)
+    os.replace(
+        tmp, os.path.join(commits_dir, f"batch-{int(batch_id)}.json")
+    )
+
+
+def corpus_committed_epoch(root: str) -> int | None:
+    """The newest batch id EVERY enabled store has fully absorbed — the
+    corpus's committed epoch (r12).  None when no batch has committed yet.
+
+    Within one maintenance stream batches commit in order (foreachBatch
+    is sequential), so the max marker id is the consistency frontier:
+    every store's ``batch=<id>`` data for ids <= epoch is complete, and
+    any data beyond it may be a torn in-flight batch.  Pass the epoch to
+    the stores' ``up_to_batch=`` reader bounds for a snapshot-consistent
+    multi-store read (see the module docstring)."""
+    import glob
+
+    commits = _subpaths(root)["commits"]
+    ids = [
+        int(os.path.basename(f)[len("batch-"):-len(".json")])
+        for f in glob.glob(os.path.join(commits, "batch-*.json"))
+    ]
+    return max(ids) if ids else None
+
+
+def read_corpus_index(
+    spark: SparkSession, root: str, up_to_batch: int | None = None
+) -> DataFrame:
+    """The resolved latest-wins embedding index.  ``up_to_batch=B``
+    resolves the index as of batch B (``read_index_before_batch`` with
+    the bound shifted to inclusive) — exact even across compactions,
+    because folds preserve each row's original ``_batch``."""
+    path = _subpaths(root)["index"]
+    if up_to_batch is None:
+        return IX.read_index_latest(spark, path)
+    return IX.read_index_before_batch(spark, path, int(up_to_batch) + 1)
 
 
 def read_corpus_docs(
@@ -572,6 +658,7 @@ def read_corpus_docs(
     root: str,
     before_batch: int | None = None,
     asof_ts=None,
+    up_to_batch: int | None = None,
 ) -> DataFrame:
     """The resolved DOCUMENT corpus from the ``docs_store=True`` store:
     latest version per doc (by batch, then event time; a same-(batch, ts)
@@ -583,16 +670,25 @@ def read_corpus_docs(
     resolved latest-wins — and because the docs store is never compacted
     (every version's row survives), docs-store as-of reads are EXACT at
     any ``T``, unlike ``read_index_asof`` whose exactness is bounded by
-    the index compaction horizon.  One latest-per-doc window over the
+    the index compaction horizon.  ``up_to_batch=B`` (r12) is the
+    INCLUSIVE batch bound consistent multi-store reads use — pass
+    ``corpus_committed_epoch(root)``.  One latest-per-doc window over the
     store — the rebuild-cadence cost, never a per-read one."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if before_batch is not None and up_to_batch is not None:
+        raise ValueError(
+            "read_corpus_docs: pass before_batch= or up_to_batch=, not "
+            "both (they are the same bound, exclusive vs inclusive)"
+        )
     d = _subpaths(root)["docs"]
     if not os.path.isdir(d):
         raise FileNotFoundError(
             f"no docs store at {d} (maintain_corpus(docs_store=True))"
         )
+    if up_to_batch is not None:
+        before_batch = int(up_to_batch) + 1
     df = spark.read.parquet(d)
     if before_batch is not None:
         df = df.filter(F.col("batch") < int(before_batch))
