@@ -533,3 +533,26 @@ def test_maintain_corpus_serves_stored_bm25(spark, tmp_path):
         LX.bm25_topk_stored(spark, ppath, queries, k=4),
         bm25_topk(resolved_docs, queries, k=4),
     )
+
+
+def test_recommended_postings_compaction_every_delegates_and_caps():
+    """r12: the lexical store's cadence rule shares the signature
+    store's N* = sqrt(2C/(r*m)) cost model (delegation pinned), and at
+    the MEASURED constants — fold C~2.2 s, marginal premium at its
+    noise ceiling m<=0.01 (the sweep's finding: the true premium is
+    below cross-pass run noise, measurements/r12_postings_log_depth
+    .json) — the recommendation stays generous, because serving barely
+    pays for depth on this geometry."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_lsh_compaction_every,
+    )
+
+    # delegation: identical outputs at identical inputs
+    for args in ((1, 2.175, 0.01), (10, 2.175, 0.01), (0, 2.175, 0.01)):
+        assert LX.recommended_postings_compaction_every(
+            *args
+        ) == recommended_lsh_compaction_every(*args)
+    # the measured point: one read per batch at the noise-ceiling m
+    assert LX.recommended_postings_compaction_every(1, 2.175, 0.01) == 21
+    # below-noise premium -> the rule treats m<=0 as "fold rarely"
+    assert LX.recommended_postings_compaction_every(1, 2.175, 0.0) == 256

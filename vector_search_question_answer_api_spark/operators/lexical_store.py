@@ -625,6 +625,33 @@ def bm25_topk_stored(
     )
 
 
+def recommended_postings_compaction_every(
+    reads_per_batch: float,
+    fold_cost_sec: float,
+    marginal_resolve_sec: float,
+    max_every: int = 256,
+) -> int:
+    """The lexical store's compaction-cadence rule — the SAME
+    ``N* = sqrt(2C/(r*m))`` cost model as the signature store's
+    (``ann.recommended_lsh_compaction_every``, which this delegates to):
+    the log-bearing read's resolution premium grows linearly in the
+    depth the cadence allows, the fold amortizes over it.  Only the
+    measured constants differ; the bench-geometry constants live in
+    ``measurements/r12_postings_log_depth.json``
+    (``tools/postings_log_depth.py``).  Advisory like every
+    ``recommended_*`` rule."""
+    from vector_search_question_answer_api_spark.operators.ann import (
+        recommended_lsh_compaction_every,
+    )
+
+    return recommended_lsh_compaction_every(
+        reads_per_batch,
+        fold_cost_sec,
+        marginal_resolve_sec,
+        max_every=max_every,
+    )
+
+
 # -------------------------------------------------------------- compaction
 
 

@@ -603,12 +603,20 @@ def maintain_corpus(
     return writer.start()
 
 
+_KEEP_COMMIT_MARKERS = 64
+
+
 def _write_commit_marker(
     commits_dir: str, batch_id: int, stores: list[str]
 ) -> None:
     """One tiny json per completed batch, atomic publish (tmp +
     ``os.replace``).  Replay-idempotent: the same batch id rewrites the
-    same file."""
+    same file.  Markers older than the newest ``_KEEP_COMMIT_MARKERS``
+    are pruned after the write — the frontier only needs the max, and an
+    unbounded one-file-per-batch history is exactly the small-files
+    problem a year-long ingest cannot afford; the bounded tail remains as
+    a recent-epoch audit trail (per-batch store lists)."""
+    import glob
     import json
 
     os.makedirs(commits_dir, exist_ok=True)
@@ -618,6 +626,15 @@ def _write_commit_marker(
     os.replace(
         tmp, os.path.join(commits_dir, f"batch-{int(batch_id)}.json")
     )
+    markers = sorted(
+        glob.glob(os.path.join(commits_dir, "batch-*.json")),
+        key=lambda p: int(os.path.basename(p)[len("batch-"):-len(".json")]),
+    )
+    for stale in markers[:-_KEEP_COMMIT_MARKERS]:
+        try:
+            os.remove(stale)
+        except FileNotFoundError:
+            pass
 
 
 def corpus_committed_epoch(root: str) -> int | None:
