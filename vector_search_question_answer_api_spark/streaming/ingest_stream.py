@@ -670,6 +670,76 @@ def read_corpus_index(
     return IX.read_index_before_batch(spark, path, int(up_to_batch) + 1)
 
 
+_DOCS_MANIFEST = "DOCS_MANIFEST"
+_DOCS_RETIRED = "DOCS_RETIRED"
+
+
+def _docs_parts(droot: str):
+    """(manifest dict | None, live batch dirs) of a docs store.  The
+    manifest points at the current purge generation (``.dgen-*``); batch
+    dirs exclude paths the last purge retired (grace period — still on
+    disk so lazily-executed reader plans stay valid)."""
+    import glob
+    import json
+
+    man = None
+    try:
+        with open(os.path.join(droot, _DOCS_MANIFEST), encoding="utf-8") as f:
+            man = json.load(f)
+    except FileNotFoundError:
+        pass
+    retired = _docs_retired(droot)
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(droot, "batch=*"))
+        if os.path.isdir(d) and os.path.realpath(d) not in retired
+    ]
+    dirs.sort(key=lambda d: int(os.path.basename(d).split("=")[1]))
+    return man, dirs
+
+
+def _docs_retired(droot: str) -> set[str]:
+    try:
+        with open(os.path.join(droot, _DOCS_RETIRED), encoding="utf-8") as f:
+            return {os.path.realpath(ln.strip()) for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _docs_frame(spark: SparkSession, droot: str) -> DataFrame:
+    """Every live version row of the docs store with its ``batch`` id:
+    purge generation (batch stored as a data column) ∪ live ``batch=<id>``
+    dirs (batch as the partition column)."""
+    from pyspark.sql import functions as F
+
+    man, dirs = _docs_parts(droot)
+    parts = []
+    if man is not None:
+        parts.append(
+            spark.read.parquet(os.path.join(droot, man["gen"])).select(
+                "doc_id", "ts", "text", "n_chars", "_tomb",
+                F.col("batch").cast("long").alias("batch"),
+            )
+        )
+    if dirs:
+        parts.append(
+            spark.read.option("basePath", droot)
+            .parquet(*dirs)
+            .select(
+                "doc_id", "ts", "text", "n_chars", "_tomb",
+                F.col("batch").cast("long").alias("batch"),
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(
+            f"no docs store at {droot} (maintain_corpus(docs_store=True))"
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def read_corpus_docs(
     spark: SparkSession,
     root: str,
@@ -684,13 +754,14 @@ def read_corpus_docs(
     ``batch < N`` — the order-independent evidence predicate the
     in-stream profile rebuild uses (replay-safe).  ``asof_ts=T`` (r12)
     time-travels on the EVENT axis instead: rows with ``ts <= T``
-    resolved latest-wins — and because the docs store is never compacted
-    (every version's row survives), docs-store as-of reads are EXACT at
-    any ``T``, unlike ``read_index_asof`` whose exactness is bounded by
-    the index compaction horizon.  ``up_to_batch=B`` (r12) is the
-    INCLUSIVE batch bound consistent multi-store reads use — pass
-    ``corpus_committed_epoch(root)``.  One latest-per-doc window over the
-    store — the rebuild-cadence cost, never a per-read one."""
+    resolved latest-wins — EXACT at any ``T`` until a purge; after
+    :func:`purge_docs_versions` the guarantee becomes the index's
+    (absent-not-wrong below the purge coverage).  ``up_to_batch=B`` (r12)
+    is the INCLUSIVE batch bound consistent multi-store reads use — pass
+    ``corpus_committed_epoch(root)``; a bound below the purge horizon
+    RAISES (those states are no longer resolvable).  One latest-per-doc
+    window over the store — the rebuild-cadence cost, never a per-read
+    one."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -706,7 +777,19 @@ def read_corpus_docs(
         )
     if up_to_batch is not None:
         before_batch = int(up_to_batch) + 1
-    df = spark.read.parquet(d)
+    man, _dirs = _docs_parts(d)
+    if (
+        before_batch is not None
+        and man is not None
+        and int(before_batch) < int(man["purged_below"])
+    ):
+        raise ValueError(
+            f"read_corpus_docs: bound batch<{int(before_batch)} is below "
+            f"the purge horizon {int(man['purged_below'])} at {d!r} — the "
+            "purge kept only each doc's winner below it, so that "
+            "historical state is no longer resolvable"
+        )
+    df = _docs_frame(spark, d)
     if before_batch is not None:
         df = df.filter(F.col("batch") < int(before_batch))
     if asof_ts is not None:
@@ -720,6 +803,123 @@ def read_corpus_docs(
         .filter(~F.col("_tomb"))
         .select("doc_id", "ts", "text", "n_chars")
     )
+
+
+def purge_docs_versions(
+    spark: SparkSession, root: str, before_batch: int, n_files: int = 4
+) -> bool:
+    """QUIESCED physical purge of docs-store history older than batch
+    ``before_batch`` — the right-to-be-forgotten verb for the one store
+    that otherwise retains every version's RAW TEXT forever (deleted
+    docs included).  The index/ANN/LSH/span stores already purge
+    physically (``compact_index`` / ``purge_corpus_spans``); this closes
+    the last retention gap.  Returns True if a generation was published,
+    False for a no-op (nothing below the bound).
+
+    What survives below the bound: each doc's latest-wins WINNER over
+    rows with ``batch < before_batch`` (the exact ``read_corpus_docs``
+    window order), unless that winner is a tombstone — an absent doc
+    needs no marker row here, deletion evidence lives in the index log.
+    Every superseded version's text and every deleted doc's text below
+    the bound is physically gone after the NEXT purge's grace deletion.
+
+    Exactness after a purge (pinned in tests/test_docs_purge.py):
+
+    - the resolved live view is IDENTICAL (winners preserved);
+    - batch-bounded reads at ``>= before_batch - 1`` are identical;
+      below that they RAISE (monotone horizon, the compaction-horizon
+      discipline);
+    - event-axis as-of reads degrade to the index's contract: a purged
+      older version resolves ABSENT, never to a wrong version.
+
+    Protocol = the span-store purge discipline: write the consolidated
+    generation (``.dgen-<n>``, batch kept as a data column), publish the
+    manifest atomically (``os.replace``), RETIRE — not delete — the
+    superseded generation and the folded ``batch=<id>`` dirs for one
+    grace cycle.  QUIESCED: no concurrent ``maintain_corpus`` batch may
+    run (same contract as ``purge_corpus_spans``)."""
+    import glob
+    import json
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    droot = _subpaths(root)["docs"]
+    if not os.path.isdir(droot):
+        raise FileNotFoundError(
+            f"no docs store at {droot} (maintain_corpus(docs_store=True))"
+        )
+    B = int(before_batch)
+    man, dirs = _docs_parts(droot)
+    if man is not None and B < int(man["purged_below"]):
+        raise ValueError(
+            f"purge_docs_versions: before_batch={B} is below the existing "
+            f"purge horizon {int(man['purged_below'])} — horizons are "
+            "monotone"
+        )
+    # grace period elapsed: physically drop what the PREVIOUS purge
+    # retired, then sweep crashed-attempt orphan generations
+    for stale in _docs_retired(droot):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+    cur_gen = (
+        os.path.realpath(os.path.join(droot, man["gen"]))
+        if man is not None
+        else ""
+    )
+    for g in glob.glob(os.path.join(droot, ".dgen-*")):
+        if os.path.isdir(g) and os.path.realpath(g) != cur_gen:
+            shutil.rmtree(g, ignore_errors=True)
+
+    ids = [int(os.path.basename(d).split("=")[1]) for d in dirs]
+    if ids and B > max(ids) + 1:
+        # a resumed stream's batch ids continue at max+1; a horizon past
+        # that would make the in-stream profile rebuild's
+        # before_batch=batch_id bound raise on every batch until ids
+        # catch up — refuse the foot-gun
+        raise ValueError(
+            f"purge_docs_versions: before_batch={B} is past the store's "
+            f"newest batch {max(ids)} + 1 — a resumed stream would "
+            "immediately read below the horizon"
+        )
+    fold_dirs = [
+        d
+        for d in dirs
+        if int(os.path.basename(d).split("=")[1]) < B
+    ]
+    if man is None and not fold_dirs:
+        return False  # nothing below the bound
+    frame = _docs_frame(spark, droot).filter(F.col("batch") < B)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("batch").desc(), F.col("ts").desc(), F.col("_tomb").desc()
+    )
+    winners = (
+        frame.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("_tomb"))
+        .select("doc_id", "ts", "text", "n_chars", "_tomb", "batch")
+    )
+    if man is not None and man["gen"].startswith(".dgen-"):
+        n = int(man["gen"].split("-")[-1]) + 1
+    else:
+        n = 0
+    new_gen = f".dgen-{n:06d}"
+    winners.coalesce(int(n_files)).write.mode("overwrite").parquet(
+        os.path.join(droot, new_gen)
+    )
+    tmp = os.path.join(droot, "." + _DOCS_MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"gen": new_gen, "purged_below": B}, f)
+    os.replace(tmp, os.path.join(droot, _DOCS_MANIFEST))  # atomic publish
+    retire = [os.path.realpath(d) for d in fold_dirs]
+    if man is not None:
+        retire.append(cur_gen)
+    tmp_r = os.path.join(droot, "." + _DOCS_RETIRED + ".tmp")
+    with open(tmp_r, "w", encoding="utf-8") as f:
+        f.write("\n".join(retire) + ("\n" if retire else ""))
+    os.replace(tmp_r, os.path.join(droot, _DOCS_RETIRED))
+    return True
 
 
 def read_corpus_profile(spark: SparkSession, root: str) -> dict:
