@@ -395,3 +395,89 @@ def test_torn_batch_invisible_at_committed_epoch(spark, consistent):
             os.path.join(lpath, "signatures_log", "batch=3"),
         ):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bounded_reads_equal_prefix_replay_on_random_sequences(
+    spark, tmp_path
+):
+    """Property pin for the epoch bound, beyond the hand-built fixture:
+    for seeded-random upsert/delete batch sequences over a small doc-id
+    domain, the POSTINGS store's bounded serving at every prefix B
+    equals the one-shot BM25 over the state obtained by applying the
+    first B+1 batches — updates, deletes, revivals, and same-batch
+    upsert+delete ties included."""
+    import random
+
+    from vector_search_question_answer_api_spark.operators.keyword_search import (
+        bm25_topk,
+    )
+
+    rng = random.Random(12012)
+    words = ["lazy", "dog", "quick", "cat", "spark", "fox", "join", "scan"]
+    queries = spark.createDataFrame(
+        [(100, "lazy dog"), (101, "quick spark scan")],
+        ["query_id", "query_text"],
+    )
+
+    def rel(df):
+        return sorted(
+            (int(r["query_id"]), int(r["doc_id"]),
+             round(float(r["score"]), 6), int(r["rank"]))
+            for r in df.collect()
+        )
+
+    for seq in range(2):
+        path = str(tmp_path / f"seq{seq}")
+        state: dict[int, str] = {}
+        states = []
+        for b in range(4):
+            rows = []
+            batch_state: dict[int, tuple] = {}
+            for _ in range(rng.randint(2, 5)):
+                doc = rng.randrange(6)
+                ts = rng.randrange(1, 1000)
+                if rng.random() < 0.3:
+                    batch_state[doc] = max(
+                        batch_state.get(doc, (0, "")), (ts, None)
+                    )
+                    rows.append((doc, None, ts))
+                else:
+                    text = " ".join(
+                        rng.choice(words) for _ in range(rng.randint(3, 7))
+                    )
+                    batch_state[doc] = max(
+                        batch_state.get(doc, (0, "")), (ts, text)
+                    )
+                    rows.append((doc, text, ts))
+            # apply intra-batch resolution: latest ts wins; a same-(ts)
+            # upsert+delete tie resolves deleted — mirror the store's
+            # rule by preferring None on ties
+            for doc, (ts, text) in batch_state.items():
+                tied = [r for r in rows if r[0] == doc and r[2] == ts]
+                if any(r[1] is None for r in tied):
+                    text = None
+                if text is None:
+                    state.pop(doc, None)
+                else:
+                    state[doc] = text
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string, ts long"
+            ).withColumn("_tomb", F.col("text").isNull())
+            LXS.append_postings_batch(
+                df, path, b, n_buckets=4, tomb_col="_tomb"
+            )
+            states.append(dict(state))
+        for b, snap in enumerate(states):
+            got = rel(
+                LXS.bm25_topk_stored(
+                    spark, path, queries, k=4, up_to_batch=b
+                )
+            )
+            if not snap:
+                assert got == []
+                continue
+            docs_df = spark.createDataFrame(
+                sorted(snap.items()), ["doc_id", "text"]
+            )
+            want = rel(bm25_topk(docs_df, queries, k=4))
+            assert got == want, f"seq {seq} prefix {b}"

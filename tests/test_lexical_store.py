@@ -556,3 +556,42 @@ def test_recommended_postings_compaction_every_delegates_and_caps():
     assert LX.recommended_postings_compaction_every(1, 2.175, 0.01) == 21
     # below-noise premium -> the rule treats m<=0 as "fold rarely"
     assert LX.recommended_postings_compaction_every(1, 2.175, 0.0) == 256
+
+
+def test_same_batch_delete_then_readd_resolves_to_the_readd(spark, store):
+    """The cross-store event-time rule (r12 fix — caught by the
+    randomized prefix-replay test): a tombstone beats live rows up to
+    and INCLUDING its ts, but a strictly newer upsert in the SAME batch
+    revives the doc, exactly as the index/docs/lsh stores resolve it.
+    Pre-fix, the store deleted the doc regardless of ts order."""
+    q = _queries_df(spark)
+    docs = dict(DOCS_V0)
+    _append(
+        _batch_df(
+            spark,
+            [
+                (0, None, 10),                      # delete at t10 ...
+                (0, "revived lazy spark dog", 20),  # ... re-add at t20
+                (1, "stale version", 30),
+                (1, None, 40),                      # delete wins: newer
+            ],
+        ),
+        store,
+        1,
+    )
+    docs[0] = "revived lazy spark dog"
+    del docs[1]
+    _assert_equal_rankings(
+        LX.bm25_topk_stored(spark, store, q, k=4),
+        bm25_topk(_docs_df(spark, docs), q, k=4),
+    )
+    # the batch dir states one unambiguous outcome per doc: a live dl
+    # row for the revived doc, a single NULL marker for the deleted one
+    rows = spark.read.parquet(
+        os.path.join(store, LX._DL_LOG, "batch=1")
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r["dl"])
+    assert by_doc[0] != [None] and None not in by_doc[0]
+    assert by_doc[1] == [None]

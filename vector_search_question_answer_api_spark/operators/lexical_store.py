@@ -75,23 +75,33 @@ def _term_bucket(term, n_buckets: int):
 
 
 def _batch_tokens(
-    batch: DataFrame, id_col: str, text_col: str, ts_col: str | None
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str | None,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """(doc_id, toks, dl) for a batch, deduped to the LATEST row per doc
     (by ``ts_col`` when present — the ``append_lsh_signatures_batch``
-    intra-batch latest-wins rule, matching ``read_index_latest``)."""
+    intra-batch latest-wins rule, matching ``read_index_latest``).
+    ``keep_ts`` carries the winner's event time through as ``_uts`` (the
+    append path's tombstone-vs-upsert comparison needs it)."""
     rows = batch
-    if ts_col is not None and ts_col in batch.columns:
+    has_ts = ts_col is not None and ts_col in batch.columns
+    if has_ts:
         w = Window.partitionBy(id_col).orderBy(F.col(ts_col).desc())
         rows = (
             rows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    return rows.select(
+    sel = [
         F.col(id_col).alias("doc_id"),
         TXT.tokens(TXT.preprocess_text(F.col(text_col))).alias("toks"),
-    ).withColumn("dl", F.size("toks"))
+    ]
+    if keep_ts and has_ts:
+        sel.append(F.col(ts_col).alias("_uts"))
+    return rows.select(*sel).withColumn("dl", F.size("toks"))
 
 
 def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:
@@ -302,6 +312,10 @@ def append_postings_batch(
     ``tomb_col`` (boolean) marks deletion rows: a tombstoned doc writes
     ONE doclens row with NULL ``dl`` and no postings — the resolved
     read drops the doc, compaction makes the removal physical.
+    Within one batch the tombstone competes by EVENT TIME, exactly as
+    the index / docs / lsh stores resolve: it beats live rows up to and
+    including its ``ts`` (tie -> deleted), and a strictly newer upsert
+    in the same batch revives the doc.
 
     The manifest is verified (or created for a stream-bootstrapped
     store) every batch; orphaned data without a manifest is refused —
@@ -341,17 +355,41 @@ def append_postings_batch(
         ups = batch.filter(
             F.coalesce(F.col(tomb_col), F.lit(False)) == F.lit(False)
         )
-    toks = _batch_tokens(ups, id_col, text_col, ts_col)
+    toks = _batch_tokens(ups, id_col, text_col, ts_col, keep_ts=True)
     if tombs is not None:
-        # a doc both upserted and tombstoned in one batch resolves to
-        # DELETED — the index log's tie rule (tombstone wins a same-batch
-        # tie); drop its live rows at the source so neither postings nor
-        # a live doclens row is ever written for it
-        toks = toks.join(
-            F.broadcast(tombs.select(F.col(id_col).alias("doc_id"))),
-            "doc_id",
-            "left_anti",
-        )
+        has_ts = ts_col is not None and ts_col in batch.columns
+        if has_ts:
+            # the index log's EVENT-TIME rule, not a blanket batch rule:
+            # the tombstone beats live rows up to and INCLUDING its ts
+            # (a same-ts tie resolves to deleted), but a strictly newer
+            # upsert in the same batch WINS — "delete then re-add within
+            # one micro-batch" resolves to the re-add, exactly as the
+            # index / docs / lsh stores resolve it.  (Pre-r12 this store
+            # dropped every live row of a tombstoned doc regardless of
+            # ts — a cross-store divergence the randomized prefix-replay
+            # test caught, tests/test_consistent_reads.py.)
+            tomb_ts = tombs.groupBy(F.col(id_col).alias("doc_id")).agg(
+                F.max(ts_col).alias("__tts")
+            )
+            toks = (
+                toks.join(F.broadcast(tomb_ts), "doc_id", "left")
+                .filter(
+                    F.col("__tts").isNull()
+                    | (F.col("_uts") > F.col("__tts"))
+                )
+                .drop("__tts")
+            )
+        else:
+            # no event time -> no version order within the batch; the
+            # tombstone wins it (documented conservative fallback)
+            toks = toks.join(
+                F.broadcast(
+                    tombs.select(F.col(id_col).alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_anti",
+            )
+    toks = toks.drop("_uts")
     posts = _postings_of(toks, n_buckets)
     # postings FIRST, doclens SECOND: the doclens dir is the batch's
     # commit marker — a crash between the two leaves a postings-only
@@ -361,11 +399,19 @@ def append_postings_batch(
     )
     dl_rows = toks.select("doc_id", "dl")
     if tombs is not None:
+        # a NULL-dl marker only for docs whose tombstone actually WON
+        # the batch — a doc revived by a newer same-batch upsert writes
+        # its live row alone, so the batch dir states one unambiguous
+        # outcome per doc
+        dead = (
+            tombs.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .join(toks.select("doc_id"), "doc_id", "left_anti")
+        )
         dl_rows = dl_rows.unionByName(
-            tombs.select(
-                F.col(id_col).alias("doc_id"),
-                F.lit(None).cast("int").alias("dl"),
-            ).distinct()
+            dead.select(
+                "doc_id", F.lit(None).cast("int").alias("dl")
+            )
         )
     dl_rows.write.mode("overwrite").parquet(
         os.path.join(path, _DL_LOG, f"batch={int(batch_id)}")
