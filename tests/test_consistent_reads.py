@@ -481,3 +481,67 @@ def test_bounded_reads_equal_prefix_replay_on_random_sequences(
             )
             want = rel(bm25_topk(docs_df, queries, k=4))
             assert got == want, f"seq {seq} prefix {b}"
+
+
+def test_index_bound_below_fold_horizon_raises(spark, tmp_path):
+    """r12 review fix: the epoch-bounded INDEX read gets the same
+    compaction-horizon discipline as the postings/LSH stores — a fold
+    keeps only each doc's latest row, so a bound below the highest
+    folded batch raises instead of silently resolving superseded
+    versions as absent."""
+    from vector_search_question_answer_api_spark.streaming import (
+        index_stream as IX,
+    )
+
+    root = str(tmp_path)
+    path = os.path.join(root, "index")
+    dim = 8
+
+    def _b(doc_specs, batch):
+        rows = [
+            (d, d, [float(v)] * dim, 1.0, ts_ms) for d, v, ts_ms in doc_specs
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "vec_id long, doc_id long, norm_embedding array<float>, "
+            "norm double, ts long",
+        ).select(
+            F.timestamp_millis(F.col("ts")).alias("ts"),
+            "vec_id", "doc_id", "norm_embedding", "norm",
+        )
+        df.withColumn("_batch", F.lit(batch)).write.mode("append").parquet(
+            os.path.join(path, "log")
+        )
+
+    _b([(0, 1, 1000), (1, 1, 1001)], 0)
+    _b([(0, 2, 2000)], 1)  # doc 0 updated in batch 1
+
+    def vals(df):
+        return sorted(
+            (int(r["doc_id"]), round(float(r["norm_embedding"][0]), 6))
+            for r in df.collect()
+        )
+
+    at0 = vals(IG.read_corpus_index(spark, root, up_to_batch=0))
+    at1 = vals(IG.read_corpus_index(spark, root, up_to_batch=1))
+    assert at0 == [(0, 1.0), (1, 1.0)]
+    assert at1 == [(0, 2.0), (1, 1.0)]
+    IX.compact_index(spark, path)
+    # at/above the horizon: still exact (folded winners keep _batch)
+    assert vals(IG.read_corpus_index(spark, root, up_to_batch=1)) == at1
+    assert vals(IG.read_corpus_index(spark, root)) == at1
+    # below it: doc 0's batch-0 version is physically gone — raise
+    with pytest.raises(ValueError, match="compaction horizon"):
+        IG.read_corpus_index(spark, root, up_to_batch=0)
+
+
+def test_epoch_above_committed_frontier_raises(spark, consistent):
+    """r12 review fix: an int epoch above the committed frontier would
+    bound each store independently and could include a torn in-flight
+    batch on one side only — resolve_epoch rejects it."""
+    root, _art, _exp = consistent
+    q = _queries(spark, root)
+    with pytest.raises(ValueError, match="not committed"):
+        HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL, epoch=5)
+    with pytest.raises(ValueError, match="not committed"):
+        HS.resolve_epoch(root + "_nowhere", 0)  # no markers at all

@@ -136,7 +136,7 @@ def test_horizon_is_monotone_and_bounded(spark, store):
     IG.purge_docs_versions(spark, store, before_batch=3)
     with pytest.raises(ValueError, match="monotone"):
         IG.purge_docs_versions(spark, store, before_batch=2)
-    with pytest.raises(ValueError, match="newest batch"):
+    with pytest.raises(ValueError, match="frontier"):
         IG.purge_docs_versions(spark, store, before_batch=99)
 
 
@@ -162,3 +162,14 @@ def test_purge_below_everything_is_a_noop(spark, store):
     assert _live(spark, store) == [
         (0, NEW_ZERO), (2, NEW_TWO), (3, THREE), (4, FOUR),
     ]
+
+
+def test_frontier_guard_survives_a_full_fold(spark, store):
+    """r12 review fix: once every live batch dir has been folded, the
+    foot-gun guard must bound against the frontier the manifest
+    persisted — not silently pass because no dirs remain."""
+    assert IG.purge_docs_versions(spark, store, before_batch=4) is True
+    with pytest.raises(ValueError, match="frontier"):
+        IG.purge_docs_versions(spark, store, before_batch=99)
+    # a legitimate re-fold at the same horizon still works
+    assert IG.purge_docs_versions(spark, store, before_batch=4) is True

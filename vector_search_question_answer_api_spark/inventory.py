@@ -3483,7 +3483,10 @@ def _bm25_stored_twin_check(
     ref = rel(oneshot)
     if not ref:
         raise ValueError("bm25 stored twin: one-shot relation is empty")
-    victim = ref[0][1]  # rank-1 doc of the smallest query id
+    # rank-1 doc of the smallest query id (tuples are (qid, doc, score,
+    # rank) — min by (qid, rank), NOT plain min, which would pick the
+    # smallest doc_id instead of the top-ranked one)
+    victim = min(ref, key=lambda t: (t[0], t[3]))[1]
     tmp = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_bm25_twin_")
     try:
         LXS.write_postings_index(documents, tmp, n_buckets=8)

@@ -470,30 +470,22 @@ def _sig_retired(path: str) -> set[str]:
 
 
 def _sig_horizon(path: str) -> int | None:
-    """Highest log batch id a compaction has folded into the base, or
-    None if the store has never compacted (a bounded read can then serve
-    any ``up_to_batch`` exactly — the whole history is still in the
-    log)."""
-    import os
+    """Highest log batch id a compaction has folded into the base (see
+    ``sources/horizon.py`` for the shared protocol + crash rule)."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        read_horizon,
+    )
 
-    try:
-        with open(os.path.join(path, _SIG_HORIZON), encoding="utf-8") as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return None
+    return read_horizon(path, _SIG_HORIZON)
 
 
 def _stamp_sig_horizon(path: str, batch_id: int) -> None:
-    """Record the fold horizon BEFORE the generation manifest publishes:
-    a crash between the two leaves a too-high horizon over an unfolded
-    store — bounded reads below it raise unnecessarily (loud, safe),
-    never silently serve folded rows as if they were historical."""
-    import os
+    """Horizon BEFORE manifest — the ``sources/horizon.py`` crash rule."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        stamp_horizon,
+    )
 
-    tmp = os.path.join(path, "." + _SIG_HORIZON + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(f"{int(batch_id)}\n")
-    os.replace(tmp, os.path.join(path, _SIG_HORIZON))
+    stamp_horizon(path, _SIG_HORIZON, batch_id)
 
 
 def _sig_log_dirs(path: str) -> list[str]:
@@ -913,9 +905,7 @@ def read_lsh_signatures(
         else None
     )
     if not log_dirs:
-        if base is None:
-            raise FileNotFoundError(f"no LSH signature store at {path}")
-        return base
+        return base  # non-None: the base_p/log_dirs guard above raised
     resolved_log = _resolve_sig_log(_read_sig_log(spark, path, log_dirs))
     if base is None:
         return resolved_log

@@ -38,20 +38,31 @@ COMMITTED = "committed"
 
 def resolve_epoch(root: str, epoch) -> int | None:
     """Normalize an epoch argument: the ``COMMITTED`` sentinel reads the
-    corpus commit markers; an int passes through; None means UNBOUNDED
-    (live view — each store's freshest state, with no cross-store
-    consistency claim).  ``COMMITTED`` on a corpus with no markers (e.g.
-    stores built one-shot, never maintained by the stream) resolves to
-    None: there is no in-flight batch to be torn against."""
-    if epoch == COMMITTED:
-        from vector_search_question_answer_api_spark.streaming.ingest_stream import (
-            corpus_committed_epoch,
-        )
+    corpus commit markers; None means UNBOUNDED (live view — each
+    store's freshest state, with no cross-store consistency claim);
+    an int is VALIDATED against the committed frontier — an epoch above
+    it would bound each store independently and could include a torn
+    in-flight batch on one side only, the exact defect this API exists
+    to prevent, so it raises instead.  ``COMMITTED`` on a corpus with no
+    markers (e.g. stores built one-shot, never maintained by the stream)
+    resolves to None: there is no in-flight batch to be torn against."""
+    from vector_search_question_answer_api_spark.streaming.ingest_stream import (
+        corpus_committed_epoch,
+    )
 
+    if epoch == COMMITTED:
         return corpus_committed_epoch(root)
     if epoch is None:
         return None
-    return int(epoch)
+    e = int(epoch)
+    committed = corpus_committed_epoch(root)
+    if committed is None or e > committed:
+        raise ValueError(
+            f"resolve_epoch: epoch {e} is not committed at {root!r} "
+            f"(committed frontier: {committed}) — a bound above the "
+            "frontier can tear across stores; pass COMMITTED or None"
+        )
+    return e
 
 
 def hybrid_search_stored(

@@ -162,25 +162,22 @@ def _pg_retired(path: str) -> set[str]:
 
 
 def _pg_horizon(path: str) -> int | None:
-    """Highest log batch id a compaction has folded into the base, or
-    None for a never-compacted store (any bound is then exact — the
-    whole maintenance history is still in the log)."""
-    try:
-        with open(os.path.join(path, _PG_HORIZON), encoding="utf-8") as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return None
+    """Highest log batch id a compaction has folded into the base (see
+    ``sources/horizon.py`` for the shared protocol + crash rule)."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        read_horizon,
+    )
+
+    return read_horizon(path, _PG_HORIZON)
 
 
 def _stamp_pg_horizon(path: str, batch_id: int) -> None:
-    """Record the fold horizon BEFORE the generation manifest publishes
-    (the ``ann._stamp_sig_horizon`` rule): a crash between the two
-    over-claims — bounded reads below it raise needlessly — but never
-    silently serves folded rows as historical state."""
-    tmp = os.path.join(path, "." + _PG_HORIZON + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(f"{int(batch_id)}\n")
-    os.replace(tmp, os.path.join(path, _PG_HORIZON))
+    """Horizon BEFORE manifest — the ``sources/horizon.py`` crash rule."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        stamp_horizon,
+    )
+
+    stamp_horizon(path, _PG_HORIZON, batch_id)
 
 
 def _bounded_log_dirs(

@@ -76,6 +76,30 @@ def _current_gen(path: str) -> str | None:
     return gen or None
 
 
+def index_fold_horizon(path: str) -> int | None:
+    """Highest ``_batch`` a compaction has folded into a generation, or
+    None for a never-compacted index.  A fold keeps only each doc's
+    latest row, so batch-bounded reads BELOW the horizon can no longer
+    resolve superseded versions — ``ingest_stream.read_corpus_index``
+    raises there (the lexical/LSH store discipline); at or above it they
+    stay exact (folded winners keep their original ``_batch``).  See
+    ``sources/horizon.py`` for the shared protocol + crash rule."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        read_horizon,
+    )
+
+    return read_horizon(path, "HORIZON")
+
+
+def _stamp_index_horizon(path: str, batch_id: int) -> None:
+    """Horizon BEFORE MANIFEST — the ``sources/horizon.py`` crash rule."""
+    from vector_search_question_answer_api_spark.sources.horizon import (
+        stamp_horizon,
+    )
+
+    stamp_horizon(path, "HORIZON", batch_id)
+
+
 def _retired(path: str) -> list[str]:
     """Paths retired by the PREVIOUS compaction (superseded generation dir
     + the log files it folded in), REALPATH-normalized on read so the
@@ -523,6 +547,19 @@ def compact_index(
         rows_per_file=10_000_000,
         sort_by=["doc_id"],
     )
+    # fold horizon = the highest _batch this fold consumed (one tiny agg
+    # on the already-resolved snapshot), monotone vs any prior stamp;
+    # written BEFORE the manifest so a crash between the two over-claims
+    # (bounded reads raise needlessly) but never under-claims
+    if "_batch" in raw.columns:
+        # max over RAW, not the resolved winners: a drop_tombstones fold
+        # erases tombstone rows entirely, and their batches must still
+        # raise below the horizon rather than resolve absent-but-silent
+        row = raw.agg(F.max("_batch").alias("m")).first()
+        if row is not None and row["m"] is not None and int(row["m"]) >= 0:
+            h = int(row["m"])
+            prev = index_fold_horizon(path)
+            _stamp_index_horizon(path, h if prev is None else max(h, prev))
     if _pre_publish_hook is not None:
         _pre_publish_hook()
     tmp = os.path.join(path, ".MANIFEST.tmp")

@@ -662,11 +662,25 @@ def read_corpus_index(
 ) -> DataFrame:
     """The resolved latest-wins embedding index.  ``up_to_batch=B``
     resolves the index as of batch B (``read_index_before_batch`` with
-    the bound shifted to inclusive) — exact even across compactions,
-    because folds preserve each row's original ``_batch``."""
+    the bound shifted to inclusive) — exact back to the COMPACTION
+    HORIZON: folds preserve each surviving row's original ``_batch``,
+    but they keep only each doc's LATEST row, so a bound below the
+    highest folded batch RAISES rather than silently resolving
+    superseded versions as absent (the lexical/LSH store discipline).
+    In the ``maintain_corpus`` flow committed epochs never hit the
+    raise — the in-stream cadence folds only batches older than the one
+    being handled."""
     path = _subpaths(root)["index"]
     if up_to_batch is None:
         return IX.read_index_latest(spark, path)
+    horizon = IX.index_fold_horizon(path)
+    if horizon is not None and int(up_to_batch) < horizon:
+        raise ValueError(
+            f"read_corpus_index: up_to_batch={int(up_to_batch)} is below "
+            f"the index compaction horizon {horizon} at {path!r} — folds "
+            "keep only each doc's latest row, so that historical state "
+            "is no longer resolvable"
+        )
     return IX.read_index_before_batch(spark, path, int(up_to_batch) + 1)
 
 
@@ -873,14 +887,24 @@ def purge_docs_versions(
             shutil.rmtree(g, ignore_errors=True)
 
     ids = [int(os.path.basename(d).split("=")[1]) for d in dirs]
-    if ids and B > max(ids) + 1:
-        # a resumed stream's batch ids continue at max+1; a horizon past
-        # that would make the in-stream profile rebuild's
-        # before_batch=batch_id bound raise on every batch until ids
-        # catch up — refuse the foot-gun
+    # the store's batch FRONTIER: newest live dir, else the frontier the
+    # previous purge persisted in its manifest (when every dir has been
+    # folded, live dirs alone under-state it — a horizon past the real
+    # frontier would brick a resumed stream, whose profile rebuild's
+    # before_batch=batch_id bound raises on every batch and every replay)
+    prev_frontier = (
+        int(man.get("frontier", int(man["purged_below"]) - 1))
+        if man is not None
+        else None
+    )
+    frontier = max(
+        [*ids, *( [prev_frontier] if prev_frontier is not None else [] )],
+        default=None,
+    )
+    if frontier is not None and B > frontier + 1:
         raise ValueError(
             f"purge_docs_versions: before_batch={B} is past the store's "
-            f"newest batch {max(ids)} + 1 — a resumed stream would "
+            f"batch frontier {frontier} + 1 — a resumed stream would "
             "immediately read below the horizon"
         )
     fold_dirs = [
@@ -910,7 +934,16 @@ def purge_docs_versions(
     )
     tmp = os.path.join(droot, "." + _DOCS_MANIFEST + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"gen": new_gen, "purged_below": B}, f)
+        json.dump(
+            {
+                "gen": new_gen,
+                "purged_below": B,
+                # persisted so the NEXT purge's frontier guard holds even
+                # after every live dir has been folded away
+                "frontier": frontier if frontier is not None else B - 1,
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(droot, _DOCS_MANIFEST))  # atomic publish
     retire = [os.path.realpath(d) for d in fold_dirs]
     if man is not None:
