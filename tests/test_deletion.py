@@ -661,3 +661,104 @@ def test_session_takedown_batch_equals_stream(spark, tmp_path):
                 f"{stream_out[eid][col]} != {got[eid][col]}"
             )
     index.unpersist()
+
+
+def test_deleted_candidate_falls_through_with_multi_candidates(
+    spark, tmp_path
+):
+    """r12 review fix: with ``n_candidates>1`` a tombstoned rank-1
+    candidate falls through to the event's next-best LIVE doc — what
+    re-retrieval against the post-delete index serves — instead of the
+    single-candidate conservative miss; batch == stream with the
+    candidate arrays riding the prepared relation."""
+    from datetime import datetime, timedelta
+
+    from vector_search_question_answer_api_spark.operators.index_build import (
+        build_index,
+    )
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        prepare_qa_events,
+        replay_sessions,
+    )
+    from vector_search_question_answer_api_spark.streaming.session_stream import (
+        attach_session_state,
+    )
+
+    T0 = datetime(2024, 1, 1, 12, 0, 0)
+    DOC_A = "alpha strain with thc 20% relaxing indica profile for evening use"
+    DOC_B = "alpha strain with thc 21% relaxing indica profile for evening use"
+    DOC_C = "citrus sativa energizing bright flavor daytime focus boost blend"
+    docs = spark.createDataFrame(
+        [
+            (0, DOC_A, "en", "s", len(DOC_A)),
+            (1, DOC_B, "en", "s", len(DOC_B)),
+            (2, DOC_C, "en", "s", len(DOC_C)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = build_index(docs).cache()
+    del_ms = int((T0 + timedelta(seconds=90)).timestamp() * 1000)
+    log_path = str(tmp_path / "ix")
+    IX.append_tombstones(_ids(spark, [0], del_ms), log_path, 0)
+    tombs = IX.read_index_tombstones(spark, log_path, with_ts=True)
+
+    rows = [
+        (0, T0, "s1", DOC_A),                        # -> context 0
+        (1, T0 + timedelta(minutes=2), "s1", DOC_A), # post-delete
+    ]
+    qa = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, session_id string, question string"
+    )
+    # single candidate: conservative miss (the r12 baseline behavior)
+    one = {
+        r["event_id"]: r
+        for r in replay_sessions(qa, index, tombstones=tombs).collect()
+    }
+    assert one[1]["context_doc_id"] is None and one[1]["used_fallback"]
+    # two candidates: the event falls through to the live near-duplicate
+    two = {
+        r["event_id"]: r
+        for r in replay_sessions(
+            qa, index, tombstones=tombs, n_candidates=2
+        ).collect()
+    }
+    assert two[0]["context_doc_id"] == 0  # pre-delete event untouched
+    assert two[1]["context_doc_id"] == 1 and not two[1]["used_fallback"]
+    assert two[1]["context_changed"]
+    # equivalence with true re-retrieval: a replay prepared on the
+    # POST-DELETE index serves the same doc for the post-deletion event
+    post_index = build_index(docs.filter("doc_id != 0")).cache()
+    fresh = {
+        r["event_id"]: r
+        for r in replay_sessions(qa, post_index).collect()
+    }
+    assert fresh[1]["context_doc_id"] == two[1]["context_doc_id"]
+    assert fresh[1]["used_fallback"] == two[1]["used_fallback"]
+
+    # batch == stream with the candidate arrays on the prepared relation
+    prepared = prepare_qa_events(qa, index, n_candidates=2)
+    src, ckpt, dest = (
+        str(tmp_path / "prep"), str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    prepared.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = attach_session_state(stream, tombstones=tombs)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    stream_out = {
+        r["event_id"]: r for r in spark.read.parquet(dest).collect()
+    }
+    for eid in two:
+        for col in ("context_doc_id", "used_fallback", "context_changed"):
+            assert stream_out[eid][col] == two[eid][col], (eid, col)
+    index.unpersist()
+    post_index.unpersist()

@@ -442,25 +442,15 @@ def _resolved_parts(spark, path: str, up_to_batch: int | None = None):
     return base, post_dirs, dl_dirs
 
 
-def read_doclens(
-    spark, path: str, up_to_batch: int | None = None
-) -> DataFrame:
-    """Resolved (doc_id, dl) of live docs: base doclens minus docs the
-    log mentions (broadcast anti-join — the base never shuffles) ∪ the
-    log's latest live rows.  ``up_to_batch`` bounds the log to a
-    committed epoch (see ``_bounded_log_dirs``)."""
-    read_postings_manifest(path)
-    base, _post_dirs, dl_dirs = _resolved_parts(spark, path, up_to_batch)
-    base_dl = (
-        spark.read.parquet(os.path.join(base, "doclens")).select(
-            "doc_id", "dl"
-        )
-        if base is not None
-        else None
-    )
-    if not dl_dirs:
+def _resolve_doclens_frame(base_dl, dl_log):
+    """THE doclens resolution — base minus log-mentioned docs (broadcast
+    anti-join; the base never shuffles) ∪ the log's latest live rows.
+    Single source of truth: ``read_doclens`` serves it and
+    ``compact_postings`` folds it, so the fold can never bake a different
+    relation into the base than reads resolve (the r12 review's drift
+    concern)."""
+    if dl_log is None:
         return base_dl
-    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs)
     w = Window.partitionBy("doc_id")
     log_live = (
         dl_log.withColumn("_mx", F.max("_batch").over(w))
@@ -474,6 +464,52 @@ def read_doclens(
     return base_dl.join(
         F.broadcast(log_docs), "doc_id", "left_anti"
     ).unionByName(log_live)
+
+
+def _resolve_posts_frame(base_posts, log_posts, dl_log):
+    """THE postings resolution (see ``_resolve_doclens_frame``): base
+    rows of log-mentioned docs leave via a broadcast anti-join; log
+    postings keep only each doc's newest LIVE version (broadcast join
+    against the log-sized latest-live relation)."""
+    if dl_log is None:
+        return base_posts
+    resolved_log = None
+    if log_posts is not None:
+        latest_live = _log_latest_live(dl_log)
+        resolved_log = log_posts.join(
+            F.broadcast(latest_live),
+            (log_posts["doc_id"] == latest_live["doc_id"])
+            & (log_posts["_batch"] == latest_live["_mx"]),
+        ).select(
+            log_posts["term"],
+            log_posts["doc_id"],
+            log_posts["tf"],
+            log_posts["dl"],
+        )
+    if base_posts is None:
+        return resolved_log
+    log_docs = dl_log.select("doc_id").distinct()
+    kept = base_posts.join(F.broadcast(log_docs), "doc_id", "left_anti")
+    return kept if resolved_log is None else kept.unionByName(resolved_log)
+
+
+def read_doclens(
+    spark, path: str, up_to_batch: int | None = None
+) -> DataFrame:
+    """Resolved (doc_id, dl) of live docs (``_resolve_doclens_frame``).
+    ``up_to_batch`` bounds the log to a committed epoch (see
+    ``_bounded_log_dirs``)."""
+    read_postings_manifest(path)
+    base, _post_dirs, dl_dirs = _resolved_parts(spark, path, up_to_batch)
+    base_dl = (
+        spark.read.parquet(os.path.join(base, "doclens")).select(
+            "doc_id", "dl"
+        )
+        if base is not None
+        else None
+    )
+    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs) if dl_dirs else None
+    return _resolve_doclens_frame(base_dl, dl_log)
 
 
 def read_postings(
@@ -517,41 +553,16 @@ def read_postings(
             )
             base_posts = base_posts.filter(F.col("tb").isin(tbs))
         base_posts = _slice(base_posts).select("term", "doc_id", "tf", "dl")
-    if not dl_dirs:
-        if base_posts is None:
-            raise FileNotFoundError(f"no postings store at {path}")
-        return base_posts
-    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs)
-    latest_live = _log_latest_live(dl_log)
+    dl_log = _read_log(spark, path, _DL_LOG, dl_dirs) if dl_dirs else None
     log_posts = (
         _slice(_read_log(spark, path, _POST_LOG, post_dirs))
         if post_dirs
         else None
     )
-    resolved_log = (
-        log_posts.join(
-            F.broadcast(latest_live),
-            (log_posts["doc_id"] == latest_live["doc_id"])
-            & (log_posts["_batch"] == latest_live["_mx"]),
-        )
-        .select(
-            log_posts["term"],
-            log_posts["doc_id"],
-            log_posts["tf"],
-            log_posts["dl"],
-        )
-        if log_posts is not None
-        else None
-    )
-    if base_posts is None:
-        if resolved_log is None:
-            raise FileNotFoundError(f"no postings store at {path}")
-        return resolved_log
-    log_docs = dl_log.select("doc_id").distinct()
-    kept = base_posts.join(F.broadcast(log_docs), "doc_id", "left_anti")
-    return (
-        kept if resolved_log is None else kept.unionByName(resolved_log)
-    )
+    out = _resolve_posts_frame(base_posts, log_posts, dl_log)
+    if out is None:
+        raise FileNotFoundError(f"no postings store at {path}")
+    return out
 
 
 def term_bucket_of(spark, terms: list[str], n_buckets: int) -> list[int]:
@@ -637,8 +648,12 @@ def bm25_topk_stored(
         .collect()
     )
     if not pairs:
+        # mirror the non-empty path's query_id type (the API does not
+        # restrict it — a hardcoded long would make the all-empty-queries
+        # result un-unionable with a scored one for string ids)
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank int"
+            [], f"query_id {qid_t}, doc_id long, score double, rank int"
         )
     # the slice fans into BOTH the df aggregate and the scoring join —
     # persist it (tracked, like build_postings does for the one-shot)
@@ -784,47 +799,14 @@ def compact_postings(
         if base is not None
         else None
     )
+    # fold EXACTLY the read path's relations — shared helpers, so a
+    # resolution fix lands in reads and folds at once
     dl_log = _read_log(spark, path, _DL_LOG, dl_dirs) if dl_dirs else None
-    if dl_log is not None:
-        latest_live = _log_latest_live(dl_log)
-        log_docs = dl_log.select("doc_id").distinct()
-        w = Window.partitionBy("doc_id")
-        log_dl_live = (
-            dl_log.withColumn("_mx", F.max("_batch").over(w))
-            .filter(F.col("_batch") == F.col("_mx"))
-            .filter(F.col("dl").isNotNull())
-            .select("doc_id", F.col("dl").cast("int").alias("dl"))
-        )
-        folded_dl = (
-            base_dl.join(F.broadcast(log_docs), "doc_id", "left_anti")
-            .unionByName(log_dl_live)
-            if base_dl is not None
-            else log_dl_live
-        )
-        if post_dirs:
-            log_posts = _read_log(spark, path, _POST_LOG, post_dirs)
-            resolved_log_posts = log_posts.join(
-                F.broadcast(latest_live),
-                (log_posts["doc_id"] == latest_live["doc_id"])
-                & (log_posts["_batch"] == latest_live["_mx"]),
-            ).select(
-                log_posts["term"],
-                log_posts["doc_id"],
-                log_posts["tf"],
-                log_posts["dl"],
-            )
-        else:
-            resolved_log_posts = None
-        if base_posts is not None:
-            folded_posts = base_posts.join(
-                F.broadcast(log_docs), "doc_id", "left_anti"
-            )
-            if resolved_log_posts is not None:
-                folded_posts = folded_posts.unionByName(resolved_log_posts)
-        else:
-            folded_posts = resolved_log_posts
-    else:
-        folded_dl, folded_posts = base_dl, base_posts
+    log_posts = (
+        _read_log(spark, path, _POST_LOG, post_dirs) if post_dirs else None
+    )
+    folded_dl = _resolve_doclens_frame(base_dl, dl_log)
+    folded_posts = _resolve_posts_frame(base_posts, log_posts, dl_log)
     if folded_posts is None or folded_dl is None:
         return False
 

@@ -83,6 +83,38 @@ def _is_deleted(doc_id, ts, deleted: "dict | None") -> bool:
     return dts is None or ts >= dts
 
 
+def _pick_candidate(r: dict, ts, deleted: "dict | None"):
+    """(cand_id, cand_dist, cand_vec): the best-ranked retrieval
+    candidate still alive at the event time.
+
+    Multi-candidate rows (``prepare_qa_events(n_candidates>1)``:
+    rank-ordered ``cand_doc_ids``/``cand_dists``/``cand_vecs`` arrays)
+    FALL THROUGH deleted docs to the next live one — what re-retrieval
+    against the post-delete index would serve, exact while fewer than
+    ``n_candidates`` of an event's top hits are deleted as of its time
+    (beyond that: conservative miss, stated in prepare's docstring).
+    Single-candidate rows keep the r12 conservative rule: a deleted
+    rank-1 is a miss."""
+    ids = r.get("cand_doc_ids")
+    if ids is not None and hasattr(ids, "__len__") and len(ids) > 0:
+        dists = r.get("cand_dists")
+        vecs = r.get("cand_vecs")
+        for i, cid in enumerate(ids):
+            if cid is None:
+                continue
+            if not _is_deleted(cid, ts, deleted):
+                return (
+                    cid,
+                    None if dists is None else dists[i],
+                    None if vecs is None else vecs[i],
+                )
+        return None, None, None
+    cid, cdist = r.get("cand_doc_id"), r.get("cand_dist")
+    if _is_deleted(cid, ts, deleted):
+        return None, None, None
+    return cid, cdist, r.get("cand_vec")
+
+
 def _fold_session_rows(
     rows: Iterable[dict[str, Any]],
     cfg: EngineConfig,
@@ -92,7 +124,9 @@ def _fold_session_rows(
     """The per-session decision loop.  ``rows`` must be time-ordered dicts
     with: event_id, ts, question, q_vec (normalized), cand_doc_id,
     cand_dist, cand_vec (the candidate doc's normalized vector, attached by
-    join in prepare_qa_events).  Returns (output rows, final state).
+    join in prepare_qa_events) — plus, when prepared with
+    ``n_candidates>1``, the rank-ordered candidate arrays
+    ``_pick_candidate`` falls through.  Returns (output rows, final state).
 
     ``deleted`` (r12, VERDICT r11 #7 — session-state takedown) maps
     doc_id -> deletion event time (None = always): a session whose
@@ -100,10 +134,11 @@ def _fold_session_rows(
     deciding — exactly the reference's no-context branch
     (services/qa_service.py:49-65 would simply fail to re-find the doc) —
     forcing re-retrieval; and a retrieval CANDIDATE that is deleted as of
-    the event time is treated as a miss (the doc no longer exists to be
-    served).  Event-time semantics make the fold as-of-correct: events
-    BEFORE the deletion still used the doc, which is what a streaming run
-    whose deletion landed mid-stream observed."""
+    the event time falls through to the event's next-best LIVE candidate
+    (or a miss when none survive / only one was prepared).  Event-time
+    semantics make the fold as-of-correct: events BEFORE the deletion
+    still used the doc, which is what a streaming run whose deletion
+    landed mid-stream observed."""
     state = state or _SessionState()
     ttl = timedelta(minutes=cfg.session_ttl_minutes)
     out = []
@@ -122,12 +157,11 @@ def _fold_session_rows(
             state.context_vec = None
 
         q_vec = r["q_vec"]
-        cand_id, cand_dist = r["cand_doc_id"], r["cand_dist"]
+        cand_id, cand_dist, cand_vec_raw = _pick_candidate(r, ts, deleted)
         hit_ok = (
             cand_id is not None
             and cand_dist is not None
             and cand_dist < cfg.retrieval_max_distance
-            and not _is_deleted(cand_id, ts, deleted)
         )
 
         is_new_topic = False
@@ -136,7 +170,7 @@ def _fold_session_rows(
             # cold: retrieve (qa_service.py:48-52)
             if hit_ok:
                 state.context_doc_id = int(cand_id)
-                state.context_vec = _as_vec(r.get("cand_vec"))
+                state.context_vec = _as_vec(cand_vec_raw)
                 context_changed = True
         else:
             # topic check vs current context (qa_service.py:53-65, intent
@@ -156,7 +190,7 @@ def _fold_session_rows(
                 # context_changed mirrors the reference's
                 # new_product_detected: a retrieval ran and was accepted
                 state.context_doc_id = int(cand_id)
-                state.context_vec = _as_vec(r.get("cand_vec"))
+                state.context_vec = _as_vec(cand_vec_raw)
                 context_changed = True
             # weak hit (dist >= 0.4): keep old context (qa_service.py:62-64)
 
@@ -204,12 +238,23 @@ def prepare_qa_events(
     lsh_center="auto",
     lsh_artifact: "dict | str | None" = None,
     lsh_index_path: str | None = None,
+    n_candidates: int = 1,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
     qa_service.py:147-166 retrieval), and attach the candidate doc's vector
     (``cand_vec``) by a distributed join so the fold never needs a
     driver-side vector lookup.
+
+    ``n_candidates=N`` (r12) precomputes each event's top-N hits as
+    rank-ordered arrays instead of just the rank-1 scalar, so a
+    tombstone-aware replay FALLS THROUGH a deleted candidate to the
+    event's next-best live doc — what re-retrieval against the
+    post-delete index would serve.  Exact while fewer than N of an
+    event's top hits are deleted as of its time; beyond that the fold
+    degrades to the conservative miss (the N=1 behavior).  The rank-1
+    scalars are still attached, so every N produces a superset of the
+    N=1 schema and the fold accepts both.
 
     ``retrieval`` picks the k=1 strategy:
 
@@ -340,8 +385,8 @@ def prepare_qa_events(
                     "distance"
                 ),
             )
-            top1 = topk_per_query(scored, 1)
-            return _attach_candidates(with_vec, top1, index)
+            top1 = topk_per_query(scored, int(n_candidates))
+            return _attach_candidates(with_vec, top1, index, int(n_candidates))
         if lsh_artifact is not None:
             # persisted signature artifact: (dim, planes, tables, center)
             # are index-build-time decisions, read back rather than
@@ -398,7 +443,7 @@ def prepare_qa_events(
             "doc_id",
             (F.lit(1.0) - V.dot(F.col("qvec"), F.col("cvec"))).alias("distance"),
         )
-        top1 = topk_per_query(scored, 1)
+        top1 = topk_per_query(scored, int(n_candidates))
     elif retrieval == "graph":
         from vector_search_question_answer_api_spark.operators import ann_hnsw
         from vector_search_question_answer_api_spark.operators.ivf import (
@@ -420,29 +465,41 @@ def prepare_qa_events(
             # the geometry pays (clustered: 1.55x faster; near-uniform:
             # slower — SCALE.md r10 crossover, codified as the rule)
             top1 = ann_hnsw.celled_hnsw_topk_pruned(
-                graphs, q, graph_radii, centroids=cents, k=1, ef=graph_ef,
+                graphs, q, graph_radii, centroids=cents,
+                k=int(n_candidates), ef=graph_ef,
                 dim=dim, n_cells=graph_n_cells, nprobe=graph_nprobe,
             ).select("query_id", "doc_id", "distance")
         else:
             top1 = ann_hnsw.celled_hnsw_topk_cogrouped(
-                graphs, q, centroids=cents, k=1, ef=graph_ef, dim=dim,
+                graphs, q, centroids=cents, k=int(n_candidates),
+                ef=graph_ef, dim=dim,
                 n_cells=graph_n_cells, nprobe=graph_nprobe,
             ).select("query_id", "doc_id", "distance")
     elif retrieval == "exact":
-        top1 = knn_exact_partitioned(q, index, k=1)
+        top1 = knn_exact_partitioned(q, index, k=int(n_candidates))
     else:
         raise ValueError(f"unknown retrieval strategy {retrieval!r}")
-    return _attach_candidates(with_vec, top1, index)
+    return _attach_candidates(with_vec, top1, index, int(n_candidates))
 
 
 def _attach_candidates(
-    with_vec: DataFrame, top1: DataFrame, index: DataFrame
+    with_vec: DataFrame,
+    top1: DataFrame,
+    index: DataFrame,
+    n_candidates: int = 1,
 ) -> DataFrame:
-    """Join each event's k=1 retrieval hit (and the candidate doc's
-    vector) back onto the embedded event relation — an equi-join
+    """Join each event's top-k retrieval hits (and the candidate docs'
+    vectors) back onto the embedded event relation — an equi-join
     Catalyst/AQE can broadcast or shuffle as sizes dictate, in place of
     the r1 driver-side collect of all distinct context vectors (VERDICT
-    r1, What's wrong #3)."""
+    r1, What's wrong #3).
+
+    With ``n_candidates == 1`` the output schema is the historical one
+    (scalar ``cand_doc_id``/``cand_dist``/``cand_vec``).  With more, the
+    scalars still carry the rank-1 hit and three rank-ordered ARRAYS
+    (``cand_doc_ids``/``cand_dists``/``cand_vecs``) ride alongside for
+    the fold's deletion fall-through (``_pick_candidate``) — one
+    per-event aggregation of k tiny rows, nothing corpus-sized."""
     hits = top1.select(
         F.col("query_id").alias("event_id"),
         F.col("doc_id").alias("cand_doc_id"),
@@ -456,7 +513,25 @@ def _attach_candidates(
         "cand_doc_id",
         "left",
     )
-    return with_vec.join(hits_with_vec, "event_id", "left")
+    if int(n_candidates) <= 1:
+        return with_vec.join(hits_with_vec, "event_id", "left")
+    ranked = hits_with_vec.groupBy("event_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("cand_dist", "cand_doc_id", "cand_vec")
+            )
+        ).alias("_c")
+    )
+    arrays = ranked.select(
+        "event_id",
+        F.element_at(F.col("_c.cand_doc_id"), 1).alias("cand_doc_id"),
+        F.element_at(F.col("_c.cand_dist"), 1).alias("cand_dist"),
+        F.element_at(F.col("_c.cand_vec"), 1).alias("cand_vec"),
+        F.col("_c.cand_doc_id").alias("cand_doc_ids"),
+        F.col("_c.cand_dist").alias("cand_dists"),
+        F.col("_c.cand_vec").alias("cand_vecs"),
+    )
+    return with_vec.join(arrays, "event_id", "left")
 
 
 def tombstone_map(tombstones) -> "dict | None":
@@ -503,10 +578,14 @@ def replay_sessions(
     doc_id -> deletion-ts dict.  As of each deletion's time, a session
     holding that doc as context drops it (forcing re-retrieval — the
     no-context branch) and the doc stops being servable as a retrieval
-    candidate; events BEFORE the deletion are untouched, so a batch
-    replay over the FULL index (including since-deleted docs) reproduces
-    exactly what a streaming run with the deletion landing mid-stream
-    observed (pinned batch ≡ stream in tests/test_deletion.py).
+    candidate — with ``n_candidates>1`` (forwarded to
+    :func:`prepare_qa_events`) the event falls through to its next-best
+    LIVE candidate, matching re-retrieval against the post-delete index;
+    with the default single candidate it is a conservative miss.  Events
+    BEFORE the deletion are untouched, so a batch replay over the FULL
+    index (including since-deleted docs) reproduces exactly what a
+    streaming run with the deletion landing mid-stream observed (pinned
+    batch ≡ stream in tests/test_deletion.py).
 
     ``retrieval_kwargs`` pass through to :func:`prepare_qa_events` (e.g.
     ``graph_n_cells``/``graph_nprobe``/``graph_ef`` for the graph tier —
