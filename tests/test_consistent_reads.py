@@ -545,3 +545,23 @@ def test_epoch_above_committed_frontier_raises(spark, consistent):
         HS.hybrid_search_stored(spark, root, q, k=K, pool=POOL, epoch=5)
     with pytest.raises(ValueError, match="not committed"):
         HS.resolve_epoch(root + "_nowhere", 0)  # no markers at all
+
+
+def test_corpus_status_reports_every_store(spark, consistent):
+    """The ops surface: one driver-side call (no Spark jobs) reporting
+    epochs, log depths, generations, and horizons for every store."""
+    root, _art, _exp = consistent
+    st = IG.corpus_status(root)
+    assert st["committed_epoch"] == 2 and st["commit_markers"] == 3
+    s = st["stores"]
+    assert s["index"]["present"] and s["index"]["log_files"] >= 3
+    assert s["index"]["horizon"] is None  # never compacted in the fixture
+    assert s["docs"]["present"] and s["docs"]["batch_dirs"] == 3
+    assert s["docs"]["purged_below"] is None
+    assert s["postings"]["present"] and s["postings"]["log_batches"] == 3
+    assert s["postings"]["horizon"] is None
+    assert s["lsh"]["present"] and s["lsh"]["log_batches"] == 3
+    assert s["lsh"]["n_tables"] >= 1
+    assert s["profile"]["present"] and s["profile"]["batch_dirs"] > 0
+    assert s["spans"]["present"]
+    assert not s["codes"]["present"] and not s["graphs"]["present"]

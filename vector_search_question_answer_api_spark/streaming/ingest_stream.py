@@ -637,6 +637,111 @@ def _write_commit_marker(
             pass
 
 
+def corpus_status(root: str) -> dict:
+    """One driver-side inspection of every store under a
+    ``maintain_corpus`` root — the ops surface for capacity planning and
+    lifecycle decisions (when to compact, whether a purge horizon
+    exists, how deep each log has grown).  PURE file/manifest reads: no
+    SparkSession, no jobs, O(store count + log dirs), safe to poll.
+
+    Returns ``{"committed_epoch": int|None, "commit_markers": int,
+    "stores": {<name>: {...}}}`` with per-store generation pointers, log
+    depths, and horizons (see each store's reader for the exactness
+    contract the horizon bounds).  A store that was never enabled
+    reports ``present: False``."""
+    import glob as _glob
+
+    p = _subpaths(root)
+    out: dict = {
+        "committed_epoch": corpus_committed_epoch(root),
+        "commit_markers": len(
+            _glob.glob(os.path.join(p["commits"], "batch-*.json"))
+        ),
+        "stores": {},
+    }
+
+    ix = p["index"]
+    if os.path.isdir(ix):
+        out["stores"]["index"] = {
+            "present": True,
+            "log_files": len(IX._log_files(ix)),
+            "generation": IX._current_gen(ix),
+            "horizon": IX.index_fold_horizon(ix),
+        }
+    else:
+        out["stores"]["index"] = {"present": False}
+
+    d = p["docs"]
+    if os.path.isdir(d):
+        man, dirs = _docs_parts(d)
+        out["stores"]["docs"] = {
+            "present": True,
+            "batch_dirs": len(dirs),
+            "generation": None if man is None else man["gen"],
+            "purged_below": None if man is None else int(man["purged_below"]),
+            "frontier": None if man is None else man.get("frontier"),
+        }
+    else:
+        out["stores"]["docs"] = {"present": False}
+
+    from vector_search_question_answer_api_spark.operators import (
+        ann,
+        lexical_store as LXS,
+    )
+
+    pg = p["postings"]
+    try:
+        LXS.read_postings_manifest(pg)
+        out["stores"]["postings"] = {
+            "present": True,
+            "log_batches": len(LXS._bounded_log_dirs(pg, LXS._DL_LOG, None)),
+            "generation": os.path.basename(LXS._pg_base(pg) or "") or None,
+            "horizon": LXS._pg_horizon(pg),
+        }
+    except FileNotFoundError:
+        out["stores"]["postings"] = {"present": False}
+
+    lp = p["lsh"]
+    try:
+        art = ann.read_lsh_artifact(lp)
+        out["stores"]["lsh"] = {
+            "present": True,
+            "log_batches": len(ann._sig_log_dirs(lp)),
+            "generation": os.path.basename(ann._sig_base_dir(lp) or "")
+            or None,
+            "horizon": ann._sig_horizon(lp),
+            "n_planes": int(art["n_planes"]),
+            "n_tables": int(art["n_tables"]),
+        }
+    except FileNotFoundError:
+        out["stores"]["lsh"] = {"present": False}
+
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_manifest,
+    )
+
+    for name in ("codes", "graphs"):
+        man = cell_store_manifest(p[name]) if os.path.isdir(p[name]) else None
+        out["stores"][name] = (
+            {"present": True, "cells": len(man.get("cells", {}))}
+            if man
+            else {"present": False}
+        )
+    for name in ("profile", "spans"):
+        sp = p[name]
+        out["stores"][name] = (
+            {
+                "present": True,
+                "batch_dirs": len(
+                    _glob.glob(os.path.join(sp, "*", "batch=*"))
+                ),
+            }
+            if os.path.isdir(sp)
+            else {"present": False}
+        )
+    return out
+
+
 def corpus_committed_epoch(root: str) -> int | None:
     """The newest batch id EVERY enabled store has fully absorbed — the
     corpus's committed epoch (r12).  None when no batch has committed yet.
