@@ -371,3 +371,32 @@ def test_replay_lsh_index_path_requires_lsh_retrieval(spark, corpus, tmp_path):
         replay_sessions(
             ev, corpus, lsh_index_path=str(tmp_path / "nope")
         ).collect()
+
+
+def test_fold_survives_no_hit_events_under_takedown():
+    """r12 review fix: a no-hit event (Arrow nulls arrive as float NaN
+    candidates) with a NON-EMPTY takedown map must resolve to a clean
+    conservative miss, not crash the fold on int(nan)."""
+    from datetime import datetime
+
+    from vector_search_question_answer_api_spark.config import DEFAULT_CONFIG
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        _fold_session_rows,
+    )
+
+    nan = float("nan")
+    rows = [
+        {
+            "event_id": 0,
+            "ts": datetime(2024, 1, 1, 12, 0, 0),
+            "question": "no bucket hit",
+            "q_vec": None,
+            "cand_doc_id": nan,
+            "cand_dist": nan,
+            "cand_vec": None,
+        }
+    ]
+    out, _ = _fold_session_rows(
+        rows, DEFAULT_CONFIG, deleted={7: None}
+    )
+    assert out[0]["used_fallback"] and out[0]["context_doc_id"] is None

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_question_answer_api_spark.functions import vector as V
+from vector_search_question_answer_api_spark.sources.horizon import batch_id_of
 from vector_search_question_answer_api_spark.operators.search import topk_per_query
 
 DEFAULT_N_PLANES = 8
@@ -502,7 +503,7 @@ def _sig_log_dirs(path: str) -> list[str]:
         for d in glob.glob(os.path.join(path, _LSH_SIG_LOG, "batch=*"))
         if os.path.isdir(d) and os.path.realpath(d) not in retired
     ]
-    return sorted(dirs, key=lambda d: int(os.path.basename(d).split("=")[1]))
+    return sorted(dirs, key=lambda d: batch_id_of(d))
 
 
 def write_lsh_artifact(
@@ -895,7 +896,7 @@ def read_lsh_signatures(
         log_dirs = [
             d
             for d in log_dirs
-            if int(os.path.basename(d).split("=")[1]) <= int(up_to_batch)
+            if batch_id_of(d) <= int(up_to_batch)
         ]
     if base_p is None and not log_dirs:
         raise FileNotFoundError(f"no LSH signature store at {path}")
@@ -995,7 +996,7 @@ def compact_lsh_signatures(
         snapshot = [
             d
             for d in snapshot
-            if int(os.path.basename(d).split("=")[1]) < int(up_to_batch)
+            if batch_id_of(d) < int(up_to_batch)
         ]
     if not snapshot:
         return False  # nothing to fold — keep the current base as-is
@@ -1028,7 +1029,7 @@ def compact_lsh_signatures(
     # (serving folded rows as historical state) — see _stamp_sig_horizon
     _stamp_sig_horizon(
         path,
-        max(int(os.path.basename(d).split("=")[1]) for d in snapshot),
+        max(batch_id_of(d) for d in snapshot),
     )
     tmp = os.path.join(path, ".SIG_MANIFEST.tmp")
     with open(tmp, "w", encoding="utf-8") as f:

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_question_answer_api_spark.functions import text as TXT
+from vector_search_question_answer_api_spark.sources.horizon import batch_id_of
 
 POSTINGS_FAMILY = "bm25-postings-ws-v1"
 _KNOB_MANIFEST = "_postings_manifest.json"
@@ -202,7 +203,7 @@ def _bounded_log_dirs(
     return [
         d
         for d in dirs
-        if int(os.path.basename(d).split("=")[1]) <= int(up_to_batch)
+        if batch_id_of(d) <= int(up_to_batch)
     ]
 
 
@@ -215,7 +216,7 @@ def _log_dirs(path: str, sub: str) -> list[str]:
         for d in glob.glob(os.path.join(path, sub, "batch=*"))
         if os.path.isdir(d) and os.path.realpath(d) not in retired
     ]
-    return sorted(dirs, key=lambda d: int(os.path.basename(d).split("=")[1]))
+    return sorted(dirs, key=lambda d: batch_id_of(d))
 
 
 def _read_log(spark, path: str, sub: str, dirs: list[str]) -> DataFrame:
@@ -762,7 +763,7 @@ def compact_postings(
         return [
             d
             for d in dirs
-            if int(os.path.basename(d).split("=")[1]) < int(up_to_batch)
+            if batch_id_of(d) < int(up_to_batch)
         ]
 
     dl_dirs = _bounded(_log_dirs(path, _DL_LOG))
@@ -773,12 +774,12 @@ def compact_postings(
     # for the replaying handler's overwrite — retiring it would make the
     # re-appended batch invisible (_log_dirs excludes retired realpaths).
     committed = {
-        int(os.path.basename(d).split("=")[1]) for d in dl_dirs
+        batch_id_of(d) for d in dl_dirs
     }
     post_dirs = [
         d
         for d in _bounded(_log_dirs(path, _POST_LOG))
-        if int(os.path.basename(d).split("=")[1]) in committed
+        if batch_id_of(d) in committed
     ]
     if not dl_dirs:
         return False
@@ -832,7 +833,7 @@ def compact_postings(
     # folded nor retired, so it stays resolvable after its replay
     _stamp_pg_horizon(
         path,
-        max(int(os.path.basename(d).split("=")[1]) for d in dl_dirs),
+        max(batch_id_of(d) for d in dl_dirs),
     )
     tmp = os.path.join(path, ".PG_MANIFEST.tmp")
     with open(tmp, "w", encoding="utf-8") as f:

@@ -74,8 +74,14 @@ def _as_vec(v) -> np.ndarray | None:
 def _is_deleted(doc_id, ts, deleted: "dict | None") -> bool:
     """Event-time deletion check: doc ``doc_id`` is deleted AS OF ``ts``
     when the takedown map carries it with a deletion time <= ts (a None
-    deletion time means deleted at all times)."""
+    deletion time means deleted at all times).  A missing candidate is
+    never 'deleted' — Arrow hands a null id to pandas as float NaN, and
+    ``int(nan)`` would otherwise crash the fold for no-hit events (the
+    pre-_pick_candidate code never reached this check for them because
+    ``nan < max_distance`` short-circuited first)."""
     if not deleted or doc_id is None:
+        return False
+    if isinstance(doc_id, float) and math.isnan(doc_id):
         return False
     if int(doc_id) not in deleted:
         return False

@@ -496,6 +496,24 @@ def compact_index(
     raw = _raw_log(spark, path, files=snapshot)
     if raw is None:
         raise FileNotFoundError(f"no index at {path}")
+    prev_horizon = index_fold_horizon(path)
+    if (
+        up_to_batch is not None
+        and prev_horizon is not None
+        and int(up_to_batch) <= prev_horizon
+    ):
+        # a bounded fold at/below the existing horizon would filter OUT
+        # generation rows whose _batch >= up_to_batch — docs last updated
+        # in already-folded batches would silently vanish from the
+        # published generation (r12 review #2).  The in-stream cadence
+        # never trips this (it folds at batch N start with up_to=N >
+        # horizon <= N-1); only an out-of-cadence manual call can.
+        raise ValueError(
+            f"compact_index: up_to_batch={int(up_to_batch)} is at or "
+            f"below the fold horizon {prev_horizon} at {path!r} — a "
+            "bounded re-fold of already-folded history would drop every "
+            "doc last updated at or after the bound"
+        )
     legacy_flat = old_gen is None and not snapshot
     if up_to_batch is not None and "_batch" in raw.columns:
         # fold ONLY the pre-batch state (the in-stream cadence contract,
@@ -552,14 +570,30 @@ def compact_index(
     # written BEFORE the manifest so a crash between the two over-claims
     # (bounded reads raise needlessly) but never under-claims
     if "_batch" in raw.columns:
-        # max over RAW, not the resolved winners: a drop_tombstones fold
-        # erases tombstone rows entirely, and their batches must still
-        # raise below the horizon rather than resolve absent-but-silent
-        row = raw.agg(F.max("_batch").alias("m")).first()
-        if row is not None and row["m"] is not None and int(row["m"]) >= 0:
-            h = int(row["m"])
-            prev = index_fold_horizon(path)
-            _stamp_index_horizon(path, h if prev is None else max(h, prev))
+        # horizon = max folded _batch, over the PRE-resolution rows (a
+        # drop_tombstones fold erases tombstone rows entirely, and their
+        # batches must still raise below the horizon rather than resolve
+        # absent-but-silent).  Log-sized when possible (r12 review #3):
+        # generation rows are bounded by the prior stamp — they were
+        # folded under it — so max(log snapshot, prev) suffices; the
+        # raw-wide agg (a corpus-sized generation scan) runs only once,
+        # for a legacy pre-horizon generation, and this stamp makes every
+        # later fold log-sized.
+        frame = None
+        if prev_horizon is None and old_gen is not None:
+            frame = raw  # legacy gen without a stamp: one full pass
+        elif snapshot:
+            frame = spark.read.parquet(*snapshot)
+            if up_to_batch is not None and "_batch" in frame.columns:
+                frame = frame.filter(F.col("_batch") < int(up_to_batch))
+        h = prev_horizon
+        if frame is not None and "_batch" in frame.columns:
+            row = frame.agg(F.max("_batch").alias("m")).first()
+            if row is not None and row["m"] is not None:
+                m = int(row["m"])
+                h = m if h is None else max(h, m)
+        if h is not None and h >= 0:
+            _stamp_index_horizon(path, h)
     if _pre_publish_hook is not None:
         _pre_publish_hook()
     tmp = os.path.join(path, ".MANIFEST.tmp")

@@ -68,6 +68,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vector_search_question_answer_api_spark.sources.horizon import batch_id_of
+
 from vector_search_question_answer_api_spark.streaming import (
     ann_maintain,
     index_stream as IX,
@@ -692,10 +694,18 @@ def corpus_status(root: str) -> dict:
     pg = p["postings"]
     try:
         LXS.read_postings_manifest(pg)
+        pg_base = LXS._pg_base(pg)
         out["stores"]["postings"] = {
             "present": True,
             "log_batches": len(LXS._bounded_log_dirs(pg, LXS._DL_LOG, None)),
-            "generation": os.path.basename(LXS._pg_base(pg) or "") or None,
+            # a real .pgen-* pointer only — the initial-build layout's
+            # base is the store root, which is no generation
+            "generation": (
+                os.path.basename(pg_base)
+                if pg_base is not None
+                and os.path.basename(pg_base).startswith(".pgen-")
+                else None
+            ),
             "horizon": LXS._pg_horizon(pg),
         }
     except FileNotFoundError:
@@ -704,11 +714,16 @@ def corpus_status(root: str) -> dict:
     lp = p["lsh"]
     try:
         art = ann.read_lsh_artifact(lp)
+        sig_base = ann._sig_base_dir(lp)
         out["stores"]["lsh"] = {
             "present": True,
             "log_batches": len(ann._sig_log_dirs(lp)),
-            "generation": os.path.basename(ann._sig_base_dir(lp) or "")
-            or None,
+            "generation": (
+                os.path.basename(sig_base)
+                if sig_base is not None
+                and os.path.basename(sig_base).startswith(".sig-gen-")
+                else None
+            ),
             "horizon": ann._sig_horizon(lp),
             "n_planes": int(art["n_planes"]),
             "n_tables": int(art["n_tables"]),
@@ -813,7 +828,7 @@ def _docs_parts(droot: str):
         for d in glob.glob(os.path.join(droot, "batch=*"))
         if os.path.isdir(d) and os.path.realpath(d) not in retired
     ]
-    dirs.sort(key=lambda d: int(os.path.basename(d).split("=")[1]))
+    dirs.sort(key=lambda d: batch_id_of(d))
     return man, dirs
 
 
@@ -991,7 +1006,7 @@ def purge_docs_versions(
         if os.path.isdir(g) and os.path.realpath(g) != cur_gen:
             shutil.rmtree(g, ignore_errors=True)
 
-    ids = [int(os.path.basename(d).split("=")[1]) for d in dirs]
+    ids = [batch_id_of(d) for d in dirs]
     # the store's batch FRONTIER: newest live dir, else the frontier the
     # previous purge persisted in its manifest (when every dir has been
     # folded, live dirs alone under-state it — a horizon past the real
@@ -1015,7 +1030,7 @@ def purge_docs_versions(
     fold_dirs = [
         d
         for d in dirs
-        if int(os.path.basename(d).split("=")[1]) < B
+        if batch_id_of(d) < B
     ]
     if man is None and not fold_dirs:
         return False  # nothing below the bound
