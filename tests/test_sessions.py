@@ -400,3 +400,61 @@ def test_fold_survives_no_hit_events_under_takedown():
         rows, DEFAULT_CONFIG, deleted={7: None}
     )
     assert out[0]["used_fallback"] and out[0]["context_doc_id"] is None
+
+
+def test_pick_candidate_properties():
+    """Property pin for the deletion fall-through (pure python, seeded
+    random): the picked candidate is always the FIRST live entry of the
+    rank-ordered arrays; all-deleted rows and empty arrays degrade to a
+    miss; the scalar path agrees with a length-1 array."""
+    import random
+    from datetime import datetime, timedelta
+
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        _pick_candidate,
+    )
+
+    rng = random.Random(1202)
+    T = datetime(2024, 1, 1)
+    for _ in range(200):
+        n = rng.randint(0, 5)
+        ids = list(rng.sample(range(20), n))
+        dists = sorted(round(rng.random(), 3) for _ in range(n))
+        vecs = [[float(i)] for i in ids]
+        deleted = {
+            d: (None if rng.random() < 0.5 else T - timedelta(seconds=1))
+            for d in rng.sample(range(20), rng.randint(0, 10))
+        }
+        row = {
+            "cand_doc_ids": ids,
+            "cand_dists": dists,
+            "cand_vecs": vecs,
+            "cand_doc_id": ids[0] if ids else None,
+            "cand_dist": dists[0] if dists else None,
+            "cand_vec": vecs[0] if vecs else None,
+        }
+        cid, cdist, cvec = _pick_candidate(row, T, deleted)
+        live = [
+            (i, d, v)
+            for i, d, v in zip(ids, dists, vecs)
+            if i not in deleted
+        ]
+        if live:
+            assert (cid, cdist, cvec) == live[0]
+        else:
+            assert cid is None and cdist is None and cvec is None
+        # scalar path (no arrays) agrees with a length-1 array
+        if ids:
+            srow = {
+                "cand_doc_id": ids[0],
+                "cand_dist": dists[0],
+                "cand_vec": vecs[0],
+            }
+            arow = {
+                "cand_doc_ids": ids[:1],
+                "cand_dists": dists[:1],
+                "cand_vecs": vecs[:1],
+            }
+            assert _pick_candidate(srow, T, deleted) == _pick_candidate(
+                arow, T, deleted
+            )
