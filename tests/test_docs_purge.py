@@ -173,3 +173,107 @@ def test_frontier_guard_survives_a_full_fold(spark, store):
         IG.purge_docs_versions(spark, store, before_batch=99)
     # a legitimate re-fold at the same horizon still works
     assert IG.purge_docs_versions(spark, store, before_batch=4) is True
+
+
+def test_retention_cadence_inside_the_stream(spark, tmp_path):
+    """``maintain_corpus(purge_docs_every=, docs_retain_batches=)``: the
+    purge runs as an in-stream retention policy — resolved serving is
+    unchanged, the horizon advances with the cadence, history older than
+    the window is physically erased once its files pass a grace cycle,
+    and a checkpoint replay changes nothing.
+
+    Schedule here (every=2, retain=2, batches 0-7): the batch-2 firing
+    skips (horizon would be 0), batch-4 folds dirs 0-1 (retired), batch-6
+    folds dirs 2-3 and GRACE-DELETES dirs 0-1 — so the ORIGINAL texts of
+    the updated docs (batch 0) are physically gone, while their v2
+    winners legitimately survive inside the still-retired first
+    generation until a later cycle."""
+    from pyspark.sql import functions as F
+
+    from vector_search_question_answer_api_spark.sources.tables import (
+        load_table,
+    )
+
+    tmp = str(tmp_path)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    b0 = docs.filter("doc_id < 20")
+    orig_updated = {
+        r["text"] for r in docs.filter("doc_id < 4").select("text").collect()
+    }
+
+    def upd(tag, ms):
+        return (
+            docs.filter("doc_id < 4")
+            .withColumn("text", F.concat(F.lit(tag), "text"))
+            .withColumn("n_chars", F.length("text"))
+            .withColumn("ts", F.timestamp_millis(F.lit(ms)))
+        )
+
+    dels = docs.filter("doc_id = 19").select(
+        "doc_id",
+        F.timestamp_millis(F.lit(15_000_000)).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    batches = (
+        b0,
+        upd("v2 ", 10_000_000),
+        upd("v3 ", 20_000_000).unionByName(dels),
+        upd("v4 ", 30_000_000),
+        upd("v5 ", 40_000_000),
+        upd("v6 ", 50_000_000),
+        upd("v7 ", 60_000_000),
+        upd("v8 ", 70_000_000),
+    )
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+
+    def run():
+        q = IG.maintain_corpus(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src/*"),
+            f"{tmp}/corpus",
+            checkpoint=f"{tmp}/ckpt",
+            dim=16,
+            trigger_once=True,
+            docs_store=True,
+            purge_docs_every=2,
+            docs_retain_batches=2,
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    root = f"{tmp}/corpus"
+    live = _live(spark, root)
+    assert dict(live)[0].startswith("v8 ")
+    assert 19 not in dict(live) and len(live) == 19
+    st = IG.corpus_status(root)
+    assert st["stores"]["docs"]["purged_below"] == 4  # batch-6 firing
+    with pytest.raises(ValueError, match="purge horizon"):
+        IG.read_corpus_docs(spark, root, up_to_batch=2)
+    # inside the window: exact
+    assert dict(_live(spark, root, up_to_batch=3))[0].startswith("v4 ")
+    # batch-0 originals of the updated docs passed a full grace cycle:
+    # physically gone from every surviving file
+    import pyarrow.parquet as pq
+
+    droot = os.path.join(root, "docs")
+    texts = set()
+    for dirpath, _dirs, files in os.walk(droot):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                t = pq.read_table(os.path.join(dirpath, fn), columns=["text"])
+                texts |= {v for v in t.column("text").to_pylist() if v}
+    assert not (texts & orig_updated)
+    # replay: same checkpoint, no new source files -> nothing changes
+    run()
+    assert _live(spark, root) == live
+    assert IG.corpus_status(root)["stores"]["docs"]["purged_below"] == 4

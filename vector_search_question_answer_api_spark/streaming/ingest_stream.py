@@ -118,6 +118,8 @@ def maintain_corpus(
     postings_store: bool = False,
     postings_buckets: int = 64,
     compact_postings_every: int | None = None,
+    purge_docs_every: int | None = None,
+    docs_retain_batches: int = 16,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -178,6 +180,18 @@ def maintain_corpus(
     the inherent price of a rebuild, paid at the cadence, never per batch
     or per read.  Replay-safe like the compactions: runs at batch START
     over ``batch < batch_id`` evidence.
+
+    ``purge_docs_every=N`` (r12) turns :func:`purge_docs_versions` into a
+    RETENTION POLICY: every N batches the docs store's history older
+    than ``docs_retain_batches`` (>= 1) is physically erased — each
+    doc's latest live version below the horizon survives, superseded
+    versions and deleted docs' raw text stop existing on disk within at
+    most one further purge cycle (the grace period).  Batch-bounded and
+    as-of reads inside the retention window stay exact; older epochs
+    raise / resolve absent-not-wrong (the ``read_corpus_docs``
+    contract).  Safe in-stream because the handler is the store's only
+    writer (the purge's quiesce contract) and the horizon stays strictly
+    behind the handler's own ``before_batch`` reads.
 
     ``postings_store=True`` (r12) maintains the on-disk BM25 lexical
     index at ``<root>/postings`` (``lexical_store``): per micro-batch the
@@ -251,6 +265,19 @@ def maintain_corpus(
             "maintain_corpus: profile_rebuild_every= requires "
             "docs_store=True (the rebuild re-sketches the resolved TEXT)"
         )
+    if purge_docs_every:
+        if not docs_store:
+            raise ValueError(
+                "maintain_corpus: purge_docs_every= requires "
+                "docs_store=True (the cadence purges the docs store)"
+            )
+        if int(docs_retain_batches) < 1:
+            # retain >= 1: the purge horizon must stay strictly behind
+            # the batch being handled so this handler's own
+            # before_batch=batch_id reads never touch the raise
+            raise ValueError(
+                "maintain_corpus: docs_retain_batches must be >= 1"
+            )
     p = _subpaths(root)
     if centroids is None:
         centroids = centroid_grid(dim, n_cells)
@@ -357,6 +384,26 @@ def maintain_corpus(
                 )
             except FileNotFoundError:
                 pass  # no signature store yet (first batches pending)
+        if (
+            purge_docs_every
+            and batch_id > 0
+            and batch_id % int(purge_docs_every) == 0
+        ):
+            # retention cadence: physical erasure of docs-store history
+            # older than the retention window — superseded versions AND
+            # deleted docs' raw text stop existing on disk as policy,
+            # not as a manual verb.  Safe in-stream: the handler is the
+            # store's only writer (the purge's quiesce contract), the
+            # horizon batch_id - retain stays strictly behind this
+            # batch's own before_batch reads, replay re-runs the same
+            # monotone fold, and readers survive via the manifest/grace
+            # protocol exactly as with the compaction cadences.
+            b = int(batch_id) - int(docs_retain_batches)
+            if b > 0:
+                try:
+                    purge_docs_versions(spark, root, before_batch=b)
+                except FileNotFoundError:
+                    pass  # docs store not born yet
         try:
             if docs_store:
                 # raw document rows, batch=<id> overwrite (replay-safe):
