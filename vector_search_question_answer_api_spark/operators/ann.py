@@ -959,37 +959,21 @@ def compact_lsh_signatures(
     deletion evidence from the signature store — ``read_index_tombstones``
     is the canonical source — so no id-only marker is kept."""
     import os
-    import shutil
+
+    from vector_search_question_answer_api_spark.sources.generation_store import (
+        GenerationStore,
+    )
 
     # manifest must exist: compacting a store without its knob manifest
     # would publish a generation readers refuse anyway (FileNotFoundError
     # propagates with the store path in the message)
     read_lsh_artifact(path)
 
-    # grace period elapsed: physically drop what the PREVIOUS compaction
-    # retired (no current resolve references these)
-    for stale in _sig_retired(path):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-        else:
-            try:
-                os.remove(stale)
-            except FileNotFoundError:
-                pass
-    # crash-window orphan sweep: a compaction that died after writing its
-    # generation but before publishing the manifest leaves a .sig-gen-*
-    # referenced by neither the manifest nor SIG_RETIRED — drop it here
-    import glob
-
+    # shared lifecycle (sources/generation_store, r13): grace-delete what
+    # the previous compaction retired, sweep crashed-attempt orphans
+    store = GenerationStore(path, _SIG_MANIFEST, _SIG_RETIRED, ".sig-gen-")
     cur = _sig_base_dir(path)
-    retired_now = _sig_retired(path)
-    for d in glob.glob(os.path.join(path, ".sig-gen-*")):
-        if (
-            os.path.isdir(d)
-            and os.path.realpath(d) != (os.path.realpath(cur) if cur else "")
-            and os.path.realpath(d) not in retired_now
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+    store.housekeep(keep=[cur] if cur is not None else [])
 
     snapshot = _sig_log_dirs(path)
     if up_to_batch is not None:
@@ -1015,12 +999,9 @@ def compact_lsh_signatures(
         ).unionByName(resolved_log)
     else:
         folded = resolved_log
-    cur_name = os.path.basename(cur) if cur is not None else None
-    if cur_name is not None and cur_name.startswith(".sig-gen-"):
-        n = int(cur_name.split("-")[-1]) + 1
-    else:
-        n = 0
-    new_gen = f".sig-gen-{n:06d}"
+    new_gen = store.next_gen(
+        os.path.basename(cur) if cur is not None else None
+    )
     folded.sortWithinPartitions("sig").write.mode("overwrite").parquet(
         os.path.join(path, new_gen)
     )
@@ -1031,17 +1012,10 @@ def compact_lsh_signatures(
         path,
         max(batch_id_of(d) for d in snapshot),
     )
-    tmp = os.path.join(path, ".SIG_MANIFEST.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(new_gen + "\n")
-    os.replace(tmp, os.path.join(path, _SIG_MANIFEST))  # atomic publish
-    retire = [os.path.realpath(d) for d in snapshot]
+    retire = list(snapshot)
     if cur is not None:
-        retire.append(os.path.realpath(cur))
-    tmp_r = os.path.join(path, ".SIG_RETIRED.tmp")
-    with open(tmp_r, "w", encoding="utf-8") as f:
-        f.write("\n".join(retire) + "\n")
-    os.replace(tmp_r, os.path.join(path, _SIG_RETIRED))
+        retire.append(cur)
+    store.publish(new_gen + "\n", retire)
     return True
 
 

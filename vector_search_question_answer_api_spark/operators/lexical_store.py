@@ -735,27 +735,18 @@ def compact_postings(
     Deleted docs simply VANISH from the fold; deletion evidence for
     downstream consumers lives in the index log
     (``read_index_tombstones``), not here."""
+    from vector_search_question_answer_api_spark.sources.generation_store import (
+        GenerationStore,
+    )
+
     manifest = read_postings_manifest(path)
     n_buckets = int(manifest["n_buckets"])
 
-    for stale in _pg_retired(path):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-        else:
-            try:
-                os.remove(stale)
-            except FileNotFoundError:
-                pass
+    # shared lifecycle (sources/generation_store, r13): grace-delete what
+    # the previous compaction retired, sweep crashed-attempt orphans
+    store = GenerationStore(path, _PG_MANIFEST, _PG_RETIRED, ".pgen-")
     cur = _pg_base(path)
-    retired_now = _pg_retired(path)
-    cur_real = os.path.realpath(cur) if cur is not None else ""
-    for d in glob.glob(os.path.join(path, ".pgen-*")):
-        if (
-            os.path.isdir(d)
-            and os.path.realpath(d) != cur_real
-            and os.path.realpath(d) not in retired_now
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+    store.housekeep(keep=[cur] if cur is not None else [])
 
     def _bounded(dirs: list[str]) -> list[str]:
         if up_to_batch is None:
@@ -811,11 +802,9 @@ def compact_postings(
     if folded_posts is None or folded_dl is None:
         return False
 
-    if cur is not None and os.path.basename(cur).startswith(".pgen-"):
-        n = int(os.path.basename(cur).split("-")[-1]) + 1
-    else:
-        n = 0
-    new_gen = f".pgen-{n:06d}"
+    new_gen = store.next_gen(
+        os.path.basename(cur) if cur is not None else None
+    )
     gen_dir = os.path.join(path, new_gen)
     (
         folded_posts.withColumn("tb", _term_bucket(F.col("term"), n_buckets))
@@ -835,20 +824,13 @@ def compact_postings(
         path,
         max(batch_id_of(d) for d in dl_dirs),
     )
-    tmp = os.path.join(path, ".PG_MANIFEST.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(new_gen + "\n")
-    os.replace(tmp, os.path.join(path, _PG_MANIFEST))  # atomic publish
-    retire = [os.path.realpath(d) for d in post_dirs + dl_dirs]
+    retire = list(post_dirs + dl_dirs)
     if cur is not None and cur != path:
-        retire.append(os.path.realpath(cur))
+        retire.append(cur)
     elif cur is not None:
         # the initial build's root-level dirs retire individually (the
         # root itself obviously cannot be deleted)
-        retire.append(os.path.realpath(os.path.join(path, "postings")))
-        retire.append(os.path.realpath(os.path.join(path, "doclens")))
-    tmp_r = os.path.join(path, ".PG_RETIRED.tmp")
-    with open(tmp_r, "w", encoding="utf-8") as f:
-        f.write("\n".join(retire) + "\n")
-    os.replace(tmp_r, os.path.join(path, _PG_RETIRED))
+        retire.append(os.path.join(path, "postings"))
+        retire.append(os.path.join(path, "doclens"))
+    store.publish(new_gen + "\n", retire)
     return True

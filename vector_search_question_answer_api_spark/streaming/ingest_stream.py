@@ -1019,10 +1019,6 @@ def purge_docs_versions(
     superseded generation and the folded ``batch=<id>`` dirs for one
     grace cycle.  QUIESCED: no concurrent ``maintain_corpus`` batch may
     run (same contract as ``purge_corpus_spans``)."""
-    import glob
-    import json
-    import shutil
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1039,19 +1035,17 @@ def purge_docs_versions(
             f"purge horizon {int(man['purged_below'])} — horizons are "
             "monotone"
         )
-    # grace period elapsed: physically drop what the PREVIOUS purge
-    # retired, then sweep crashed-attempt orphan generations
-    for stale in _docs_retired(droot):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-    cur_gen = (
-        os.path.realpath(os.path.join(droot, man["gen"]))
-        if man is not None
-        else ""
+    # shared lifecycle (sources/generation_store, r13): grace-delete what
+    # the previous purge retired, sweep crashed-attempt orphans
+    from vector_search_question_answer_api_spark.sources.generation_store import (
+        GenerationStore,
     )
-    for g in glob.glob(os.path.join(droot, ".dgen-*")):
-        if os.path.isdir(g) and os.path.realpath(g) != cur_gen:
-            shutil.rmtree(g, ignore_errors=True)
+
+    store = GenerationStore(droot, _DOCS_MANIFEST, _DOCS_RETIRED, ".dgen-")
+    cur_gen = (
+        os.path.join(droot, man["gen"]) if man is not None else None
+    )
+    store.housekeep(keep=[cur_gen] if cur_gen else [])
 
     ids = [batch_id_of(d) for d in dirs]
     # the store's batch FRONTIER: newest live dir, else the frontier the
@@ -1091,34 +1085,25 @@ def purge_docs_versions(
         .filter(~F.col("_tomb"))
         .select("doc_id", "ts", "text", "n_chars", "_tomb", "batch")
     )
-    if man is not None and man["gen"].startswith(".dgen-"):
-        n = int(man["gen"].split("-")[-1]) + 1
-    else:
-        n = 0
-    new_gen = f".dgen-{n:06d}"
+    new_gen = store.next_gen(man["gen"] if man is not None else None)
     winners.coalesce(int(n_files)).write.mode("overwrite").parquet(
         os.path.join(droot, new_gen)
     )
-    tmp = os.path.join(droot, "." + _DOCS_MANIFEST + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                "gen": new_gen,
-                "purged_below": B,
-                # persisted so the NEXT purge's frontier guard holds even
-                # after every live dir has been folded away
-                "frontier": frontier if frontier is not None else B - 1,
-            },
-            f,
-        )
-    os.replace(tmp, os.path.join(droot, _DOCS_MANIFEST))  # atomic publish
-    retire = [os.path.realpath(d) for d in fold_dirs]
-    if man is not None:
+    retire = list(fold_dirs)
+    if cur_gen is not None:
         retire.append(cur_gen)
-    tmp_r = os.path.join(droot, "." + _DOCS_RETIRED + ".tmp")
-    with open(tmp_r, "w", encoding="utf-8") as f:
-        f.write("\n".join(retire) + ("\n" if retire else ""))
-    os.replace(tmp_r, os.path.join(droot, _DOCS_RETIRED))
+    # purged_below/frontier ride the manifest (this store's horizon
+    # form); manifest-then-retired via the shared atomic publish
+    store.publish(
+        {
+            "gen": new_gen,
+            "purged_below": B,
+            # persisted so the NEXT purge's frontier guard holds even
+            # after every live dir has been folded away
+            "frontier": frontier if frontier is not None else B - 1,
+        },
+        retire,
+    )
     return True
 
 

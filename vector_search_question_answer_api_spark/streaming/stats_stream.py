@@ -248,25 +248,20 @@ def rebuild_profile(
     Cost: ONE corpus pass at the rebuild cadence (that is what a rebuild
     is); everything between rebuilds stays per-batch-sized."""
     import glob as _glob
-    import json
-    import shutil
 
-    # grace sweep: drop what the PREVIOUS rebuild retired
-    try:
-        with open(os.path.join(path, _PROF_RETIRED), encoding="utf-8") as f:
-            for stale in (ln.strip() for ln in f):
-                if stale and os.path.isdir(stale):
-                    shutil.rmtree(stale, ignore_errors=True)
-    except FileNotFoundError:
-        pass
-    cur = _prof_manifest(path)
+    from vector_search_question_answer_api_spark.sources.generation_store import (
+        GenerationStore,
+    )
+
+    # shared lifecycle (sources/generation_store, r13): grace-delete what
+    # the previous rebuild retired, sweep crashed-attempt orphans
+    store = GenerationStore(path, _PROF_MANIFEST, _PROF_RETIRED, ".prof-gen-")
+    cur = store.manifest_json()
     cur_gen = cur["gen"] if cur else None
-    # orphan sweep: a rebuild that died before its manifest publish
-    for d in _glob.glob(os.path.join(path, ".prof-gen-*")):
-        if os.path.isdir(d) and os.path.basename(d) != cur_gen:
-            shutil.rmtree(d, ignore_errors=True)
-    n = int(cur_gen.split("-")[-1]) + 1 if cur_gen else 0
-    gen = f".prof-gen-{n:06d}"
+    store.housekeep(
+        keep=[os.path.join(path, cur_gen)] if cur_gen else []
+    )
+    gen = store.next_gen(cur_gen)
     gen_p = os.path.join(path, gen)
     toks = SK.token_stream(docs)
     SK.cms_sketch(toks, depth=depth, width=width).write.mode(
@@ -278,28 +273,23 @@ def rebuild_profile(
     SK.hll_sketch(toks, "token", lgk=lgk).write.mode("overwrite").parquet(
         os.path.join(gen_p, "hll")
     )
-    tmp = os.path.join(path, ".PROF_MANIFEST.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                "gen": gen,
-                "covered_up_to": int(covered_up_to),
-                "kinds": list(_REBUILT_KINDS),
-            },
-            f,
-        )
-    os.replace(tmp, os.path.join(path, _PROF_MANIFEST))  # atomic publish
     retire: list[str] = []
     if cur_gen:
-        retire.append(os.path.realpath(os.path.join(path, cur_gen)))
+        retire.append(os.path.join(path, cur_gen))
     for kind in _REBUILT_KINDS:
         for d in _glob.glob(os.path.join(path, kind, "batch=*")):
             if int(os.path.basename(d).split("=")[1]) < int(covered_up_to):
-                retire.append(os.path.realpath(d))
-    tmp_r = os.path.join(path, ".PROF_RETIRED.tmp")
-    with open(tmp_r, "w", encoding="utf-8") as f:
-        f.write("\n".join(retire) + "\n")
-    os.replace(tmp_r, os.path.join(path, _PROF_RETIRED))
+                retire.append(d)
+    # the covered bound rides the manifest (this store's horizon form);
+    # manifest-then-retired via the shared atomic publish
+    store.publish(
+        {
+            "gen": gen,
+            "covered_up_to": int(covered_up_to),
+            "kinds": list(_REBUILT_KINDS),
+        },
+        retire,
+    )
 
 
 def _read_parts(spark: SparkSession, path: str, kind: str) -> DataFrame:
