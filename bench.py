@@ -1201,18 +1201,20 @@ def _ingest_delete_fns(spark, sf_dir):
     )
 
 
-def _replay_exact_cross_process(m: int = 3) -> dict | None:
-    """Cross-process certification for ``qa_replay_exact`` (VERDICT r10
-    wrong #1 / next #2): the entry is LEVEL-UNSTABLE across processes
-    (4.1 / 9.2 / 15.2 s minima in three quiet processes, same code and
-    data — r10 measurement), so an in-process min-of-N provably does not
-    characterize it; the MEDIAN OF PER-PROCESS MINIMA does.  Launch M
-    fresh probe processes (tools/replay_exact_probe.py — fresh JVM each,
-    sequential, BEFORE the suite session exists so they never compete
-    with it), each applying the standard in-process protocol, and report
-    the median.  Certified = every probe's own best-2 certified and at
-    least 2 probes completed.  Returns None (in-suite fallback) when the
-    probes cannot run."""
+def _replay_cross_process(m: int = 3) -> "dict[str, dict] | None":
+    """Cross-process certification for EVERY ``qa_replay_*`` tier
+    (VERDICT r10 wrong #1 / next #2 for the exact tier; r13 extends it to
+    graph/lsh — VERDICT r12 wrong #2: ``qa_replay_graph`` swung
+    6.2 -> 9.4 s between two same-code r12 ledgers): the entries are
+    LEVEL-UNSTABLE across processes, so an in-process min-of-N provably
+    does not characterize them; the MEDIAN OF PER-PROCESS MINIMA does.
+    Launch M fresh probe processes (tools/replay_exact_probe.py — fresh
+    JVM each, sequential, BEFORE the suite session exists so they never
+    compete with it), each measuring all four tiers in a FIXED order
+    under the standard in-process protocol, and report per-entry medians.
+    Certified = every probe's own best-2 certified and at least 2 probes
+    completed.  Returns {entry: {value, ledger}}; None (in-suite
+    fallback) when the probes cannot run."""
     import statistics
     import subprocess
 
@@ -1221,47 +1223,49 @@ def _replay_exact_cross_process(m: int = 3) -> dict | None:
         "tools",
         "replay_exact_probe.py",
     )
-    probes = []
+    by_entry: dict[str, list[dict]] = {}
     for i in range(m):
         try:
             out = subprocess.run(
                 [sys.executable, tool],
                 capture_output=True,
                 text=True,
-                timeout=900,
+                timeout=1800,
             )
         except (subprocess.TimeoutExpired, OSError) as e:
-            print(f"replay_exact probe {i}: {e}", file=sys.stderr)
+            print(f"replay probe {i}: {e}", file=sys.stderr)
             continue
         if out.returncode != 0:
             print(
-                f"replay_exact probe {i}: rc={out.returncode} "
+                f"replay probe {i}: rc={out.returncode} "
                 f"{out.stderr.strip().splitlines()[-1:] or ''}",
                 file=sys.stderr,
             )
             continue
-        for line in reversed(out.stdout.strip().splitlines()):
+        for line in out.stdout.strip().splitlines():
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if rec.get("entry") == "qa_replay_exact":
-                probes.append(rec)
-                break
-    if len(probes) < 2:
-        return None
-    minima = sorted(float(p["min"]) for p in probes)
-    return {
-        "value": round(statistics.median(minima), 3),
-        "ledger": {
-            "n": len(probes),
-            "best2": [round(minima[0], 3), round(minima[1], 3)],
-            "certified": bool(all(p["certified"] for p in probes)),
-            "protocol": "median-of-process-minima",
-            "process_minima": [round(x, 3) for x in minima],
-            "process_runs": [p["runs"] for p in probes],
-        },
-    }
+            if rec.get("entry", "").startswith("qa_replay_"):
+                by_entry.setdefault(rec["entry"], []).append(rec)
+    result: dict[str, dict] = {}
+    for entry, probes in by_entry.items():
+        if len(probes) < 2:
+            continue
+        minima = sorted(float(p["min"]) for p in probes)
+        result[entry] = {
+            "value": round(statistics.median(minima), 3),
+            "ledger": {
+                "n": len(probes),
+                "best2": [round(minima[0], 3), round(minima[1], 3)],
+                "certified": bool(all(p["certified"] for p in probes)),
+                "protocol": "median-of-process-minima",
+                "process_minima": [round(x, 3) for x in minima],
+                "process_runs": [p["runs"] for p in probes],
+            },
+        }
+    return result or None
 
 
 def main() -> None:
@@ -1269,9 +1273,9 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     box = _box_fingerprint()
-    # cross-process qa_replay_exact protocol runs FIRST: fresh probe JVMs,
-    # never concurrent with the suite session
-    xproc = _replay_exact_cross_process()
+    # cross-process qa_replay_* protocol runs FIRST: fresh probe JVMs,
+    # never concurrent with the suite session (all four tiers, r13)
+    xproc = _replay_cross_process()
     spark = get_spark(app_name="bench")
 
     # Time the primary production path: the in-gate strategy-twin
@@ -1436,11 +1440,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     ledger: dict[str, dict] = {}
     for name in [*HEADLINE, *extra, *lazy_groups]:
-        if name == "qa_replay_exact" and xproc is not None:
+        if xproc is not None and name in xproc:
             # recorded by the cross-process protocol above; the in-suite
             # path remains only as the fallback when probes cannot run
-            timings[name] = xproc["value"]
-            ledger[name] = xproc["ledger"]
+            timings[name] = xproc[name]["value"]
+            ledger[name] = xproc[name]["ledger"]
             continue
         if name in lazy_groups:
             group, setup = lazy_groups[name]

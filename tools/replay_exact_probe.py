@@ -1,24 +1,30 @@
 #!/usr/bin/env python
-"""One fresh-process measurement of the `qa_replay_exact` bench entry —
+"""One fresh-process measurement of the ``qa_replay_*`` bench entries —
 the per-process half of the cross-process certification protocol
-(VERDICT r10 wrong #1 / next #2).
+(VERDICT r10 wrong #1 / next #2; extended to every replay tier in r13,
+VERDICT r12 wrong #2).
 
-Why this exists: `qa_replay_exact` is LEVEL-UNSTABLE across processes
-(r10 measured 4.1 / 9.2 / 15.2 s minima in three quiet processes on the
-same code and data — root-caused to its driver-collect + broadcast +
-fold composition interacting with process state), while WITHIN a process
-its min-of-N certifies reproducibly ([9.24, 9.69]).  So an in-process
-min does not characterize the entry, but the MEDIAN OF PER-PROCESS
-MINIMA does — a robust level statistic the entry can actually satisfy.
-`bench.py` launches M of these probes (fresh JVM + fresh Python each,
-sequentially, BEFORE the main suite session exists) and records the
-median; this script is one probe.
+Why this exists: the replay entries are LEVEL-UNSTABLE across processes
+(r10 measured 4.1 / 9.2 / 15.2 s minima for ``qa_replay_exact`` in three
+quiet processes on the same code and data — root-caused to the
+driver-collect + broadcast + fold composition interacting with process
+state; r12 saw the same swing on ``qa_replay_graph``, 6.2 -> 9.4 s
+between two same-code ledgers), while WITHIN a process min-of-N
+certifies reproducibly.  So an in-process min does not characterize an
+entry, but the MEDIAN OF PER-PROCESS MINIMA does — a robust level
+statistic the entries can actually satisfy.  ``bench.py`` launches M of
+these probes (fresh JVM + fresh Python each, sequentially, BEFORE the
+main suite session exists) and records per-entry medians; this script is
+one probe.
 
-Builds only the exact-tier fixture (index + event relation, no celled
-graphs), applies the bench protocol (same warmup, cache_scope per
-attempt, adaptive best-of-N), and prints ONE JSON line:
-``{"entry": "qa_replay_exact", "min": s, "best2": [...], "certified":
+Measurement order inside a probe is FIXED (exact first on the
+graph-free fixture — preserving the r11 exact protocol bit-for-bit —
+then lsh / graph / lsh_ondisk on the full fixture), so per-process
+minima are comparable across probes and across rounds.  Prints ONE JSON
+line PER ENTRY: ``{"entry": ..., "min": s, "best2": [...], "certified":
 bool, "runs": [...]}``.
+
+Usage: ``replay_exact_probe.py [entry ...]`` (default: all four tiers).
 """
 
 from __future__ import annotations
@@ -33,14 +39,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vector_search_question_answer_api_spark import caching, inventory
 from vector_search_question_answer_api_spark.session import get_spark
 
+ALL_ENTRIES = (
+    "qa_replay_exact",
+    "qa_replay_lsh",
+    "qa_replay_graph",
+    "qa_replay_lsh_ondisk",
+)
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _measure(fn, spark, sf_dir) -> dict:
+    runs: list[float] = []
+    for _ in range(5):
+        with caching.cache_scope():
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        if len(runs) >= 2:
+            lo, lo2 = sorted(runs)[:2]
+            if lo2 <= lo * 1.15:
+                break
+    lo, lo2 = sorted(runs)[:2]
+    return {
+        "min": lo,
+        "best2": [lo, lo2],
+        "certified": bool(lo2 <= lo * 1.15),
+        "runs": runs,
+    }
+
+
 def main() -> None:
+    import shutil
+
+    entries = sys.argv[1:] or list(ALL_ENTRIES)
+    bad = [e for e in entries if e not in ALL_ENTRIES]
+    if bad:
+        raise SystemExit(f"unknown replay entries: {bad}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="replay_exact_probe")
+    spark = get_spark(app_name="replay_probe")
     inventory.RUN_TWIN_CHECKS = False
     qs = inventory.queries()
 
@@ -57,32 +96,30 @@ def main() -> None:
 
     import bench
 
-    fns, caches, _root = bench._qa_replay_fns(spark, sf_dir, with_graphs=False)
-    fn = fns["qa_replay_exact"]
-    runs: list[float] = []
-    for _ in range(5):
-        with caching.cache_scope():
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        if len(runs) >= 2:
-            lo, lo2 = sorted(runs)[:2]
-            if lo2 <= lo * 1.15:
-                break
-    lo, lo2 = sorted(runs)[:2]
-    for c in caches:
-        c.unpersist()
-    print(
-        json.dumps(
-            {
-                "entry": "qa_replay_exact",
-                "min": lo,
-                "best2": [lo, lo2],
-                "certified": bool(lo2 <= lo * 1.15),
-                "runs": runs,
-            }
+    # phase 1: the exact tier on the GRAPH-FREE fixture — the exact
+    # protocol as certified since r11, unchanged
+    if "qa_replay_exact" in entries:
+        fns, caches, _root = bench._qa_replay_fns(
+            spark, sf_dir, with_graphs=False
         )
-    )
+        rec = _measure(fns["qa_replay_exact"], spark, sf_dir)
+        print(json.dumps({"entry": "qa_replay_exact", **rec}), flush=True)
+        for c in caches:
+            c.unpersist()
+    # phase 2: the distributed tiers on the full fixture (fresh build —
+    # fixture work is ingest-time cost, never part of the timed number)
+    rest = [e for e in entries if e != "qa_replay_exact"]
+    if rest:
+        fns, caches, root = bench._qa_replay_fns(
+            spark, sf_dir, with_graphs=True
+        )
+        for e in rest:
+            rec = _measure(fns[e], spark, sf_dir)
+            print(json.dumps({"entry": e, **rec}), flush=True)
+        for c in caches:
+            c.unpersist()
+        if root is not None:
+            shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
