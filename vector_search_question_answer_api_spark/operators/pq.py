@@ -511,6 +511,7 @@ def write_ivfpq_index_managed(
     n_cells: int = 16,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
+    batch_id: "int | None" = None,
 ) -> None:
     """The :func:`write_ivfpq_index` layout under the managed cell store
     (``sources/cell_store``): same cell-partitioned codes-only artifact,
@@ -527,6 +528,7 @@ def write_ivfpq_index_managed(
         _encode_cells(index, codebooks, centroids, dim, n_cells,
                       index_vec_col, index_id_col),
         path,
+        batch_id=batch_id,
     )
 
 
@@ -541,6 +543,7 @@ def refresh_ivfpq_index(
     n_cells: int = 16,
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
+    batch_id: "int | None" = None,
     _pre_publish_hook=None,
 ) -> list[int]:
     """Incrementally refresh a MANAGED codes store after an upsert batch:
@@ -591,6 +594,16 @@ def refresh_ivfpq_index(
         int(r["cell"])
         for r in new_cells.unionByName(old_cells).distinct().collect()
     )
+    if not dirty:
+        if batch_id is not None:
+            # empty batch: absorbed, changed nothing — advance the
+            # frontier so epoch-exactness claims stay true (r13)
+            from vector_search_question_answer_api_spark.sources.cell_store import (
+                cell_store_stamp_frontier,
+            )
+
+            cell_store_stamp_frontier(path, int(batch_id))
+        return []
     enc = _encode_cells(index, codebooks, centroids, dim, n_cells,
                         index_vec_col, index_id_col)
     cell_store_refresh(
@@ -598,6 +611,7 @@ def refresh_ivfpq_index(
         path,
         enc.filter(F.col("cell").isin(dirty)),
         dirty,
+        batch_id=batch_id,
         _pre_publish_hook=_pre_publish_hook,
     )
     return dirty
@@ -619,6 +633,7 @@ def ivfpq_topk_ondisk(
     query_id_col: str = "query_id",
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
+    up_to_batch: "int | None" = None,
 ) -> DataFrame:
     """IVFPQ against the materialized codes table — the honest end-to-end
     100 TB plan that :func:`ivfpq_topk`'s docstring promises (VERDICT r4,
@@ -677,7 +692,12 @@ def ivfpq_topk_ondisk(
         open_cell_table,
     )
 
-    codes = open_cell_table(spark, path).filter(F.col("cell").isin(probed))
+    # up_to_batch (r13): the consistency bound — serves iff the managed
+    # store's last-change batch <= bound, RAISES otherwise (see
+    # cell_store.open_cell_table); flat artifacts only serve unbounded
+    codes = open_cell_table(spark, path, up_to_batch=up_to_batch).filter(
+        F.col("cell").isin(probed)
+    )
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"), F.col("lut"), lambda code, lut_s: F.element_at(lut_s, code + 1)

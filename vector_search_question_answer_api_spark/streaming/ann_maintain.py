@@ -176,6 +176,7 @@ def refresh_search_artifacts_batch(
             refresh_ivfpq_index(
                 spark, codes_path, index, delta, codebooks,
                 centroids=centroids, dim=dim, n_cells=n_cells,
+                batch_id=batch_id,
             )
         if graphs_path is not None:
             from vector_search_question_answer_api_spark.operators import (
@@ -185,7 +186,7 @@ def refresh_search_artifacts_batch(
             ann_hnsw.refresh_celled_hnsw_index(
                 spark, graphs_path, index, delta,
                 prev_delta=prev_delta, centroids=centroids, dim=dim,
-                n_cells=n_cells, backend=backend,
+                n_cells=n_cells, backend=backend, batch_id=batch_id,
             )
         from vector_search_question_answer_api_spark.sources.cell_store import (
             cell_store_compact,

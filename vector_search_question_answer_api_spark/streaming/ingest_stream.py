@@ -555,6 +555,7 @@ def maintain_corpus(
                     write_ivfpq_index_managed(
                         index, codes_path, codebooks,
                         centroids=centroids, dim=dim, n_cells=n_cells,
+                        batch_id=batch_id,
                     )
                 if graphs_path and graphs_ready is None:
                     from pyspark.sql import functions as F
@@ -596,6 +597,7 @@ def maintain_corpus(
                                 F.col("norm_embedding"), centroids
                             ).alias("cell"),
                         ),
+                        batch_id=batch_id,
                     )
             if graph_radii and graphs_path:
                 # a store initialized WITHOUT the flag (or before it
@@ -1185,6 +1187,21 @@ def corpus_postings_path(root: str) -> str:
     ``lexical_store.bm25_topk_stored`` for keyword search served
     without re-tokenizing a single corpus row."""
     return _subpaths(root)["postings"]
+
+
+def corpus_graphs_path(root: str) -> str:
+    """Path of the managed celled-HNSW graph store
+    (``maintain_corpus(ann_graphs=True)``) — hand it to
+    ``ann_hnsw.read_celled_hnsw_index`` (``up_to_batch=`` bounded since
+    r13, so the graph tier joins the committed-epoch composition)."""
+    return _subpaths(root)["graphs"]
+
+
+def corpus_codes_path(root: str) -> str:
+    """Path of the managed IVFPQ codes store
+    (``maintain_corpus(codebooks=...)``) — hand it to
+    ``pq.ivfpq_topk_ondisk`` (``up_to_batch=`` bounded since r13)."""
+    return _subpaths(root)["codes"]
 
 
 def purge_corpus_spans(spark: SparkSession, root: str) -> None:
