@@ -671,9 +671,12 @@ def tombstone_map(tombstones) -> "dict | None":
     """Normalize a takedown set into the fold's doc_id -> deletion-time
     dict: accepts a dict as-is, or a DataFrame of ``(doc_id[, ts])`` rows
     — e.g. ``index_stream.read_index_tombstones(spark, path,
-    with_ts=True)`` — COLLECTED driver-side.  Takedown sets are
-    driver-sized by contract (a deletion list is operator input, not a
-    data relation); the dict rides the fold closure like the config."""
+    with_ts=True)`` — COLLECTED driver-side.  This is the CONVENIENCE
+    path for driver-sized takedown lists only (the dict rides the fold
+    closure like the config); ``replay_sessions`` no longer routes
+    DataFrames through here — a DataFrame takes the r13 distributed
+    path (broadcast-joined candidates, deletion carried in session
+    state, zero collects), which is what churn-scale histories need."""
     if tombstones is None:
         return None
     if isinstance(tombstones, dict):
