@@ -435,3 +435,20 @@ def test_bm25_stored_twin_detects_wrong_scores(spark, monkeypatch):
     monkeypatch.setattr(LXS, "bm25_topk_stored", corrupted)
     with pytest.raises(ValueError, match="stored serving differs"):
         inventory.queries()["bm25_topk"](spark, SF).count()
+
+
+def test_managed_epoch_twin_detects_ignored_bound(spark, monkeypatch):
+    """r13: a cell-store reader that silently IGNORES up_to_batch —
+    serving whatever state it holds for any requested epoch, the exact
+    mixed-epoch defect the batch stamps exist to prevent — must make the
+    ann_ivf_topk gate's managed-store twin raise."""
+    import vector_search_question_answer_api_spark.sources.cell_store as CS
+
+    real = CS.open_cell_table
+
+    def corrupted(spark_, path, up_to_batch=None):
+        return real(spark_, path)  # the bound dropped on the floor
+
+    monkeypatch.setattr(CS, "open_cell_table", corrupted)
+    with pytest.raises(ValueError, match="epoch contract is broken"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()

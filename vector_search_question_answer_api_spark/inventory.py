@@ -2638,15 +2638,35 @@ def _pq_ivfpq_twin_check(normed: DataFrame) -> None:
     spark = normed.sparkSession
     tmp = tempfile.mkdtemp(prefix="gate_ivfpq_codes_")
     try:
+        # r13: the store is batch-STAMPED (init at 0, refresh at 1) and
+        # served through the epoch bound, so the consistency contract
+        # itself sits in front of the driver's oracle every run: a serve
+        # at the stamp must equal the in-memory relation (below), and a
+        # bound BELOW the stamp must raise — in-place maintenance keeps
+        # only the newest state, loud, never a silently mixed epoch.
         write_ivfpq_index_managed(idx, tmp, cbs, centroids=cents, dim=dim,
-                                  n_cells=n_cells)
+                                  n_cells=n_cells, batch_id=0)
         refresh_ivfpq_index(
             spark, tmp, idx, idx.filter(F.col("doc_id") < 3), cbs,
-            centroids=cents, dim=dim, n_cells=n_cells,
+            centroids=cents, dim=dim, n_cells=n_cells, batch_id=1,
         )
+        raised = False
+        try:
+            ivfpq_topk_ondisk(
+                spark, q, tmp, idx, cbs, centroids=cents, k=k, dim=dim,
+                n_cells=n_cells, nprobe=nprobe, refine=refine,
+                up_to_batch=0,
+            )
+        except ValueError as e:
+            raised = "below the store's last-change" in str(e)
+        if not raised:
+            raise ValueError(
+                "managed codes store: up_to_batch below the stamp did not "
+                "raise — the epoch contract is broken"
+            )
         ondisk = ivfpq_topk_ondisk(
             spark, q, tmp, idx, cbs, centroids=cents, k=k, dim=dim,
-            n_cells=n_cells, nprobe=nprobe, refine=refine,
+            n_cells=n_cells, nprobe=nprobe, refine=refine, up_to_batch=1,
         )
         orows = {
             (int(r["query_id"]), int(r["doc_id"]), int(r["rank"]),
