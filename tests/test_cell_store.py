@@ -880,3 +880,59 @@ def test_refresh_radii_widen_publish_tighten_crash_window(
     )
     stored = ann_hnsw.read_cell_radii(path)
     assert all(abs(a - b) < 1e-12 for a, b in zip(stored, fresh))
+
+
+def test_codes_refresh_incremental_dup_fallback_and_replay(
+    spark, corpus, tmp_path
+):
+    """r13: the codes refresh derives dirty cells from DURABLE store rows
+    + a batch-sized encode (no resolved scan, no full-cell re-encode).
+    Pins: (a) an INTRA-BATCH duplicate delta (two versions of one doc —
+    un-orderable without ts) falls back to the resolved re-encode and
+    serves the latest-wins state; (b) a replayed batch (same delta twice,
+    the checkpoint-replay shape) converges to the same serving relation."""
+    from vector_search_question_answer_api_spark.operators import ann_hnsw  # noqa: F401
+
+    cbs = codebook_grid(DIM, 8, 16)
+    cents = centroid_grid(DIM, N_CELLS)
+    path = str(tmp_path / "codes")
+    write_ivfpq_index_managed(
+        corpus, path, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+
+    # two versions of doc 0 in ONE delta: the old vector and doc 7's
+    # vector — without ts the incremental path cannot pick the winner
+    v_old = corpus.filter(F.col("doc_id") == 0)
+    v_new = corpus.filter(F.col("doc_id") == 7).select(
+        F.lit(0).cast("long").alias("doc_id"), "norm_embedding"
+    )
+    delta = v_old.unionByName(v_new)
+    v1 = corpus.filter(F.col("doc_id") != 0).unionByName(v_new)
+    refresh_ivfpq_index(
+        spark, path, v1, delta, cbs, centroids=cents, dim=DIM,
+        n_cells=N_CELLS,
+    )
+    got = _topk_rows(spark, path, v1, cbs, cents)
+    flat = str(tmp_path / "codes_flat")
+    write_ivfpq_index_managed(
+        v1, flat, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+    want = _topk_rows(spark, flat, v1, cbs, cents)
+    assert got == want and got
+
+    # replay: the SAME (non-dup) follow-up batch applied twice converges
+    upd = corpus.filter(F.col("doc_id") == 11).select(
+        F.lit(3).cast("long").alias("doc_id"), "norm_embedding"
+    )
+    v2 = v1.filter(F.col("doc_id") != 3).unionByName(upd)
+    for _ in range(2):
+        refresh_ivfpq_index(
+            spark, path, v2, upd, cbs, centroids=cents, dim=DIM,
+            n_cells=N_CELLS,
+        )
+    got2 = _topk_rows(spark, path, v2, cbs, cents)
+    flat2 = str(tmp_path / "codes_flat2")
+    write_ivfpq_index_managed(
+        v2, flat2, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
+    )
+    assert got2 == _topk_rows(spark, flat2, v2, cbs, cents) and got2

@@ -544,12 +544,13 @@ def refresh_ivfpq_index(
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
     batch_id: "int | None" = None,
+    incremental: bool = True,
     _pre_publish_hook=None,
 ) -> list[int]:
-    """Incrementally refresh a MANAGED codes store after an upsert batch:
-    re-encode only the dirty cells and atomically swap their manifest
-    entries (grace-period retirement of the superseded partitions — the
-    ``index_stream`` reader guarantees, per-cell).
+    """Incrementally refresh a MANAGED codes store after an upsert batch
+    and atomically swap the dirty manifest entries (grace-period
+    retirement of the superseded partitions — the ``index_stream`` reader
+    guarantees, per-cell).
 
     ``index`` is the POST-upsert source of truth (e.g. the resolved
     ``read_index_latest`` view); ``delta`` is the upserted rows' NEW
@@ -559,7 +560,20 @@ def refresh_ivfpq_index(
     must be rewritten without the stale row.  Both sets are found with
     bounded driver collects (distinct cell values ≤ n_cells; the
     old-cell lookup is a column-pruned codes scan semi-joined on the
-    delta ids).  Returns the dirty cell list (for tests/observability)."""
+    delta ids).  Returns the dirty cell list (for tests/observability).
+
+    ``incremental=True`` (r13 — the codes analog of the graph store's
+    insert path): a PQ code is a pure function of its vector, so a dirty
+    cell's new content derives from DURABLE state + the batch — (the
+    cell's existing code rows minus the batch ids) ∪ the batch's
+    freshly-encoded rows — with no resolved-view scan and the expensive
+    encode (per-subspace argmin HOFs) running over BATCH rows only,
+    never the whole cell.  Replay-deterministic for the same reason the
+    graph sidecar derivation is (a pure function of pre-publish store +
+    batch).  Falls back to the resolved re-encode when the batch carries
+    INTRA-BATCH duplicate doc_ids (no ts here to pick the winner — the
+    resolved view dedupes by the log's own latest-wins rule) or with
+    ``incremental=False``."""
     from vector_search_question_answer_api_spark.operators.ivf import (
         assign_cell,
         centroid_grid,
@@ -579,21 +593,47 @@ def refresh_ivfpq_index(
     ids = delta.select(F.col(index_id_col).alias("doc_id")).distinct()
     # tombstone rows (null vector = deletion, index_stream.tombstones)
     # contribute no NEW cell; their doc_ids still drive the old-cell
-    # lookup below, so the deleted doc's current cell is re-encoded from
-    # the post-delete resolved view — without the row
-    new_cells = delta.filter(F.col(index_vec_col).isNotNull()).select(
-        assign_cell(F.col(index_vec_col), centroids).alias("cell")
+    # lookup below, so the deleted doc's current cell is rewritten
+    # without the row.
+    # ONE tagged census job (the graph store's r13 shape): new cells,
+    # old cells, and the global intra-batch-duplicate check collect
+    # together (≤ 2*n_cells + 1 rows).
+    nonnull = delta.filter(F.col(index_vec_col).isNotNull())
+    census = (
+        nonnull.select(
+            F.col(index_id_col).alias("doc_id"),
+            assign_cell(F.col(index_vec_col), centroids).alias("cell"),
+            F.lit("n").alias("_k"),
+        )
+        .unionByName(
+            nonnull.select(
+                F.col(index_id_col).alias("doc_id"),
+                F.lit(-1).alias("cell"),
+                F.lit("g").alias("_k"),
+            )
+        )
+        .unionByName(
+            open_cell_table(spark, path)
+            .select("doc_id", "cell")
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .select("doc_id", "cell", F.lit("o").alias("_k"))
+        )
     )
-    old_cells = (
-        open_cell_table(spark, path)
-        .select("doc_id", "cell")
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        .select("cell")
-    )
-    dirty = sorted(
-        int(r["cell"])
-        for r in new_cells.unionByName(old_cells).distinct().collect()
-    )
+    cells: set[int] = set()
+    intrabatch_dups = False
+    for r in (
+        census.groupBy("cell", "_k")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("doc_id").alias("dcnt"),
+        )
+        .collect()
+    ):
+        if r["_k"] == "g":
+            intrabatch_dups = int(r["cnt"]) != int(r["dcnt"])
+        else:
+            cells.add(int(r["cell"]))
+    dirty = sorted(cells)
     if not dirty:
         if batch_id is not None:
             # empty batch: absorbed, changed nothing — advance the
@@ -604,8 +644,22 @@ def refresh_ivfpq_index(
 
             cell_store_stamp_frontier(path, int(batch_id))
         return []
-    enc = _encode_cells(index, codebooks, centroids, dim, n_cells,
-                        index_vec_col, index_id_col)
+    if incremental and not intrabatch_dups:
+        # durable-state derivation: surviving rows straight from the
+        # store, fresh codes encoded over the BATCH only
+        surviving = (
+            open_cell_table(spark, path)
+            .select("doc_id", "cell", "codes")
+            .filter(F.col("cell").isin(dirty))
+            .join(F.broadcast(ids), "doc_id", "left_anti")
+        )
+        enc = surviving.unionByName(
+            _encode_cells(nonnull, codebooks, centroids, dim, n_cells,
+                          index_vec_col, index_id_col)
+        )
+    else:
+        enc = _encode_cells(index, codebooks, centroids, dim, n_cells,
+                            index_vec_col, index_id_col)
     cell_store_refresh(
         spark,
         path,
