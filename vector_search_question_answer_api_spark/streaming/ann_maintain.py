@@ -56,6 +56,7 @@ def maintain_search_artifacts(
     trigger_once: bool = False,
     backend: str | None = None,
     compact_every_gens: int = 8,
+    graph_max_dead_frac: float = 0.2,
 ):
     """Start the composed maintenance query.  ``indexed_stream`` is the
     ``index_stream`` relation (ts, vec_id, doc_id, norm_embedding, norm);
@@ -92,6 +93,7 @@ def maintain_search_artifacts(
             n_cells=n_cells,
             backend=backend,
             compact_every_gens=compact_every_gens,
+            graph_max_dead_frac=graph_max_dead_frac,
         )
 
     writer = indexed_stream.writeStream.foreachBatch(handle_batch).option(
@@ -115,6 +117,7 @@ def refresh_search_artifacts_batch(
     n_cells: int = 16,
     backend: str | None = None,
     compact_every_gens: int = 8,
+    graph_max_dead_frac: float = 0.2,
 ) -> None:
     """Process ONE micro-batch of indexed rows: snapshot pre-upsert state,
     append to the index log, refresh dirty cells of each managed artifact,
@@ -187,6 +190,7 @@ def refresh_search_artifacts_batch(
                 spark, graphs_path, index, delta,
                 prev_delta=prev_delta, centroids=centroids, dim=dim,
                 n_cells=n_cells, backend=backend, batch_id=batch_id,
+                max_dead_frac=graph_max_dead_frac,
             )
         from vector_search_question_answer_api_spark.sources.cell_store import (
             cell_store_compact,

@@ -58,8 +58,12 @@ snapshot-consistent by construction.  A crash mid-handler leaves no
 marker; the checkpoint replay overwrites each store's ``batch=<id>`` data
 and the marker lands when the replay completes — epoch-bounded readers
 never observe the torn window.  The cell-managed ANN stores (codes /
-graphs) maintain IN PLACE (single-version); they are not epoch-bounded —
-consistent multi-store serving composes index + docs + postings + lsh.
+graphs) maintain IN PLACE (single-version) but are epoch-STAMPED since
+r13: their readers take ``up_to_batch=`` too, serving exactly when the
+stamp <= bound and RAISING otherwise (``cell_store.open_cell_table``),
+so consistent multi-store serving composes ALL of index + docs +
+postings + lsh + codes + graphs at the committed epoch
+(``hybrid_store.hybrid_search_stored`` with any dense tier).
 """
 
 from __future__ import annotations
@@ -120,6 +124,7 @@ def maintain_corpus(
     compact_postings_every: int | None = None,
     purge_docs_every: int | None = None,
     docs_retain_batches: int = 16,
+    graph_max_dead_frac: float = 0.2,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -541,7 +546,7 @@ def maintain_corpus(
                 path=p["index"], codebooks=codebooks,
                 codes_path=codes_ready, graphs_path=graphs_ready,
                 centroids=centroids, dim=dim, n_cells=n_cells,
-                backend=backend,
+                backend=backend, graph_max_dead_frac=graph_max_dead_frac,
             )
             if (codes_path and codes_ready is None) or (
                 graphs_path and graphs_ready is None
