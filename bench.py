@@ -616,6 +616,7 @@ def _hybrid_stored_fns(spark, sf_dir):
         docs_store=True,
         postings_store=True,
         postings_buckets=32,
+        ann_graphs=True,
     )
     assert q.awaitTermination(600), "hybrid fixture ingest did not finish"
     assert IG.corpus_committed_epoch(corpus) == 2
@@ -661,6 +662,17 @@ def _hybrid_stored_fns(spark, sf_dir):
             spark, corpus, queries, k=10, pool=20, dense="lsh"
         )
 
+    def hybrid_stored_graph(spark, sf_dir):
+        # r13: the managed celled-HNSW store INSIDE the committed-epoch
+        # composition — dense candidates from the maintained graph blobs
+        # at serving knobs (recall governed by nprobe/ef exactly like the
+        # ann graph tiers; exhaustive-ef equality vs rebuild is pinned in
+        # tests/test_consistent_reads.py, not re-proven per bench run)
+        return HS.hybrid_search_stored(
+            spark, corpus, queries, k=10, pool=20, dense="graph",
+            dim=64, n_cells=16, nprobe=4, ef=50,
+        )
+
     def rel(df):
         return {
             (
@@ -672,13 +684,28 @@ def _hybrid_stored_fns(spark, sf_dir):
             for r in df.collect()
         }
 
+    # one-time epoch-contract pin for the graph tier: serving at the
+    # committed epoch works; a bound below the store's stamp raises
+    assert rel(hybrid_stored_graph(spark, sf_dir)), "graph tier empty"
+    try:
+        HS.hybrid_search_stored(
+            spark, corpus, queries, k=10, pool=20, dense="graph",
+            dim=64, n_cells=16, nprobe=4, ef=50, epoch=0,
+        )
+        raise AssertionError("below-stamp epoch served instead of raising")
+    except ValueError as e:
+        assert "below the store's last-change" in str(e), e
     a = rel(hybrid_oneshot(spark, sf_dir))
     b = rel(hybrid_stored(spark, sf_dir))
     assert a and a == b, (
         f"hybrid stored disagrees with one-shot ({len(a)} vs {len(b)})"
     )
     return (
-        {"hybrid_oneshot": hybrid_oneshot, "hybrid_stored": hybrid_stored},
+        {
+            "hybrid_oneshot": hybrid_oneshot,
+            "hybrid_stored": hybrid_stored,
+            "hybrid_stored_graph": hybrid_stored_graph,
+        },
         root,
         [queries],
     )
@@ -1434,6 +1461,7 @@ def main() -> None:
         "bm25_stored_maintained": ("bm25_store", _setup_bm25_store),
         "hybrid_oneshot": ("hybrid", _setup_hybrid),
         "hybrid_stored": ("hybrid", _setup_hybrid),
+        "hybrid_stored_graph": ("hybrid", _setup_hybrid),
     }
     done_groups: set[str] = set()
 
