@@ -429,6 +429,17 @@ def _incr_apply(
         g for g in gs if hnswlib is not None and isinstance(g, hnswlib.Index)
     ]
     if hnsw_blobs:
+        if len(hnsw_blobs) != len(gs):
+            # a MIXED-backend cell cannot absorb a batch incrementally:
+            # an add label live in an hnswlib blob but inserted into a
+            # numpy blob would duplicate across blobs (classification
+            # keys on the caller's backend and cannot see blob mixes —
+            # loud beats silently wrong)
+            raise NotImplementedError(
+                f"cell {cell} mixes hnswlib and numpy graph blobs — "
+                "rebuild it (refresh_celled_hnsw_index(incremental="
+                "False)) before incremental maintenance"
+            )
         pure_removals = set(labels_all) - add_labels
         if pure_removals:
             present = set()
