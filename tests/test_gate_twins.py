@@ -233,8 +233,34 @@ def test_managed_refresh_twin_detects_dropped_cells(spark, monkeypatch):
     real = pq.refresh_ivfpq_index
 
     def corrupted(spark_, path, index, delta, *a, **k):
-        # empty the delta's cells instead of re-encoding them
+        # empty the delta's cells instead of re-encoding them (the
+        # resolved-view fallback path; incremental=False forces it — the
+        # r13 incremental derivation never reads `index`, which is
+        # exactly why it exists)
+        k["incremental"] = False
         return real(spark_, path, index.limit(0), delta, *a, **k)
+
+    monkeypatch.setattr(pq, "refresh_ivfpq_index", corrupted)
+    with pytest.raises(ValueError, match="ivfpq_topk_ondisk differs"):
+        inventory.queries()["ann_ivf_topk"](spark, SF).count()
+
+
+def test_managed_refresh_twin_detects_lost_batch_rows(spark, monkeypatch):
+    """r13: the incremental codes derivation (surviving store rows ∪
+    batch-encoded rows) must not lose the batch — a refresh that treats
+    the upserts as deletions (rows anti-joined away, nothing re-encoded)
+    must make the gate fire through the INCREMENTAL path proper."""
+    import vector_search_question_answer_api_spark.operators.pq as pq
+    from pyspark.sql import functions as F
+
+    real = pq.refresh_ivfpq_index
+
+    def corrupted(spark_, path, index, delta, *a, **k):
+        nulled = delta.select(
+            "doc_id",
+            F.lit(None).cast("array<float>").alias("norm_embedding"),
+        )
+        return real(spark_, path, index, nulled, *a, **k)
 
     monkeypatch.setattr(pq, "refresh_ivfpq_index", corrupted)
     with pytest.raises(ValueError, match="ivfpq_topk_ondisk differs"):
