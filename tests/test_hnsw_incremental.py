@@ -432,3 +432,79 @@ def test_add_only_batch_preserves_existing_blobs_dead_mass(
         len(live),
     )
     assert maintained == rebuilt and maintained
+
+
+def test_purge_graph_tombstones_physically_removes_vectors(
+    spark, tmp_path, corpus_mat
+):
+    """r13 retention: after updates + deletions the incremental store
+    holds the superseded/deleted VECTORS as dead connectors;
+    purge_graph_tombstones rebuilds the dead-bearing cells so (a) no
+    surviving blob contains a purged doc's entry or vector bytes, (b)
+    serving is unchanged, (c) the epoch stamps survive."""
+    import pickle
+
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    corpus = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    _init_store(spark, corpus, path)
+    # stamp the store so the preservation claim is testable
+    from vector_search_question_answer_api_spark.sources import cell_store as CS
+
+    man = CS.cell_store_manifest(path)
+    man["batch"] = man["frontier"] = 5
+    CS._publish_manifest(path, man)
+
+    upd = _vecs(13, 10)
+    ids = list(range(0, 20, 2))
+    payload = dict(zip(ids, upd))
+    live.update(payload)
+    delta = _df(spark, sorted(payload), [payload[i] for i in sorted(payload)])
+    # plus a deletion
+    delta = delta.unionByName(_tombstones(spark, [21]))
+    live.pop(21, None)
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)]).cache()
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy", batch_id=6,
+    )
+    assert _store_dead_total(spark, path) > 0
+    q = _queries(resolved)
+    before = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+
+    purged = ann_hnsw.purge_graph_tombstones(
+        spark, path, resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+        backend="numpy",
+    )
+    assert purged
+    assert _store_dead_total(spark, path) == 0
+    # every surviving blob: purged labels absent, old vectors physically gone
+    old_vec0 = corpus_mat[0]
+    for r in open_cell_table(spark, path).collect():
+        g = pickle.loads(bytes(r["graph"]))
+        assert g.get_deleted_count() == 0
+        labs = set(int(x) for x in g.labels)
+        assert 21 not in labs
+        if 0 in labs:
+            # doc 0's entry must be the NEW vector, and the OLD vector
+            # must not appear anywhere in the blob's matrix
+            import numpy as _np
+
+            assert not _np.isclose(
+                _np.asarray(g.vecs, dtype=_np.float64) @ old_vec0, 1.0,
+                atol=1e-9,
+            ).any()
+    after = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    assert after == before and after
+    # epoch stamps preserved: a bound at the old stamp still serves
+    ann_hnsw.read_celled_hnsw_index(spark, path, up_to_batch=6)
+    # second purge is a no-op
+    assert ann_hnsw.purge_graph_tombstones(
+        spark, path, resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+        backend="numpy",
+    ) == []
+    resolved.unpersist()

@@ -894,6 +894,72 @@ def refresh_celled_hnsw_index(
     return dirty
 
 
+def purge_graph_tombstones(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    centroids=None,
+    dim: int | None = None,
+    n_cells: int = 16,
+    m: int = 16,
+    ef_construction: int = 200,
+    vec_col: str = "norm_embedding",
+    id_col: str = "doc_id",
+    backend: str | None = None,
+    cell_salts: int = 1,
+) -> list[int]:
+    """QUIESCED physical purge of tombstone mass from a managed graph
+    store (r13 — the right-to-be-forgotten verb for the one artifact the
+    incremental refresh leaves holding deleted/superseded VECTORS: a
+    mark-deleted node stops serving immediately, but its embedding stays
+    inside the blob as a traversal connector until the dead-fraction
+    backstop happens to rebuild that cell).  Rebuilds every cell whose
+    metadata shows dead mass (``n_dead > 0`` — a column-pruned read,
+    blobs untouched for the scan) from the resolved ``index``, so after
+    the NEXT write's grace deletion no surviving blob contains a purged
+    vector.  The live set — and therefore serving, the membership
+    sidecar, and the radii sidecar — is UNCHANGED, so the store's epoch
+    stamps are preserved (the same discipline as ``cell_store_compact``).
+    Returns the purged cells.  QUIESCED: no concurrent ``maintain_corpus``
+    batch may run (the ``purge_docs_versions`` contract)."""
+    from vector_search_question_answer_api_spark.operators.ivf import assign_cell
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_manifest,
+        cell_store_refresh,
+        cell_store_stamp_frontier,
+        open_cell_table,
+    )
+
+    centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
+    t = open_cell_table(spark, path)
+    if "n_dead" not in t.columns:
+        return []
+    dirty = sorted(
+        int(r["cell"])
+        for r in t.filter(F.coalesce(F.col("n_dead"), F.lit(0)) > 0)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not dirty:
+        return []
+    man = cell_store_manifest(path) or {}
+    graphs = build_celled_hnsw(
+        index.filter(assign_cell(F.col(vec_col), centroids).isin(dirty)),
+        centroids=centroids, dim=dim, n_cells=n_cells, m=m,
+        ef_construction=ef_construction, vec_col=vec_col, id_col=id_col,
+        backend=backend, cell_salts=cell_salts,
+    )
+    cell_store_refresh(
+        spark, path, graphs, dirty, batch_id=man.get("batch")
+    )
+    if "batch" in man and int(man.get("frontier", man["batch"])) > int(
+        man["batch"]
+    ):
+        cell_store_stamp_frontier(path, int(man["frontier"]))
+    return dirty
+
+
 def read_celled_hnsw_index(
     spark: SparkSession, path: str, up_to_batch: "int | None" = None
 ) -> DataFrame:
