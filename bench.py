@@ -1228,19 +1228,35 @@ def _ingest_delete_fns(spark, sf_dir):
     )
 
 
-def _replay_cross_process(m: int = 3) -> "dict[str, dict] | None":
+def _replay_cross_process(
+    m: int = 3, m_cap: int = 6
+) -> "dict[str, dict] | None":
     """Cross-process certification for EVERY ``qa_replay_*`` tier
     (VERDICT r10 wrong #1 / next #2 for the exact tier; r13 extends it to
     graph/lsh — VERDICT r12 wrong #2: ``qa_replay_graph`` swung
     6.2 -> 9.4 s between two same-code r12 ledgers): the entries are
     LEVEL-UNSTABLE across processes, so an in-process min-of-N provably
     does not characterize them; the MEDIAN OF PER-PROCESS MINIMA does.
-    Launch M fresh probe processes (tools/replay_exact_probe.py — fresh
+    Launch fresh probe processes (tools/replay_exact_probe.py — fresh
     JVM each, sequential, BEFORE the suite session exists so they never
-    compete with it), each measuring all four tiers in a FIXED order
-    under the standard in-process protocol, and report per-entry medians.
-    Certified = every probe's own best-2 certified and at least 2 probes
-    completed.  Returns {entry: {value, ledger}}; None (in-suite
+    compete with it), each measuring the tiers in a FIXED order under
+    the standard in-process protocol, and report per-entry medians.
+
+    ADAPTIVE M (r14 — VERDICT r13 wrong #2 / next #2: two consecutive
+    rounds of fixed M=3 left ``qa_replay_exact`` uncertified because ONE
+    probe per run diverged 2x and failed its own best-2 agreement —
+    the known accumulated-box-state instability): after the base M
+    probes, any entry with fewer than 2 SELF-CERTIFIED probe records
+    gets additional targeted probes (only the deficient entries are
+    re-measured — replay_exact_probe.py takes entry args) until every
+    entry has 2, capped at ``m_cap`` total probe processes.  The
+    reported value is the median of the CERTIFIED probes' minima — an
+    uncertified probe's min is a draw its own in-process protocol could
+    not reproduce, so it is excluded from the statistic but kept in the
+    ledger (``process_minima_all``) for transparency.  Certified =
+    at least 2 self-certified probes; when even the cap cannot produce
+    2, the median over ALL minima is reported uncertified (the pre-r14
+    behavior).  Returns {entry: {value, ledger}}; None (in-suite
     fallback) when the probes cannot run."""
     import statistics
     import subprocess
@@ -1250,25 +1266,30 @@ def _replay_cross_process(m: int = 3) -> "dict[str, dict] | None":
         "tools",
         "replay_exact_probe.py",
     )
+    all_entries = [
+        "qa_replay_exact",
+        "qa_replay_lsh",
+        "qa_replay_graph",
+        "qa_replay_lsh_ondisk",
+    ]
     by_entry: dict[str, list[dict]] = {}
-    for i in range(m):
+
+    def _probe(i: int, entries: "list[str] | None") -> None:
+        cmd = [sys.executable, tool, *(entries or [])]
         try:
             out = subprocess.run(
-                [sys.executable, tool],
-                capture_output=True,
-                text=True,
-                timeout=1800,
+                cmd, capture_output=True, text=True, timeout=1800
             )
         except (subprocess.TimeoutExpired, OSError) as e:
             print(f"replay probe {i}: {e}", file=sys.stderr)
-            continue
+            return
         if out.returncode != 0:
             print(
                 f"replay probe {i}: rc={out.returncode} "
                 f"{out.stderr.strip().splitlines()[-1:] or ''}",
                 file=sys.stderr,
             )
-            continue
+            return
         for line in out.stdout.strip().splitlines():
             try:
                 rec = json.loads(line)
@@ -1276,22 +1297,114 @@ def _replay_cross_process(m: int = 3) -> "dict[str, dict] | None":
                 continue
             if rec.get("entry", "").startswith("qa_replay_"):
                 by_entry.setdefault(rec["entry"], []).append(rec)
+
+    for i in range(m):
+        _probe(i, None)
+    if not by_entry:
+        return None
+
+    def _deficient() -> list[str]:
+        return [
+            e
+            for e in all_entries
+            if e in by_entry
+            and sum(1 for p in by_entry[e] if p["certified"]) < 2
+        ]
+
+    n_probes = m
+    while n_probes < m_cap and _deficient():
+        _probe(n_probes, _deficient())
+        n_probes += 1
+
     result: dict[str, dict] = {}
     for entry, probes in by_entry.items():
         if len(probes) < 2:
             continue
-        minima = sorted(float(p["min"]) for p in probes)
+        cert = [p for p in probes if p["certified"]]
+        basis = cert if len(cert) >= 2 else probes
+        minima = sorted(float(p["min"]) for p in basis)
+        all_minima = sorted(float(p["min"]) for p in probes)
         result[entry] = {
             "value": round(statistics.median(minima), 3),
             "ledger": {
                 "n": len(probes),
                 "best2": [round(minima[0], 3), round(minima[1], 3)],
-                "certified": bool(all(p["certified"] for p in probes)),
-                "protocol": "median-of-process-minima",
+                "certified": len(cert) >= 2,
+                "protocol": "median-of-certified-process-minima",
+                "n_certified": len(cert),
                 "process_minima": [round(x, 3) for x in minima],
+                "process_minima_all": [round(x, 3) for x in all_minima],
                 "process_runs": [p["runs"] for p in probes],
             },
         }
+    return result or None
+
+
+# Entries measured in a FRESH PROCESS (r14 — VERDICT r13 wrong #1): the
+# r13 ledger recorded mmr_topk 1.91->4.23 and topk_zipf_direct 1.92->4.85
+# on UNTOUCHED code; the r14 7-run fresh-process re-measure
+# (measurements/r14_watchlist_remeasure.json) certified all four at or
+# BELOW their r12 levels (1.09 / 1.23 / 1.48 / 0.46) on a slightly
+# SLOWER box — the regression was accumulated in-suite process state
+# (the suite grew a 4x longer pre-suite probe phase + 3 entries in r13),
+# not code.  These entries are level-stable across fresh processes but
+# inflation-sensitive in a long suite, so the suite records them from one
+# fresh probe process (tools/bench_probe.py --runs 7), exactly as the
+# level-UNSTABLE qa_replay_* tiers get the median-of-process-minima
+# protocol.  The salted zipf twin rides along so the direct-vs-salted
+# skew contrast stays same-protocol.
+WATCHLIST_FRESH = [
+    "mmr_topk",
+    "topk_zipf_direct",
+    "topk_zipf_salted",
+    "mixture_sample",
+]
+
+
+def _watchlist_cross_process() -> "dict[str, dict] | None":
+    """One fresh probe process measuring WATCHLIST_FRESH under the full
+    7-run protocol (no early exit); returns {entry: {value, ledger}} or
+    None (in-suite fallback) when the probe cannot run."""
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_probe.py"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, tool, "--runs", "7", *WATCHLIST_FRESH],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"watchlist probe: {e}", file=sys.stderr)
+        return None
+    if out.returncode != 0:
+        print(
+            f"watchlist probe: rc={out.returncode} "
+            f"{out.stderr.strip().splitlines()[-1:] or ''}",
+            file=sys.stderr,
+        )
+        return None
+    result: dict[str, dict] = {}
+    for line in out.stdout.strip().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        for name, r in rec.items():
+            if name in WATCHLIST_FRESH and isinstance(r, dict) and "min" in r:
+                result[name] = {
+                    "value": float(r["min"]),
+                    "ledger": {
+                        "n": len(r["runs"]),
+                        "best2": r["best2"],
+                        "certified": bool(r["certified"]),
+                        "protocol": "fresh-process-7run",
+                        "runs": r["runs"],
+                    },
+                }
     return result or None
 
 
@@ -1303,6 +1416,9 @@ def main() -> None:
     # cross-process qa_replay_* protocol runs FIRST: fresh probe JVMs,
     # never concurrent with the suite session (all four tiers, r13)
     xproc = _replay_cross_process()
+    wl = _watchlist_cross_process()
+    if wl is not None:
+        xproc = {**(xproc or {}), **wl}
     spark = get_spark(app_name="bench")
 
     # Time the primary production path: the in-gate strategy-twin

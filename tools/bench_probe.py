@@ -9,6 +9,12 @@ driver number here, the code changed; if it comes back to the old value,
 the drift was process/box state.
 
 Usage: python tools/bench_probe.py corpus_profile_sketch topk_zipf_direct ...
+
+Flags (r14, VERDICT r13 next #1 — the 7-run watch-list protocol):
+  --runs N   run every entry exactly N times (default: adaptive best-of-5
+             with the bench's 15% early-exit).  With --runs the early
+             exit is DISABLED so the output is a full distribution, the
+             statistic the watch-list re-measures demand.
 """
 
 from __future__ import annotations
@@ -29,9 +35,15 @@ def _force(df) -> None:
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    argv = sys.argv[1:]
+    fixed_runs = 0  # 0 = adaptive bench protocol
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        fixed_runs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    names = argv
     if not names:
-        print("usage: bench_probe.py ENTRY [ENTRY...]", file=sys.stderr)
+        print("usage: bench_probe.py [--runs N] ENTRY [ENTRY...]", file=sys.stderr)
         sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench_probe")
@@ -119,14 +131,14 @@ def main() -> None:
             out[name] = {"err": "unknown entry"}
             continue
         runs = []
-        for _ in range(7):
+        for _ in range(fixed_runs or 7):
             if name in pre_run:
                 pre_run[name]()  # untimed state restore (bench protocol)
             with caching.cache_scope():
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 runs.append(round(time.perf_counter() - t0, 3))
-            if len(runs) >= 2:
+            if not fixed_runs and len(runs) >= 2:
                 lo, lo2 = sorted(runs)[:2]
                 if lo2 <= lo * 1.15:
                     break
