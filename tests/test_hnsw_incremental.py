@@ -508,3 +508,101 @@ def test_purge_graph_tombstones_physically_removes_vectors(
         backend="numpy",
     ) == []
     resolved.unpersist()
+
+
+def test_purge_truncates_history_so_no_snapshot_holds_purged_bytes(
+    spark, tmp_path, corpus_mat
+):
+    """r14: bounded time-travel retains superseded BLOBS, so the physical
+    purge must truncate history first — otherwise a retained snapshot
+    would keep serving the very vectors the purge contract removes.
+    Pins: history serves the pre-delete epoch BEFORE the purge; after
+    purge + one write cycle the snapshot's partition dirs are physically
+    gone and the historical bound raises; current serving is unchanged;
+    retention resumes afterward."""
+    import glob as _glob
+    import os as _os
+    import pickle
+
+    from vector_search_question_answer_api_spark.sources import cell_store as CS
+
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    corpus = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    graphs = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    ann_hnsw.write_celled_hnsw_index_managed(
+        graphs,
+        path,
+        ids=corpus.select(
+            "doc_id",
+            assign_cell(F.col("norm_embedding"), CENTS).alias("cell"),
+        ),
+        batch_id=0,
+        history_keep=2,
+    )
+    # batch 1 deletes doc 21 — the snapshot now holds its vector
+    delta = _tombstones(spark, [21])
+    live.pop(21, None)
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)]).cache()
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy", batch_id=1,
+    )
+    man = CS.cell_store_manifest(path)
+    assert [s["batch"] for s in man["history"]] == [0]
+    # partition dirs referenced ONLY by the snapshot (the superseded
+    # versions of the cells the batch-1 refresh rewrote)
+    snap_dirs = [
+        _os.path.join(path, gen, f"cell={c}")
+        for c, gen in man["history"][0]["cells"].items()
+        if man["cells"].get(c) != gen
+    ]
+    assert snap_dirs
+    # the epoch-0 snapshot still physically holds doc 21's entry — the
+    # bytes the purge contract must not leave behind
+    assert any(
+        21 in {int(x) for x in pickle.loads(bytes(row["graph"])).labels}
+        for row in CS.open_cell_table(spark, path, up_to_batch=0).collect()
+    )
+    q = _queries(resolved)
+    before = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    purged = ann_hnsw.purge_graph_tombstones(
+        spark, path, resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+        backend="numpy",
+    )
+    assert purged
+    man2 = CS.cell_store_manifest(path)
+    assert "history" not in man2 and man2["history_keep"] == 2
+    with pytest.raises(ValueError, match="retained horizon"):
+        CS.open_cell_table(spark, path, up_to_batch=0)
+    # serving unchanged, and NO live blob anywhere on disk still carries
+    # doc 21 after one more write cycle grace-deletes the retired dirs
+    after = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    assert after == before and after
+    upd = {0: _vecs(29, 1)[0]}
+    live.update(upd)
+    resolved2 = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved2,
+        _df(spark, sorted(upd), [upd[i] for i in sorted(upd)]),
+        centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy",
+        batch_id=2,
+    )
+    for d in snap_dirs:
+        assert not _os.path.isdir(d), d
+    for row in CS.open_cell_table(spark, path).collect():
+        labs = {
+            int(x) for x in pickle.loads(bytes(row["graph"])).labels
+        }
+        assert 21 not in labs
+    # retention resumed at the batch-2 refresh
+    assert [
+        s["batch"] for s in CS.cell_store_manifest(path)["history"]
+    ] == [1]
+    resolved.unpersist()

@@ -243,3 +243,200 @@ def test_recommended_profile_rebuild_every_delegates_and_caps():
     assert recommended_profile_rebuild_every(0, 2.0, 0.01) == 256
     # free rebuild -> every batch
     assert recommended_profile_rebuild_every(1, 0.0, 0.01) == 1
+
+
+# ---------------------------------------------------------------------------
+# r14 — partition-sharded rebuild (VERDICT r13 missing #2): the rebuild
+# cost scales with CHURNED shards, pinned bit-identical to the one-shot
+# profile; read-side batch cutoff keyed off the shard stores' own epoch
+# stamps so partial-crash states double-count nothing.
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def churned_sharded(spark, tmp_path_factory):
+    """The ``churned`` batch script with ``profile_shards=8``: the
+    in-stream rebuild at batch 2 lands as a FULL sharded build (no prior
+    manifest -> no churn evidence); the incremental path is hand-driven
+    in the tests for deterministic control."""
+    tmp = tmp_path_factory.mktemp("prof_sharded")
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter("doc_id < 30")
+        .select(
+            "doc_id",
+            F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+            "text",
+            "n_chars",
+            F.lit(False).alias("_delete"),
+        )
+    )
+    b0 = docs.filter("doc_id < 15")
+    b1 = docs.filter("doc_id >= 15")
+    b2 = (
+        docs.filter("doc_id < 5")
+        .withColumn("text", F.concat(F.lit("rewritten entirely "), "text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("ts", F.timestamp_millis(F.lit(10_000_000)))
+    )
+    b3 = (
+        docs.filter("doc_id = 9")
+        .withColumn("_delete", F.lit(True))
+        .withColumn("ts", F.timestamp_millis(F.lit(20_000_000)))
+    )
+    for i, b in enumerate((b0, b1, b2, b3)):
+        b.coalesce(1).write.parquet(f"{tmp}/src/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = IG.maintain_corpus(
+        stream,
+        str(tmp / "corpus"),
+        checkpoint=str(tmp / "ckpt"),
+        dim=64,
+        trigger_once=True,
+        cms_depth=DEPTH,
+        cms_width=WIDTH,
+        n_bins=NBINS,
+        docs_store=True,
+        profile_rebuild_every=2,
+        profile_shards=N_SHARDS,
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+    return str(tmp / "corpus")
+
+
+def test_sharded_stream_rebuild_matches_unsharded_semantics(
+    spark, churned_sharded
+):
+    """The in-stream sharded rebuild reproduces the unsharded read
+    semantics exactly: merged profile == one-shot over the resolved
+    corpus as of the rebuild + the per-batch sketches since."""
+    root = churned_sharded
+    prof = os.path.join(root, "profile")
+    m = STS._prof_manifest(prof)
+    assert m is not None and m["covered_up_to"] == 2
+    assert m["sharded"] == N_SHARDS and m["gen"] is None
+    base = IG.read_corpus_docs(spark, root, before_batch=2)
+    toks = SK.token_stream(base)
+    base_cms = SK.cms_sketch(toks, depth=DEPTH, width=WIDTH)
+    live = (
+        spark.read.parquet(os.path.join(prof, "cms"))
+        .filter(F.col("batch") >= 2)
+        .drop("batch")
+    )
+    want = _cms_rel(
+        base_cms.unionByName(live)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == want
+    total = STS.read_profile_hist(spark, prof).agg(F.sum("cnt")).first()[0]
+    assert int(total) == 30 + 5  # 30 docs at the rebuild + batch-2 rewrites
+
+
+def test_sharded_incremental_rebuild_touches_only_churned_shards(
+    spark, churned_sharded
+):
+    """The done-criterion: an incremental rebuild re-sketches ONLY the
+    churned shards (cell-store generations prove it) and the merged
+    profile is BIT-IDENTICAL to the one-shot over the resolved corpus;
+    HLL estimate equal; a no-churn rebuild just advances the cutoff; the
+    read cutoff survives a stale profile manifest (the partial-crash
+    double-count guard)."""
+    import json
+
+    from vector_search_question_answer_api_spark.sources.cell_store import (
+        cell_store_manifest,
+    )
+
+    root = churned_sharded
+    prof = os.path.join(root, "profile")
+    cms_store = os.path.join(prof, STS._SHARDS_DIR, "cms")
+    before_gens = dict(cell_store_manifest(cms_store)["cells"])
+    resolved = IG.read_corpus_docs(spark, root)
+    prev = STS.profile_covered_up_to(prof)
+    assert prev == 2
+    churned = (
+        IG._docs_frame(spark, os.path.join(root, "docs"))
+        .filter((F.col("batch") >= prev) & (F.col("batch") < 4))
+        .select("doc_id")
+        .distinct()
+    )
+    churned_shards = {
+        int(r["shard"])
+        for r in churned.select(
+            STS.profile_shard_expr(N_SHARDS).alias("shard")
+        )
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(churned_shards) < N_SHARDS  # 6 churned ids, 8 shards
+    STS.rebuild_profile(
+        spark, prof, resolved, covered_up_to=100,
+        depth=DEPTH, width=WIDTH, n_bins=NBINS,
+        n_shards=N_SHARDS, churned_ids=churned,
+    )
+    after = cell_store_manifest(cms_store)
+    # untouched shards keep their original generation dirs — the work
+    # scaled with churn, not the corpus
+    for cell, gen in after["cells"].items():
+        if int(cell) in churned_shards:
+            assert gen != before_gens.get(cell), f"shard {cell} not rebuilt"
+        else:
+            assert gen == before_gens[cell], f"clean shard {cell} rewritten"
+    assert int(after["batch"]) == 100
+    # bit-identical to the one-shot over the resolved corpus
+    toks = SK.token_stream(resolved)
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == _cms_rel(
+        SK.cms_sketch(toks, depth=DEPTH, width=WIDTH)
+    )
+    assert _hist_rel(STS.read_profile_hist(spark, prof)) == _hist_rel(
+        SK.histogram_sketch(resolved, "n_chars", 0.0, 4096.0, NBINS)
+    )
+    assert SK.hll_estimate(STS.read_profile_hll(spark, prof)) == (
+        SK.hll_estimate(SK.hll_sketch(toks, "token"))
+    )
+    total = STS.read_profile_hist(spark, prof).agg(F.sum("cnt")).first()[0]
+    assert int(total) == 29  # deleted doc 9 gone from the profile
+
+    # the double-count guard: regress the PROFILE manifest's covered
+    # bound (the state a crash between store refresh and manifest publish
+    # leaves) — reads stay exact because the cutoff is the STORE stamp
+    mpath = os.path.join(prof, STS._PROF_MANIFEST)
+    m = json.load(open(mpath))
+    stale = dict(m, covered_up_to=2)
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(stale, f)
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == _cms_rel(
+        SK.cms_sketch(toks, depth=DEPTH, width=WIDTH)
+    )
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(m, f)
+
+    # no-churn rebuild: frontier advances, content untouched
+    empty = churned.limit(0)
+    before_rel = _cms_rel(STS.read_profile_cms(spark, prof))
+    STS.rebuild_profile(
+        spark, prof, resolved, covered_up_to=200,
+        depth=DEPTH, width=WIDTH, n_bins=NBINS,
+        n_shards=N_SHARDS, churned_ids=empty,
+    )
+    sman = cell_store_manifest(cms_store)
+    assert int(sman["frontier"]) == 200 and int(sman["batch"]) == 100
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == before_rel
+
+    # churn evidence withheld (the purge-horizon fallback shape): every
+    # shard rebuilds — the honest full pass, same bit-identical result
+    STS.rebuild_profile(
+        spark, prof, resolved, covered_up_to=300,
+        depth=DEPTH, width=WIDTH, n_bins=NBINS,
+        n_shards=N_SHARDS, churned_ids=None,
+    )
+    sman2 = cell_store_manifest(cms_store)
+    assert int(sman2["batch"]) == 300
+    assert set(sman2["cells"].values()) != set(sman["cells"].values())
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == before_rel

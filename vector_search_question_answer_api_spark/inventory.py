@@ -2658,7 +2658,7 @@ def _pq_ivfpq_twin_check(normed: DataFrame) -> None:
                 up_to_batch=0,
             )
         except ValueError as e:
-            raised = "below the store's last-change" in str(e)
+            raised = "below the store's retained horizon" in str(e)
         if not raised:
             raise ValueError(
                 "managed codes store: up_to_batch below the stamp did not "

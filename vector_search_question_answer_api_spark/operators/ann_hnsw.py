@@ -323,6 +323,7 @@ def write_celled_hnsw_index_managed(
     path: str,
     ids: DataFrame | None = None,
     batch_id: "int | None" = None,
+    history_keep: int = 0,
 ) -> None:
     """The :func:`write_celled_hnsw_index` layout under the managed cell
     store (``sources/cell_store``): same cell-partitioned blob artifact,
@@ -341,7 +342,17 @@ def write_celled_hnsw_index_managed(
     replay-safe when recomputed from a view the crashed attempt already
     appended to (ADVICE r7).  With the sidecar, the old cells come from
     the store itself (the same recovery ``pq.refresh_ivfpq_index`` gets
-    from its codes rows) and checkpoint replays converge."""
+    from its codes rows) and checkpoint replays converge.
+
+    ``history_keep=K`` (r14 — VERDICT r13 missing #1): retain the K most
+    recent superseded per-cell GRAPH snapshots so bounded reads
+    (``read_celled_hnsw_index(up_to_batch=B)``) serve recent historical
+    epochs instead of raising; refreshes inherit the setting.  The ids
+    SIDECAR stays single-version — it is maintenance state (old-cell
+    recovery), never a serving surface, so snapshotting it would buy
+    nothing.  NOTE ``purge_graph_tombstones`` truncates graph history:
+    its contract is physical byte removal, which retained snapshots
+    would violate."""
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_write_full,
     )
@@ -358,7 +369,9 @@ def write_celled_hnsw_index_managed(
         cell_store_write_full(
             ids.select("doc_id", "cell"), os.path.join(path, "ids")
         )
-    cell_store_write_full(graphs, path, batch_id=batch_id)
+    cell_store_write_full(
+        graphs, path, batch_id=batch_id, history_keep=history_keep
+    )
 
 
 def _blob_live_radius(g, cent: np.ndarray) -> float:
@@ -927,9 +940,16 @@ def purge_graph_tombstones(
         cell_store_manifest,
         cell_store_refresh,
         cell_store_stamp_frontier,
+        cell_store_truncate_history,
         open_cell_table,
     )
 
+    # r14: bounded time-travel retains superseded BLOBS — which contain
+    # the very vectors this verb exists to remove.  Physical purge wins:
+    # truncate history first (retired, grace-deleted by the writes below
+    # / the next write), moving the retained horizon up to the current
+    # stamp.  history_keep survives; retention resumes afterward.
+    cell_store_truncate_history(path)
     centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     t = open_cell_table(spark, path)
     if "n_dead" not in t.columns:

