@@ -606,3 +606,51 @@ def test_purge_truncates_history_so_no_snapshot_holds_purged_bytes(
         s["batch"] for s in CS.cell_store_manifest(path)["history"]
     ] == [1]
     resolved.unpersist()
+
+
+def test_insert_efc_override_is_nonsticky_and_liveset_exact(
+    spark, tmp_path, corpus_mat
+):
+    """r14 (VERDICT r13 next #6): the maintenance-time insert beam.
+    (a) serving equivalence is UNCHANGED by a narrow insert beam — the
+    live set equals a from-scratch rebuild at exhaustive ef (beam width
+    shapes walk quality, never membership); (b) the override is
+    per-refresh: surviving blobs keep their build-time efc; (c) the
+    sizing rule's pinned values match the measured curve's knee."""
+    import pickle
+
+    from vector_search_question_answer_api_spark.sources import cell_store as CS
+
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+    corpus = _df(spark, sorted(live), [live[i] for i in sorted(live)])
+    _init_store(spark, corpus, path)
+    upd = dict(zip(range(0, 40, 2), _vecs(17, 20)))
+    live.update(upd)
+    delta = _df(spark, sorted(upd), [upd[i] for i in sorted(upd)])
+    resolved = _df(spark, sorted(live), [live[i] for i in sorted(live)]).cache()
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, resolved, delta, centroids=CENTS, dim=DIM,
+        n_cells=N_CELLS, backend="numpy", insert_efc=32,
+    )
+    q = _queries(resolved)
+    got = _serving(
+        spark, ann_hnsw.read_celled_hnsw_index(spark, path), q, len(live)
+    )
+    rebuilt = ann_hnsw.build_celled_hnsw(
+        resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    want = _serving(spark, rebuilt, q, len(live))
+    assert got == want and got
+    # non-sticky: every surviving blob still carries the build efc
+    for row in CS.open_cell_table(spark, path).collect():
+        g = pickle.loads(bytes(row["graph"]))
+        assert g.efc == 200
+    resolved.unpersist()
+
+    # the sizing rule, pinned to the measured curve's knee
+    assert ann_hnsw.recommended_insert_efc() == 100  # 2x serve_ef=50, <=1%
+    assert ann_hnsw.recommended_insert_efc(max_recall_loss=0.05) == 50
+    assert ann_hnsw.recommended_insert_efc(max_recall_loss=0.001) == 200
+    assert ann_hnsw.recommended_insert_efc(serve_ef=4) == 16   # floor
+    assert ann_hnsw.recommended_insert_efc(serve_ef=500) == 200  # cap

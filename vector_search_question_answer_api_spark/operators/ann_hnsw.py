@@ -397,7 +397,8 @@ def _blob_live_radius(g, cent: np.ndarray) -> float:
 
 
 def _incr_apply(
-    key, gpdf: pd.DataFrame, fpdf: pd.DataFrame, centroids=None
+    key, gpdf: pd.DataFrame, fpdf: pd.DataFrame, centroids=None,
+    insert_efc: "int | None" = None,
 ) -> pd.DataFrame:
     """Per-cell INCREMENTAL graph update (one cogroup task = one cell):
     mark every batch doc_id dead in EVERY blob of the cell (kills the old
@@ -489,7 +490,18 @@ def _incr_apply(
             g.add_items(mat, labs)
         else:
             mat = np.array(list(adds["nv"]), dtype=np.float64)
-            g.add_items(mat, labs)
+            if insert_efc is not None:
+                # maintenance-time beam override (r14, measured curve in
+                # SCALE.md): the blob keeps its BUILD-time efc — restored
+                # before pickling so the knob is per-refresh, not sticky
+                build_efc = g.efc
+                g.efc = int(insert_efc)
+                try:
+                    g.add_items(mat, labs)
+                finally:
+                    g.efc = build_efc
+            else:
+                g.add_items(mat, labs)
     cent = np.asarray(centroids[cell], dtype=np.float64)
     rows = {"cell": [], "n": [], "n_dead": [], "r": [], "graph": []}
     for g in gs:
@@ -523,6 +535,7 @@ def refresh_celled_hnsw_index(
     max_dead_frac: float = 0.2,
     incremental: bool = True,
     batch_id: "int | None" = None,
+    insert_efc: "int | None" = None,
     _pre_publish_hook=None,
 ) -> list[int]:
     """Incrementally refresh a MANAGED celled-graph store after an upsert
@@ -583,7 +596,16 @@ def refresh_celled_hnsw_index(
     its dirty cells' radii recomputed and re-published in the same
     refresh — stale radii are a CORRECTNESS bug for the lossless pruned
     tier, not a freshness bug (see the inline note) — via
-    widen-publish-tighten so every crash window stays covered."""
+    widen-publish-tighten so every crash window stays covered.
+
+    ``insert_efc`` (r14 — VERDICT r13 next #6): maintenance-time beam
+    width for the per-row INSERT searches, overriding the blob's
+    build-time ``efc`` for this refresh only (numpy backend; hnswlib
+    bakes efC at construction and ignores it).  The insert path's cost
+    is ~``insert_efc`` beam searches per row, so this is the maintenance
+    throughput lever; the measured recall-vs-efc curve and the
+    ``recommended_insert_efc`` rule live in SCALE.md
+    (measurements/r14_insert_efc_curve.json)."""
     from vector_search_question_answer_api_spark.operators.ivf import assign_cell
     from vector_search_question_answer_api_spark.sources.cell_store import (
         cell_store_manifest,
@@ -832,9 +854,13 @@ def refresh_celled_hnsw_index(
             "graph",
         )
         cents_captured = centroids
+        efc_captured = insert_efc
 
         def _apply(key, gpdf, fpdf):
-            return _incr_apply(key, gpdf, fpdf, centroids=cents_captured)
+            return _incr_apply(
+                key, gpdf, fpdf, centroids=cents_captured,
+                insert_efc=efc_captured,
+            )
 
         parts.append(
             cur_graphs.groupBy("cell")
@@ -905,6 +931,42 @@ def refresh_celled_hnsw_index(
             ),
         )
     return dirty
+
+
+def recommended_insert_efc(
+    serve_ef: int = 50,
+    max_recall_loss: float = 0.01,
+    build_efc: int = 200,
+) -> int:
+    """Maintenance-time insert-beam width sized from measurement (r14 —
+    VERDICT r13 next #6; the measured curve is
+    ``measurements/r14_insert_efc_curve.json`` via
+    ``tools/insert_efc_curve.py``, summarized in SCALE.md).
+
+    The reference applies its BUILD constant ef_construction=200
+    (services/index_service.py:91) at insert time too; the curve shows
+    that is the most expensive point on a knee: on the realistic-geometry
+    384-dim fixture (one graph, serving ef=50 << n — the regime a
+    production cell lives in), insert beams of 2x the SERVING ef held
+    recall@5 within 0.1% overall and 0.7% on inserted-row queries at
+    1.7x the per-row maintenance throughput of efc=200; beams equal to
+    the serving ef held within 0.6% / 3.6% at 2.4x.  Soak-shaped
+    insertion (5 sequential waves) showed no cumulative degradation
+    beyond the single-wave loss.
+
+    Rule: 2x ``serve_ef`` for a <=1% recall budget, 1x for a looser
+    <=5% budget, the build constant when the caller wants effectively
+    zero loss — clamped to [16, build_efc].  Measured at serve_ef=50;
+    the proportionality to serving breadth (not to the build constant)
+    is the modeled half — the beam only needs to find neighbors the
+    SERVING beam can later exploit — so re-run the tool if your serving
+    ef is far from the measured point.  Advisory like every
+    ``recommended_*`` rule: the ``insert_efc`` default stays None
+    (build-time efc), no serving default changes under a caller."""
+    if max_recall_loss < 0.005:
+        return int(build_efc)
+    eff = int(serve_ef) if max_recall_loss >= 0.04 else 2 * int(serve_ef)
+    return max(16, min(int(build_efc), eff))
 
 
 def purge_graph_tombstones(

@@ -118,6 +118,7 @@ def refresh_search_artifacts_batch(
     backend: str | None = None,
     compact_every_gens: int = 8,
     graph_max_dead_frac: float = 0.2,
+    graph_insert_efc: "int | None" = None,
 ) -> None:
     """Process ONE micro-batch of indexed rows: snapshot pre-upsert state,
     append to the index log, refresh dirty cells of each managed artifact,
@@ -191,6 +192,7 @@ def refresh_search_artifacts_batch(
                 prev_delta=prev_delta, centroids=centroids, dim=dim,
                 n_cells=n_cells, backend=backend, batch_id=batch_id,
                 max_dead_frac=graph_max_dead_frac,
+                insert_efc=graph_insert_efc,
             )
         from vector_search_question_answer_api_spark.sources.cell_store import (
             cell_store_compact,

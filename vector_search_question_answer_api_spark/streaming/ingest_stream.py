@@ -127,6 +127,7 @@ def maintain_corpus(
     graph_max_dead_frac: float = 0.2,
     ann_history_keep: int = 0,
     profile_shards: int = 0,
+    graph_insert_efc: "int | None" = None,
 ):
     """Start the composed maintenance query over a document stream
     ``(doc_id, text, n_chars, ts, ...)``.
@@ -150,6 +151,12 @@ def maintain_corpus(
     of the K most recent committed epochs instead of raising; reads
     below the retained horizon still raise.  Refreshes inherit the
     setting from the store manifests.
+    ``graph_insert_efc=`` (r14 — VERDICT r13 next #6) overrides the
+    insert-time beam width of the graph store's incremental refresh
+    (build-time efc stays the reference constant 200); size it with
+    ``ann_hnsw.recommended_insert_efc`` — the measured knee is ~2x the
+    serving ef at <=1% recall loss for ~1.7-2.4x maintenance throughput
+    (measurements/r14_insert_efc_curve.json).
     ``graph_radii=True`` additionally seeds the graph store's pruning
     sidecar (``ann_hnsw.write_cell_radii``) at init, after which every
     per-cell refresh keeps it exact (r11) — the maintained store serves
@@ -590,6 +597,7 @@ def maintain_corpus(
                 codes_path=codes_ready, graphs_path=graphs_ready,
                 centroids=centroids, dim=dim, n_cells=n_cells,
                 backend=backend, graph_max_dead_frac=graph_max_dead_frac,
+                graph_insert_efc=graph_insert_efc,
             )
             if (codes_path and codes_ready is None) or (
                 graphs_path and graphs_ready is None
