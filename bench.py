@@ -694,7 +694,7 @@ def _hybrid_stored_fns(spark, sf_dir):
         )
         raise AssertionError("below-stamp epoch served instead of raising")
     except ValueError as e:
-        assert "below the store's last-change" in str(e), e
+        assert "below the store's retained horizon" in str(e), e
     a = rel(hybrid_oneshot(spark, sf_dir))
     b = rel(hybrid_stored(spark, sf_dir))
     assert a and a == b, (
