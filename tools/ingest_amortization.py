@@ -13,6 +13,7 @@ profile.  Prints ONE JSON line; write it to
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -45,6 +46,13 @@ BATCH_SIZES = (100, 500, 2000)
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--insert-efc", type=int, default=None,
+        help="maintenance-time graph insert beam (r14, "
+             "ann_hnsw.recommended_insert_efc); default: build-time efc",
+    )
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ingest_amortization")
     root = tempfile.mkdtemp(prefix="vector_search_question_answer_api_spark_amort_")
@@ -155,6 +163,7 @@ def main() -> None:
                 lambda: ann_hnsw.refresh_celled_hnsw_index(
                     spark, p["graphs"], index, delta,
                     centroids=cents, dim=DIM, n_cells=N_CELLS,
+                    insert_efc=args.insert_efc,
                 ),
             )
             indexed.unpersist()
@@ -171,6 +180,7 @@ def main() -> None:
         "attempts": N_ATTEMPTS,
         "standing_corpus": 2000,
         "mix": "90% new / 10% updates",
+        "insert_efc": args.insert_efc,
         "by_batch_rows": out_sizes,
     }
     print(json.dumps(out))
