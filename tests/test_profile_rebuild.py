@@ -440,3 +440,50 @@ def test_sharded_incremental_rebuild_touches_only_churned_shards(
     assert int(sman2["batch"]) == 300
     assert set(sman2["cells"].values()) != set(sman["cells"].values())
     assert _cms_rel(STS.read_profile_cms(spark, prof)) == before_rel
+
+
+def test_unsharded_rebuild_retires_stale_shard_bases(
+    spark, churned_sharded
+):
+    """r15 (ADVICE r14): switching a sharded profile back to UNSHARDED
+    must retire the ``.prof-shards`` subtree — before this, the stale
+    shard cell stores sat on disk indefinitely (a disk leak only: reads
+    key off the manifest's ``sharded`` flag, so results were never
+    wrong).  Pins: the unsharded rebuild lists the subtree in RETIRED
+    (one grace cycle, the store protocol), reads are exact immediately,
+    and the NEXT rebuild's housekeeping physically drops it."""
+    root = churned_sharded
+    prof = os.path.join(root, "profile")
+    shards_root = os.path.join(prof, STS._SHARDS_DIR)
+    assert os.path.isdir(shards_root), "fixture should start sharded"
+    resolved = IG.read_corpus_docs(spark, root)
+    STS.rebuild_profile(
+        spark, prof, resolved, covered_up_to=400,
+        depth=DEPTH, width=WIDTH, n_bins=NBINS,  # n_shards=0: unsharded
+    )
+    m = STS._prof_manifest(prof)
+    assert m is not None and not m.get("sharded")
+    # grace cycle: still on disk, but on the RETIRED list
+    assert os.path.isdir(shards_root)
+    from vector_search_question_answer_api_spark.sources.generation_store import (
+        GenerationStore,
+    )
+
+    store = GenerationStore(
+        prof, STS._PROF_MANIFEST, STS._PROF_RETIRED, ".prof-gen-"
+    )
+    assert os.path.realpath(shards_root) in store.retired()
+    # reads exact right away (unsharded base over the resolved corpus)
+    toks = SK.token_stream(resolved)
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == _cms_rel(
+        SK.cms_sketch(toks, depth=DEPTH, width=WIDTH)
+    )
+    # the next rebuild's housekeeping sweeps the retired subtree
+    STS.rebuild_profile(
+        spark, prof, resolved, covered_up_to=500,
+        depth=DEPTH, width=WIDTH, n_bins=NBINS,
+    )
+    assert not os.path.exists(shards_root)
+    assert _cms_rel(STS.read_profile_cms(spark, prof)) == _cms_rel(
+        SK.cms_sketch(toks, depth=DEPTH, width=WIDTH)
+    )

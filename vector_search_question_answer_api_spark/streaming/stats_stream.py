@@ -329,6 +329,15 @@ def rebuild_profile(
     retire: list[str] = []
     if cur_gen:
         retire.append(os.path.join(path, cur_gen))
+    if cur and cur.get("sharded"):
+        # r15 (ADVICE r14): switching a sharded profile back to unsharded
+        # supersedes the per-shard cell stores too — without retiring the
+        # .prof-shards subtree the stale shard bases sit on disk forever
+        # (reads key off the manifest's 'sharded' flag, so this was a
+        # disk leak, never a wrong answer).
+        shards_root = os.path.join(path, _SHARDS_DIR)
+        if os.path.isdir(shards_root):
+            retire.append(shards_root)
     for kind in _REBUILT_KINDS:
         for d in _glob.glob(os.path.join(path, kind, "batch=*")):
             if int(os.path.basename(d).split("=")[1]) < int(covered_up_to):
