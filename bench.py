@@ -1374,6 +1374,17 @@ WATCHLIST_FRESH = [
     "bm25_stored",
     "bm25_stored_maintained",
     "hybrid_oneshot",
+    # r15 (VERDICT r14 next #6): the stored hybrid tiers' r14 +16-26%
+    # reconciled by measurement (measurements/r15_hybrid_premium.json):
+    # committed-epoch serving measured AT OR BELOW the live view
+    # (premium -0.52 s lsh / -1.10 s graph), so the epoch/history
+    # resolution machinery costs nothing at serve time — while the same
+    # probe process shows the graph tier inflating 4.7→22.4 s across 7
+    # in-process runs, the position-inflation signature again.  Both
+    # tiers ride the fresh protocol (same fixture build as
+    # hybrid_oneshot, so the marginal probe cost is two more entries).
+    "hybrid_stored",
+    "hybrid_stored_graph",
 ]
 
 
@@ -1391,7 +1402,10 @@ def _watchlist_cross_process() -> "dict[str, dict] | None":
             [sys.executable, tool, "--runs", "7", *WATCHLIST_FRESH],
             capture_output=True,
             text=True,
-            timeout=1800,
+            # r15: the list grew the bm25/hybrid groups, whose fixtures
+            # (a postings build + a full 3-batch maintain_corpus run)
+            # now build inside the probe process
+            timeout=3600,
         )
     except (subprocess.TimeoutExpired, OSError) as e:
         print(f"watchlist probe: {e}", file=sys.stderr)

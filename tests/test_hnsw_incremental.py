@@ -690,6 +690,145 @@ def test_same_batch_upsert_and_delete_serves_resolved_state(
     )
 
 
+def test_radii_history_serves_pruned_tier_at_retained_epochs(
+    spark, tmp_path, corpus_mat
+):
+    """r15 (closes the ADVICE r14 radii trap as a capability): the radii
+    sidecar snapshots in LOCKSTEP with the graph store's history_keep
+    retention, so the PRUNED tier is epoch-exact at every retained epoch
+    — ``read_cell_radii(path, up_to_batch=B)`` paired with
+    ``read_celled_hnsw_index(..., up_to_batch=B)``.  The soak includes a
+    DELETION of a cell's farthest member, the exact hazard: the
+    maintained current radius SHRINKS below the old epoch's live set, so
+    current radii at an old epoch would skip cells holding true top-k
+    members.  Pins: (a) pruned@B == unpruned@B == from-scratch rebuild
+    over the corpus-at-B, for the current and every retained epoch;
+    (b) snapshots trim with history_keep and the below-horizon bound
+    raises; (c) an unstamped sidecar refuses a bound;
+    (d) purge_graph_tombstones drops the radii history with the graph
+    history it pairs with."""
+    path = str(tmp_path / "graphs")
+    live = {i: corpus_mat[i] for i in range(300)}
+
+    def _corpus():
+        return _df(spark, sorted(live), [live[i] for i in sorted(live)])
+
+    corpus = _corpus()
+    graphs0 = ann_hnsw.build_celled_hnsw(
+        corpus, centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy"
+    )
+    from vector_search_question_answer_api_spark.operators.ivf import (
+        assign_cell as _ac,
+    )
+
+    ann_hnsw.write_celled_hnsw_index_managed(
+        graphs0, path,
+        ids=corpus.select(
+            "doc_id", _ac(F.col("norm_embedding"), CENTS).alias("cell")
+        ),
+        batch_id=0, history_keep=2,
+    )
+    ann_hnsw.write_cell_radii(
+        path, ann_hnsw.cell_radii(corpus, centroids=CENTS, dim=DIM,
+                                  n_cells=N_CELLS),
+        batch_id=0,
+    )
+    states = {0: dict(live)}
+
+    # batch 1: delete the farthest-from-centroid member of its cell —
+    # the tighten SHRINKS that cell's current radius below epoch 0's
+    chords = {
+        i: float(np.linalg.norm(v - CENTS[int(np.argmin(
+            ((np.asarray(CENTS) - v) ** 2).sum(axis=1)))]))
+        for i, v in list(live.items())[:50]
+    }
+    victim = max(chords, key=chords.get)
+    live.pop(victim)
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, _corpus(), _tombstones(spark, [victim]),
+        centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy",
+        batch_id=1,
+    )
+    states[1] = dict(live)
+    # batch 2: updates
+    upd = dict(zip(range(100, 110), _vecs(61, 10)))
+    live.update(upd)
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, _corpus(),
+        _df(spark, sorted(upd), [upd[i] for i in sorted(upd)]),
+        centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy",
+        batch_id=2,
+    )
+    states[2] = dict(live)
+
+    def _rel(df):
+        return {
+            (int(r["query_id"]), int(r["rank"])): (
+                int(r["doc_id"]), round(float(r["distance"]), 9)
+            )
+            for r in df.collect()
+        }
+
+    for b, state in states.items():
+        sb = _df(spark, sorted(state), [state[i] for i in sorted(state)])
+        q = _queries(sb)
+        ef = len(state) + 8
+        graphs_b = ann_hnsw.read_celled_hnsw_index(spark, path, up_to_batch=b)
+        radii_b = ann_hnsw.read_cell_radii(path, up_to_batch=b)
+        pruned = _rel(
+            ann_hnsw.celled_hnsw_topk_pruned(
+                graphs_b, q, radii_b, centroids=CENTS, k=5, ef=ef, dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            )
+        )
+        unpruned = _rel(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                graphs_b, q, centroids=CENTS, k=5, ef=ef, dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            )
+        )
+        rebuilt = _rel(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                ann_hnsw.build_celled_hnsw(
+                    sb, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+                    backend="numpy",
+                ),
+                q, centroids=CENTS, k=5, ef=ef, dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
+            )
+        )
+        assert pruned == unpruned == rebuilt and pruned, f"epoch {b}"
+    # retention trims in lockstep: batch 3 pushes snapshot 2, drops 0
+    upd3 = {0: _vecs(62, 1)[0]}
+    live.update(upd3)
+    ann_hnsw.refresh_celled_hnsw_index(
+        spark, path, _corpus(),
+        _df(spark, sorted(upd3), [upd3[i] for i in sorted(upd3)]),
+        centroids=CENTS, dim=DIM, n_cells=N_CELLS, backend="numpy",
+        batch_id=3,
+    )
+    doc = ann_hnsw._read_radii_doc(path)
+    assert [int(s["batch"]) for s in doc["history"]] == [1, 2]
+    with pytest.raises(ValueError, match="retained horizon"):
+        ann_hnsw.read_cell_radii(path, up_to_batch=0)
+    # unstamped sidecar refuses a bound
+    other = str(tmp_path / "flat")
+    ann_hnsw.write_cell_radii(other, [0.5] * N_CELLS)
+    with pytest.raises(ValueError, match="not[\\s\\S]*epoch-stamped"):
+        ann_hnsw.read_cell_radii(other, up_to_batch=1)
+    # purge drops the radii history with the graph history
+    resolved = _corpus()
+    ann_hnsw.purge_graph_tombstones(
+        spark, path, resolved, centroids=CENTS, dim=DIM, n_cells=N_CELLS,
+        backend="numpy",
+    )
+    doc = ann_hnsw._read_radii_doc(path)
+    assert doc["history"] == [] and doc["batch"] is not None
+    with pytest.raises(ValueError, match="retained horizon"):
+        ann_hnsw.read_cell_radii(path, up_to_batch=1)
+    assert ann_hnsw.read_cell_radii(path)  # current still serves
+
+
 def test_insert_efc_override_is_nonsticky_and_liveset_exact(
     spark, tmp_path, corpus_mat
 ):

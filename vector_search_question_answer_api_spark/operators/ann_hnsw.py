@@ -829,8 +829,11 @@ def refresh_celled_hnsw_index(
     # the widen may exceed max(old, exact) — still a valid cover; the
     # tighten restores exactness.)
     old_radii = None
+    radii_stamp = None
+    radii_hist: list = []
     try:
-        old_radii = read_cell_radii(path)
+        _rdoc = _read_radii_doc(path)
+        old_radii = _rdoc["radii"]
     except FileNotFoundError:
         pass  # no sidecar: the store doesn't serve the pruned tier
     if old_radii is not None:
@@ -840,6 +843,34 @@ def refresh_celled_hnsw_index(
                 f"{len(centroids)} centroids — rebuild it with cell_radii "
                 "over this layout"
             )
+        # r15: evolve the radii history in LOCKSTEP with the graph
+        # store's own (_evolve_history rule): a stamped refresh that
+        # ADVANCES the stamp pushes the pre-refresh radii as the
+        # superseded epoch's snapshot (they are the exact cover for the
+        # state every epoch since that stamp saw); a same-batch rewrite
+        # carries history through; an unstamped refresh drops it (the
+        # epoch claims would be unanchored).  A replay that finds a
+        # snapshot already recorded for the superseded stamp KEEPS the
+        # existing one — the first write holds the pre-widen (tight)
+        # values, the replay's candidate may be a crashed attempt's
+        # widened (valid but loose) cover.
+        if batch_id is not None:
+            radii_stamp = int(batch_id)
+            man_pre = cell_store_manifest(path)
+            keep = int(man_pre.get("history_keep", 0)) if man_pre else 0
+            if keep > 0 and man_pre is not None and "batch" in man_pre:
+                radii_hist = list(_rdoc["history"])
+                if int(batch_id) > int(man_pre["batch"]) and not any(
+                    int(s["batch"]) == int(man_pre["batch"])
+                    for s in radii_hist
+                ):
+                    radii_hist.append(
+                        {
+                            "batch": int(man_pre["batch"]),
+                            "radii": [float(x) for x in old_radii],
+                        }
+                    )
+                radii_hist = radii_hist[-keep:]
         dirty_set = set(dirty)
         write_cell_radii(
             path,
@@ -849,6 +880,8 @@ def refresh_celled_hnsw_index(
                 else old_radii[j]
                 for j in range(len(centroids))
             ),
+            batch_id=radii_stamp,
+            history=radii_hist,
         )
     parts: list[DataFrame] = []
     if rebuild_cells:
@@ -964,6 +997,8 @@ def refresh_celled_hnsw_index(
                 new_r.get(j, 0.0) if j in dirty_set else old_radii[j]
                 for j in range(len(centroids))
             ),
+            batch_id=radii_stamp,
+            history=radii_hist,
         )
     return dirty
 
@@ -1057,6 +1092,18 @@ def purge_graph_tombstones(
     # / the next write), moving the retained horizon up to the current
     # stamp.  history_keep survives; retention resumes afterward.
     cell_store_truncate_history(path)
+    # r15: the radii snapshots retained in lockstep (read_cell_radii
+    # up_to_batch=) die with the graph history they pair with — a radii
+    # snapshot outliving its epoch's blobs would claim an epoch the
+    # store can no longer serve.
+    try:
+        _rdoc = _read_radii_doc(path)
+        if _rdoc["history"]:
+            write_cell_radii(
+                path, _rdoc["radii"], batch_id=_rdoc["batch"], history=[]
+            )
+    except FileNotFoundError:
+        pass
     centroids, dim = _resolve_centroids_dim(centroids, dim, n_cells)
     t = open_cell_table(spark, path)
     if "n_dead" not in t.columns:
@@ -1100,14 +1147,15 @@ def read_celled_hnsw_index(
     maintenance keeps only the newest state; see
     ``cell_store.open_cell_table``).  This is what lets the graph tier
     join ``hybrid_search_stored``'s one-committed-epoch composition.
-    With ``history_keep`` > 0 (r14) a RETAINED epoch serves too — but a
-    historical read must NOT be paired with the store's maintained
-    pruning-radii sidecar (r15, ADVICE r14): ``read_cell_radii`` /
-    ``celled_hnsw_topk_pruned`` hold CURRENT-epoch radii only (the
-    sidecar is single-version; post-B deletes can shrink a maintained
-    radius below the epoch-B live set, silently dropping valid epoch-B
-    neighbors).  Serve historical epochs through the unpruned tiers
-    (``celled_hnsw_topk[_cogrouped]``)."""
+    With ``history_keep`` > 0 (r14) a RETAINED epoch serves too.  For
+    the PRUNED tier at a retained epoch, pair this with
+    ``read_cell_radii(path, up_to_batch=B)`` — SAME bound on both (r15:
+    radii snapshots are retained in lockstep with the graph history, so
+    the pair is epoch-exact; a bare ``read_cell_radii(path)`` holds
+    current-epoch radii, which post-B deletes may have SHRUNK below the
+    epoch-B live set — pairing those with a historical graph read would
+    silently break the pruned tier's lossless guarantee, which is why
+    the bounded radii read raises instead of guessing)."""
     from vector_search_question_answer_api_spark.sources.cell_store import (
         open_cell_table,
     )
@@ -1300,43 +1348,118 @@ def recommended_probe_pruning(
 _RADII_SIDECAR = "_cell_radii.json"
 
 
-def write_cell_radii(path: str, radii) -> None:
+def write_cell_radii(
+    path: str, radii, batch_id: "int | None" = None, history=None
+) -> None:
     """Persist :func:`cell_radii` next to a stored graph index — the
     pruning bound is index-SNAPSHOT state exactly like the centroids, so
     it rides an atomic sidecar (the LSH-manifest precedent) rather than
     being recomputed on a possibly-drifted corpus at query time.  On a
     MANAGED store, :func:`refresh_celled_hnsw_index` keeps the sidecar
     exact through per-cell upserts (r11) — write it once at build time
-    and the maintained radii stay a valid (and tight) cover."""
+    and the maintained radii stay a valid (and tight) cover.
+
+    ``batch_id`` / ``history`` (r15 — closes the ADVICE r14 trap where
+    the single-version sidecar silently invalidated historical pruned
+    reads): a stamped write records the epoch the radii cover, and
+    ``history`` is a list of ``{"batch": B, "radii": [...]}`` snapshots
+    of superseded epochs — the radii twin of the cell store's
+    ``history_keep`` retention, maintained by
+    :func:`refresh_celled_hnsw_index` under the SAME evolve rule
+    (advance pushes, same-batch rewrite carries, unstamped drops), so a
+    radii snapshot exists exactly for the epochs the graph store
+    retains.  Unstamped writes (the default) keep the legacy flat-list
+    format; every pre-r15 sidecar stays readable."""
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
+    if batch_id is None:
+        payload = [float(r) for r in radii]
+    else:
+        payload = {
+            "batch": int(batch_id),
+            "radii": [float(r) for r in radii],
+        }
+        if history:
+            payload["history"] = [
+                {
+                    "batch": int(s["batch"]),
+                    "radii": [float(x) for x in s["radii"]],
+                }
+                for s in history
+            ]
     tmp = os.path.join(path, _RADII_SIDECAR + ".tmp")
     with open(tmp, "w") as f:
-        json.dump([float(r) for r in radii], f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _RADII_SIDECAR))
 
 
-def read_cell_radii(path: str) -> tuple:
-    """Load a :func:`write_cell_radii` sidecar.
-
-    CURRENT-epoch only (r15, ADVICE r14): the sidecar is single-version —
-    the maintained radii cover the store's NEWEST live set, and nothing
-    snapshots them alongside ``history_keep`` retention.  Pairing these
-    radii with a historical read (``read_celled_hnsw_index(up_to_batch=
-    B)`` for a retained B) breaks the pruned tier's lossless guarantee:
-    a post-B delete can have SHRUNK a radius below the epoch-B live set,
-    so the pruning lower bound overstates and skips cells holding true
-    epoch-B top-k members.  Historical epochs serve through the unpruned
-    tiers."""
+def _read_radii_doc(path: str) -> dict:
+    """The full radii sidecar, normalized to
+    ``{"radii": tuple, "batch": int | None, "history": list}`` (legacy
+    flat-list sidecars normalize to an unstamped doc)."""
     import json
     import os
 
     with open(os.path.join(path, _RADII_SIDECAR)) as f:
-        return tuple(float(r) for r in json.load(f))
+        doc = json.load(f)
+    if isinstance(doc, list):
+        return {"radii": tuple(float(r) for r in doc), "batch": None,
+                "history": []}
+    return {
+        "radii": tuple(float(r) for r in doc["radii"]),
+        "batch": int(doc["batch"]) if "batch" in doc else None,
+        "history": list(doc.get("history", [])),
+    }
+
+
+def read_cell_radii(path: str, up_to_batch: "int | None" = None) -> tuple:
+    """Load a :func:`write_cell_radii` sidecar.
+
+    ``up_to_batch=B`` (r15 — the radii half of bounded time-travel,
+    closing the ADVICE r14 trap): resolves exactly like the graph
+    store's own history — the CURRENT radii serve any ``B`` at/after
+    their stamp (the sidecar is rewritten on every membership-changing
+    refresh, so its state at the stamp is its state at every absorbed
+    epoch since; pair only with a graph read at the same bound, whose
+    above-frontier raise guards the future), a RETAINED snapshot serves
+    its epoch range, and below the retained horizon or on an unstamped
+    sidecar it RAISES — a post-B delete can have SHRUNK a maintained
+    radius below the epoch-B live set, so serving current radii for an
+    old epoch would silently break the pruned tier's lossless guarantee
+    (the exact defect this parameter exists to prevent).  With a bound,
+    pass the SAME bound to ``read_celled_hnsw_index`` — the pair is
+    epoch-exact (pinned in tests/test_hnsw_incremental.py)."""
+    doc = _read_radii_doc(path)
+    if up_to_batch is None:
+        return doc["radii"]
+    if doc["batch"] is None:
+        raise ValueError(
+            f"read_cell_radii: the sidecar at {path!r} is not "
+            "epoch-stamped — up_to_batch= cannot be honored; refresh the "
+            "store with batch ids to join the consistency surface"
+        )
+    if int(up_to_batch) >= doc["batch"]:
+        return doc["radii"]
+    snaps = [
+        s for s in doc["history"] if int(s["batch"]) <= int(up_to_batch)
+    ]
+    if snaps:
+        best = max(snaps, key=lambda s: int(s["batch"]))
+        return tuple(float(x) for x in best["radii"])
+    horizon = min(
+        (int(s["batch"]) for s in doc["history"]), default=doc["batch"]
+    )
+    raise ValueError(
+        f"read_cell_radii: up_to_batch={int(up_to_batch)} is below the "
+        f"sidecar's retained horizon (oldest retained epoch: {horizon}) "
+        f"at {path!r} — radii snapshots are retained in lockstep with "
+        "the graph store's history_keep; older epochs must serve through "
+        "the unpruned tiers"
+    )
 
 
 def _phase1_dk(cand1: DataFrame, k: int) -> DataFrame:

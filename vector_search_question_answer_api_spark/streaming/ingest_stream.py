@@ -639,6 +639,7 @@ def maintain_corpus(
                             ann_hnsw.cell_radii(
                                 index, centroids=centroids, dim=dim
                             ),
+                            batch_id=batch_id,
                         )
                     ann_hnsw.write_celled_hnsw_index_managed(
                         ann_hnsw.build_celled_hnsw(
@@ -679,6 +680,7 @@ def maintain_corpus(
                             centroids=centroids,
                             dim=dim,
                         ),
+                        batch_id=batch_id,
                     )
             # CORPUS COMMIT MARKER — LAST, after every enabled store
             # absorbed this batch: epoch-bounded readers
