@@ -18,22 +18,6 @@ from vector_search_question_answer_api_spark.operators.dedup import (
 from vector_search_question_answer_api_spark.sources.tables import load_table
 
 
-@pytest.fixture(autouse=True)
-def _scoped_caches():
-    """r15 (VERDICT r14 #7): each test releases the tracked caches it
-    created — the dedup operators persist their expensive intermediates
-    through the caching registry, and this module calls dozens of them
-    back-to-back, which crossed the registry's 64-entry growth tripwire
-    mid-suite (the hygiene monitor correctly flagging its own test loop
-    as an unscoped composer).  Scoping per test is exactly what the
-    registry prescribes for sequential callers; results are collected
-    before the scope closes, so releases never invalidate an assertion."""
-    from vector_search_question_answer_api_spark.caching import cache_scope
-
-    with cache_scope():
-        yield
-
-
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").cache()
