@@ -78,6 +78,30 @@ def _moved_upsert(spark, corpus, cents):
     return v1, delta, cells[x], cells[y]
 
 
+def _canon_graph_topk(df):
+    """{(query_id, rank): (doc_id, distance@9dp)} with rank re-derived at
+    the comparison's own 9-dp rounding.  The engine's (distance, doc_id)
+    tie-break is deterministic, but the distances themselves carry
+    row-position-dependent BLAS gemv rounding (the same (q, v) dot lands
+    on 1.0 or 1.0-ulp depending on where v sits in the cell matrix's
+    internal blocking), so EXACT-duplicate docs — which _moved_upsert
+    deliberately creates — may order differently between an
+    incrementally-extended matrix and a rebuild's.  That is sub-1e-9
+    noise, not a serving divergence; re-ranking both sides by (rounded
+    distance, doc_id) keeps the full strength of the pin at its own
+    precision."""
+    by_q: dict = {}
+    for r in df.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (round(float(r["distance"]), 9), int(r["doc_id"]))
+        )
+    return {
+        (qid, i + 1): (doc, dist)
+        for qid, lst in by_q.items()
+        for i, (dist, doc) in enumerate(sorted(lst))
+    }
+
+
 def _topk_rows(spark, path, index, cbs, cents):
     q = index.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("query_id"),
@@ -255,16 +279,12 @@ def test_celled_hnsw_refresh_matches_full_rebuild(spark, corpus, tmp_path):
     n = v1.count()
 
     def rows(g):
-        df = ann_hnsw.celled_hnsw_topk_cogrouped(
-            g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
-            n_cells=N_CELLS, nprobe=N_CELLS,
-        )
-        return {
-            (int(r["query_id"]), int(r["rank"])): (
-                int(r["doc_id"]), round(float(r["distance"]), 9)
+        return _canon_graph_topk(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
             )
-            for r in df.collect()
-        }
+        )
 
     refreshed = rows(ann_hnsw.read_celled_hnsw_index(spark, path))
     full = rows(
@@ -370,16 +390,12 @@ def test_graph_sidecar_makes_cell_moves_replay_safe(spark, corpus, tmp_path):
     n = v1.count()
 
     def rows(g):
-        df = ann_hnsw.celled_hnsw_topk_cogrouped(
-            g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
-            n_cells=N_CELLS, nprobe=N_CELLS,
-        )
-        return {
-            (int(r["query_id"]), int(r["rank"])): (
-                int(r["doc_id"]), round(float(r["distance"]), 9)
+        return _canon_graph_topk(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, q, centroids=cents, k=5, ef=int(n), dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
             )
-            for r in df.collect()
-        }
+        )
 
     full = rows(
         ann_hnsw.build_celled_hnsw(
@@ -531,16 +547,12 @@ def test_streaming_upsert_refreshes_only_dirty_cells(spark, tmp_path):
     n = fin.count()
 
     def rows(g):
-        df = ann_hnsw.celled_hnsw_topk_cogrouped(
-            g, qdf, centroids=cents, k=5, ef=int(n), dim=DIM,
-            n_cells=N_CELLS, nprobe=N_CELLS,
-        )
-        return {
-            (int(r["query_id"]), int(r["rank"])): (
-                int(r["doc_id"]), round(float(r["distance"]), 9)
+        return _canon_graph_topk(
+            ann_hnsw.celled_hnsw_topk_cogrouped(
+                g, qdf, centroids=cents, k=5, ef=int(n), dim=DIM,
+                n_cells=N_CELLS, nprobe=N_CELLS,
             )
-            for r in df.collect()
-        }
+        )
 
     refreshed = rows(ann_hnsw.read_celled_hnsw_index(spark, graphs))
     full = rows(ann_hnsw.build_celled_hnsw(fin, centroids=cents, dim=DIM,
