@@ -21,8 +21,23 @@ from vector_search_question_answer_api_spark.schemas import TABLE_SCHEMAS
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin repartition a scan that cannot be split by the source.
+# Memoized layout probes (r15): whether a table file needs the
+# parallelizing repartition is a property of the FILE LAYOUT (row-group
+# count vs core count), not of the query — but the probe itself
+# (df.rdd.getNumPartitions()) materializes a JVM RDD from the analyzed
+# plan, a driver round-trip every load_table caller was paying on every
+# call.  Decision cached per (path, target); the file set under a
+# testdata/sf dir never changes within a process.
+_NEEDS_REPARTITION: dict = {}
+
+
+def ensure_parallelism(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Repartition a scan that cannot be split by the source.
 
     Parquet splits at row-group granularity; the driver testdata is written
     as ONE row group per table, so every scan otherwise runs as a single
@@ -34,10 +49,37 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     a NO-OP (gated on the scan's actual partition count), so no gratuitous
     shuffle is introduced where the source already parallelizes.  Catalyst
     still pushes filters/pruning into the scan below the exchange.
-    """
+
+    r15 (optimization guide §2.4/§2.5): with a ``key`` column the
+    exchange hash-partitions on that column instead of the keyless
+    round-robin form, for two measured reasons.  (1) Keyless
+    ``repartition(n)`` first pays a local sort of its whole input
+    (``spark.sql.execution.sortBeforeRepartition``, on by default so
+    retried tasks reproduce their row-to-partition assignment), charged
+    to the single scan task this repartition exists to relieve; a
+    hash key needs no sort for determinism and is retry-safe by
+    construction (§2.5's fix for SPARK-38388).  (2) The key is each
+    table's primary id, which is also the join/group key of the
+    relational gates — Catalyst then REUSES this exchange's partitioning
+    for downstream same-key joins instead of adding another (§2.4).
+    Interleaved A/B at sf0.1 (min of 3, one session): q3 1.75 s (rr) →
+    1.24 s (hash-key), q5 1.83 → 1.47, q1 1.31 → ~1.37 (noise-level);
+    the ids are near-unique so the hash spreads evenly (the low-
+    cardinality dims — nation/region — are broadcast dimensions where
+    parallelism is irrelevant)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    floor = max(2, target // 2)
+    if path is not None:
+        needs = _NEEDS_REPARTITION.get((path, target))
+        if needs is None:
+            needs = df.rdd.getNumPartitions() < floor
+            _NEEDS_REPARTITION[(path, target)] = needs
+        if not needs:
+            return df
+    elif df.rdd.getNumPartitions() >= floor:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 
@@ -67,7 +109,11 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
     if parallelize:
-        raw = ensure_parallelism(raw, spark)
+        # first schema field is every driver table's non-null id — the
+        # deterministic repartition key (see ensure_parallelism)
+        raw = ensure_parallelism(
+            raw, spark, path=path, key=TABLE_SCHEMAS[name].fields[0].name
+        )
     physical = {f.name: f.dataType for f in raw.schema.fields}
     cols = []
     for field in TABLE_SCHEMAS[name].fields:

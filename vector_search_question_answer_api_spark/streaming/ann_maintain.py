@@ -172,7 +172,8 @@ def refresh_search_artifacts_batch(
         )
         index = read_index_latest(spark, path)
         delta = batch_df.select("doc_id", "norm_embedding")
-        if codes_path is not None:
+
+        def _codes_refresh():
             from vector_search_question_answer_api_spark.operators.pq import (
                 refresh_ivfpq_index,
             )
@@ -182,7 +183,8 @@ def refresh_search_artifacts_batch(
                 centroids=centroids, dim=dim, n_cells=n_cells,
                 batch_id=batch_id,
             )
-        if graphs_path is not None:
+
+        def _graphs_refresh():
             from vector_search_question_answer_api_spark.operators import (
                 ann_hnsw,
             )
@@ -194,6 +196,27 @@ def refresh_search_artifacts_batch(
                 max_dead_frac=graph_max_dead_frac,
                 insert_efc=graph_insert_efc,
             )
+
+        if codes_path is not None and graphs_path is not None:
+            # the two managed stores are independent artifacts over the
+            # same (index, delta) inputs — refresh them as CONCURRENT
+            # Spark jobs (guide §2.6): their censuses/classifications/
+            # writes touch disjoint store subtrees, and at micro-batch
+            # scale each is mostly fixed per-job latency that now
+            # overlaps (the codes refresh hides entirely inside the
+            # graph refresh's window)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="codes-refresh"
+            ) as pool:
+                fut = pool.submit(_codes_refresh)
+                _graphs_refresh()
+                fut.result()
+        elif codes_path is not None:
+            _codes_refresh()
+        elif graphs_path is not None:
+            _graphs_refresh()
         from vector_search_question_answer_api_spark.sources.cell_store import (
             cell_store_compact,
             cell_store_live_generations,

@@ -45,8 +45,9 @@ Store layout under one root::
     <root>/commits/...  (corpus COMMIT MARKERS, r12 — one tiny json per
                          completed batch, written LAST by the handler)
 
-CROSS-STORE CONSISTENCY (r12): the handler writes the stores
-sequentially, so a reader that spans two stores mid-batch can see a TORN
+CROSS-STORE CONSISTENCY (r12): the handler's store writes are not
+atomic as a group (r15 runs the independent ones CONCURRENTLY — guide
+§2.6), so a reader that spans two stores mid-batch can see a TORN
 state — e.g. postings already carrying batch N while the index log does
 not.  The commit marker bounds that: ``corpus_committed_epoch(root)`` is
 the newest batch every enabled store has fully absorbed, and each
@@ -460,66 +461,101 @@ def maintain_corpus(
                 except FileNotFoundError:
                     pass  # docs store not born yet
         try:
-            if docs_store:
-                # raw document rows, batch=<id> overwrite (replay-safe):
-                # the corpus copy the profile rebuild (and any future
-                # text-derived artifact rebuild) resolves from
-                doc_rows = ups.select(
-                    "doc_id",
-                    "ts",
-                    "text",
-                    "n_chars",
-                    F.lit(False).alias("_tomb"),
-                )
-                if dels is not None:
-                    nc_t = ups.schema["n_chars"].dataType
-                    doc_rows = doc_rows.unionByName(
-                        dels.select(
-                            "doc_id",
-                            "ts",
-                            F.lit(None).cast("string").alias("text"),
-                            F.lit(None).cast(nc_t).alias("n_chars"),
-                            F.lit(True).alias("_tomb"),
-                        )
-                    )
-                doc_rows.write.mode("overwrite").parquet(
-                    os.path.join(p["docs"], f"batch={int(batch_id)}")
-                )
-            if postings_store:
-                # maintained lexical (BM25) index: tokenize BATCH rows
-                # only, batch=<id> overwrite (replay-safe); a deletion
-                # becomes a doclens tombstone the resolved read drops
-                # (lexical_store.append_postings_batch)
-                from vector_search_question_answer_api_spark.operators import (
-                    lexical_store as LXS,
-                )
+            from concurrent.futures import ThreadPoolExecutor
 
-                lex = ups.select(
-                    "doc_id", "text", "ts", F.lit(False).alias("_ptomb")
-                )
-                if dels is not None:
-                    lex = lex.unionByName(
-                        dels.select(
-                            "doc_id",
-                            F.lit(None).cast("string").alias("text"),
-                            "ts",
-                            F.lit(True).alias("_ptomb"),
-                        )
+            # Independent per-batch store writes run as CONCURRENT Spark
+            # jobs from a small driver thread pool (optimization guide
+            # §2.6: actions are only sequential because the driver calls
+            # them sequentially).  Every stage below writes a DISJOINT
+            # store subtree (docs / postings / profile-sketches / spans /
+            # profile-vecmean / lsh vs the index+ANN chain), so the only
+            # ordering the consistency protocol ever needed — the commit
+            # marker LAST, after every enabled store absorbed the batch —
+            # is preserved by joining all futures before the marker.  A
+            # crash mid-batch can now leave ANY subset of stores absorbed
+            # instead of a prefix; the protocol never distinguished the
+            # two (epoch-bounded readers see only marker-committed
+            # batches, and the checkpoint replay overwrites each store's
+            # batch=<id> state idempotently).  At micro-batch scale the
+            # stages are dominated by fixed per-job latency, which now
+            # overlaps; on a real cluster the same structure back-fills
+            # executors idled by each stage's straggler tail.
+            stages: list = []
+            if docs_store:
+
+                def _docs_stage():
+                    # raw document rows, batch=<id> overwrite
+                    # (replay-safe): the corpus copy the profile rebuild
+                    # (and any future text-derived artifact rebuild)
+                    # resolves from
+                    doc_rows = ups.select(
+                        "doc_id",
+                        "ts",
+                        "text",
+                        "n_chars",
+                        F.lit(False).alias("_tomb"),
                     )
-                LXS.append_postings_batch(
-                    lex,
-                    p["postings"],
-                    batch_id,
-                    n_buckets=int(postings_buckets),
-                    tomb_col="_ptomb",
-                )
+                    if dels is not None:
+                        nc_t = ups.schema["n_chars"].dataType
+                        doc_rows = doc_rows.unionByName(
+                            dels.select(
+                                "doc_id",
+                                "ts",
+                                F.lit(None).cast("string").alias("text"),
+                                F.lit(None).cast(nc_t).alias("n_chars"),
+                                F.lit(True).alias("_tomb"),
+                            )
+                        )
+                    doc_rows.write.mode("overwrite").parquet(
+                        os.path.join(p["docs"], f"batch={int(batch_id)}")
+                    )
+
+                stages.append(_docs_stage)
+            if postings_store:
+
+                def _postings_stage():
+                    # maintained lexical (BM25) index: tokenize BATCH rows
+                    # only, batch=<id> overwrite (replay-safe); a deletion
+                    # becomes a doclens tombstone the resolved read drops
+                    # (lexical_store.append_postings_batch)
+                    from vector_search_question_answer_api_spark.operators import (
+                        lexical_store as LXS,
+                    )
+
+                    lex = ups.select(
+                        "doc_id", "text", "ts", F.lit(False).alias("_ptomb")
+                    )
+                    if dels is not None:
+                        lex = lex.unionByName(
+                            dels.select(
+                                "doc_id",
+                                F.lit(None).cast("string").alias("text"),
+                                "ts",
+                                F.lit(True).alias("_ptomb"),
+                            )
+                        )
+                    LXS.append_postings_batch(
+                        lex,
+                        p["postings"],
+                        batch_id,
+                        n_buckets=int(postings_buckets),
+                        tomb_col="_ptomb",
+                    )
+
+                stages.append(_postings_stage)
             # profile + span stores: batch=<id> overwrite, replay-safe
-            STS.write_profile_batch(
-                ups, p["profile"], batch_id,
-                depth=cms_depth, width=cms_width, n_bins=n_bins,
-                chars_hi=chars_hi,
+            stages.append(
+                lambda: STS.write_profile_batch(
+                    ups, p["profile"], batch_id,
+                    depth=cms_depth, width=cms_width, n_bins=n_bins,
+                    chars_hi=chars_hi,
+                )
             )
-            SPS.append_span_batch(ups, p["spans"], batch_id, k=span_k)
+            stages.append(
+                lambda: SPS.append_span_batch(
+                    ups, p["spans"], batch_id, k=span_k
+                )
+            )
             # index + ANN artifacts: embed with the SAME expressions as
             # the batch build (index_stream is a pure transform), then the
             # shared per-batch refresh step.  A store whose manifest does
@@ -531,49 +567,58 @@ def maintain_corpus(
                 cell_store_manifest,
             )
 
-            # persisted: the embedded batch now feeds TWO actions (the
-            # vector-mean profile write and the log-append/refresh), and
-            # the embed UDF is the expensive half of the handler
+            # persisted: the embedded batch feeds SEVERAL actions (the
+            # vector-mean profile write, the lsh append, the
+            # log-append/refresh), and the embed UDF is the expensive
+            # half of the handler
             indexed = IX.index_stream(ups, embedder=embedder)
             if dels is not None:
                 indexed = indexed.unionByName(IX.tombstones(dels))
             indexed = indexed.persist()
-            # incremental corpus center: vector mean maintained as profile
-            # rows, CORRECTED for superseded versions (VERDICT r10 #7) —
-            # the batch docs' prior versions come from the order-
-            # independent `_batch < batch_id` log predicate (replay-safe,
-            # see read_index_before_batch), so the merged center tracks
-            # the RESOLVED-corpus mean exactly at any update rate, not the
-            # all-ingested-versions mean that drifted with churn.  A
-            # deleted doc's prior version is subtracted the same way its
-            # upserted sibling's is — the tombstone row itself adds
-            # nothing (null vectors are skipped by the sum)
-            try:
-                # for_docs bounds the resolve to the batch's own ids
-                # BEFORE the latest-wins window — without it every
-                # micro-batch paid an O(corpus) window shuffle for
-                # batch-sized evidence
-                prev = IX.read_index_before_batch(
-                    spark,
-                    p["index"],
-                    batch_id,
-                    for_docs=indexed.select("doc_id").distinct(),
+
+            def _vecmean_stage():
+                # incremental corpus center: vector mean maintained as
+                # profile rows, CORRECTED for superseded versions (VERDICT
+                # r10 #7) — the batch docs' prior versions come from the
+                # order-independent `_batch < batch_id` log predicate
+                # (replay-safe, see read_index_before_batch), so the
+                # merged center tracks the RESOLVED-corpus mean exactly at
+                # any update rate, not the all-ingested-versions mean that
+                # drifted with churn.  A deleted doc's prior version is
+                # subtracted the same way its upserted sibling's is — the
+                # tombstone row itself adds nothing (null vectors are
+                # skipped by the sum).  Reads only `_batch < batch_id` log
+                # state, so it is safe concurrent with the ANN chain's
+                # append of THIS batch (uncommitted files are invisible to
+                # the listing; committed batch=<id> rows are excluded by
+                # the predicate).
+                try:
+                    # for_docs bounds the resolve to the batch's own ids
+                    # BEFORE the latest-wins window — without it every
+                    # micro-batch paid an O(corpus) window shuffle for
+                    # batch-sized evidence
+                    prev = IX.read_index_before_batch(
+                        spark,
+                        p["index"],
+                        batch_id,
+                        for_docs=indexed.select("doc_id").distinct(),
+                    )
+                except FileNotFoundError:
+                    prev = None  # first batch: nothing to supersede
+                superseded = (
+                    None
+                    if prev is None
+                    else prev.select("doc_id", "norm_embedding")
                 )
-            except FileNotFoundError:
-                prev = None  # first batch: nothing to supersede
-            superseded = (
-                None
-                if prev is None
-                else prev.select("doc_id", "norm_embedding")
-            )
-            STS.write_vecmean_batch(
-                indexed, p["profile"], batch_id, superseded=superseded
-            )
-            if lsh_artifact is not None:
+                STS.write_vecmean_batch(
+                    indexed, p["profile"], batch_id, superseded=superseded
+                )
+
+            def _lsh_stage():
                 # on-disk LSH signature table: map-only per-batch refresh
                 # under the batch=<id> overwrite precedent (replay-safe);
-                # hashed with the FIXED manifest so the stored rows can
-                # never bit-diverge from the query side (VERDICT r10 #1)
+                # hashed with the FIXED stored manifest so the stored rows
+                # can never bit-diverge from the query side (VERDICT r10 #1)
                 from vector_search_question_answer_api_spark.operators import (
                     ann,
                 )
@@ -581,6 +626,7 @@ def maintain_corpus(
                 ann.append_lsh_signatures_batch(
                     indexed, p["lsh"], batch_id, lsh_artifact
                 )
+
             codes_path = p["codes"] if codebooks is not None else None
             graphs_path = p["graphs"] if ann_graphs else None
             codes_ready = (
@@ -591,14 +637,32 @@ def maintain_corpus(
                 graphs_path if graphs_path and cell_store_manifest(graphs_path)
                 else None
             )
-            ann_maintain.refresh_search_artifacts_batch(
-                indexed, batch_id,
-                path=p["index"], codebooks=codebooks,
-                codes_path=codes_ready, graphs_path=graphs_ready,
-                centroids=centroids, dim=dim, n_cells=n_cells,
-                backend=backend, graph_max_dead_frac=graph_max_dead_frac,
-                graph_insert_efc=graph_insert_efc,
-            )
+            with ThreadPoolExecutor(
+                max_workers=len(stages) + 2, thread_name_prefix="ingest-stage"
+            ) as pool:
+                # text-side stages first: they need only `ups`, so their
+                # jobs start while the main thread materializes the embed
+                futs = [pool.submit(s) for s in stages]
+                # ONE materialization of the embedded batch before its
+                # concurrent consumers fan out — otherwise the first
+                # actions of several threads race to compute the same
+                # cached partitions
+                indexed.count()
+                futs.append(pool.submit(_vecmean_stage))
+                if lsh_artifact is not None:
+                    futs.append(pool.submit(_lsh_stage))
+                # the index-log append + managed ANN refresh chain runs on
+                # the handler thread, concurrent with everything above
+                ann_maintain.refresh_search_artifacts_batch(
+                    indexed, batch_id,
+                    path=p["index"], codebooks=codebooks,
+                    codes_path=codes_ready, graphs_path=graphs_ready,
+                    centroids=centroids, dim=dim, n_cells=n_cells,
+                    backend=backend, graph_max_dead_frac=graph_max_dead_frac,
+                    graph_insert_efc=graph_insert_efc,
+                )
+                for f in futs:
+                    f.result()  # join ALL stores before init/marker
             if (codes_path and codes_ready is None) or (
                 graphs_path and graphs_ready is None
             ):
