@@ -624,7 +624,19 @@ def _hybrid_stored_fns(spark, sf_dir):
     # the one-shot side reads a PLAIN parquet corpus (same rows the
     # stores resolve to) — it must not pay the stores' resolution
     IG.read_corpus_docs(spark, corpus).write.parquet(f"{root}/final_docs")
-    fdocs = spark.read.parquet(f"{root}/final_docs")
+    # r15 measurement fix (guide §1, stated per the bench contract): the
+    # freshly-written corpus parquet packs into ONE scan split at bench
+    # scale, so the one-shot tier's whole re-embed + re-tokenize ran on a
+    # single core — misrepresenting the tier it exists to contrast (at
+    # production scale this scan auto-splits).  Deterministic hash
+    # repartition on doc_id restores normal scan parallelism, exactly like
+    # load_table's ensure_parallelism does for the gate tables.  Old
+    # (single-task) numbers for reference, this box: hybrid_oneshot 6.15 s
+    # baseline, of which build_index(fdocs) alone measured 2.71 s
+    # single-task.
+    fdocs = spark.read.parquet(f"{root}/final_docs").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     queries = (
         fdocs.filter(F.col("doc_id") % 500 == 0)
         .select(
