@@ -1687,19 +1687,36 @@ def main() -> None:
     for g in [*hnsw_graphs, *cleanup_caches]:
         g.unpersist()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "run_ledger": ledger,
-                "box": box,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "run_ledger": ledger,
+        "box": box,
+        "sf": sf,
+    }
+    line = json.dumps(out)
+    # One-line-JSON contract guard (VERDICT r15 #7): the driver parses
+    # exactly ONE JSON line from stdout — BENCH_r14's PERF comparison was
+    # lost to an unparseable artifact.  Never emit embedded newlines, and
+    # if the line outgrows the cap, degrade the DIAGNOSTIC ledger detail
+    # (per-process run arrays first, the whole ledger as a last resort) —
+    # never the contract fields (metric/value/unit/queries/sf).
+    _LINE_CAP = 200_000
+    if len(line) > _LINE_CAP:
+        for led in ledger.values():
+            for detail in (
+                "process_runs", "process_minima_all", "process_minima"
+            ):
+                led.pop(detail, None)
+        out["run_ledger_truncated"] = True
+        line = json.dumps(out)
+    if len(line) > _LINE_CAP:
+        out.pop("run_ledger", None)
+        line = json.dumps(out)
+    assert "\n" not in line, "bench output must be one JSON line"
+    print(line, flush=True)
     spark.stop()
 
 

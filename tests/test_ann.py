@@ -1285,3 +1285,52 @@ def test_recommended_probe_pruning_rule(spark, clustered):
     assert (
         ann_hnsw.recommended_probe_pruning([0.0] * len(cents), cents) is False
     )
+
+
+def test_cell_scores_hoisted_bit_identical_to_r15_form(spark, normed):
+    """r16 optimization pin: hoisting the centroid norms (python fold,
+    same left-to-right float64 sum + IEEE sqrt) and the query-vector cast
+    out of the per-centroid lambda must leave every score bit-identical,
+    and assign_cell must keep its exact value semantics (incl. null
+    vector -> null cell)."""
+    from vector_search_question_answer_api_spark.operators import ivf
+
+    cents = ivf.centroid_grid(64, 16)
+
+    def r15_scores(vec, centroids):
+        cents_lit = V.nested_array_lit(centroids)
+        v = vec.cast("array<double>")
+        return F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(c, lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+
+    def r15_assign(vec, centroids):
+        s = r15_scores(vec, centroids)
+        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+    df = normed.unionByName(
+        spark.createDataFrame([(10_000_000, None)], "vec_id long, nv array<double>")
+    )
+    got = df.select(
+        "vec_id",
+        r15_scores(F.col("nv"), cents).alias("old_s"),
+        ivf._cell_scores(F.col("nv"), cents).alias("new_s"),
+        r15_assign(F.col("nv"), cents).alias("old_c"),
+        ivf.assign_cell(F.col("nv"), cents).alias("new_c"),
+    ).collect()
+    assert got
+    for r in got:
+        assert r["old_s"] == r["new_s"], r["vec_id"]
+        assert r["old_c"] == r["new_c"], r["vec_id"]

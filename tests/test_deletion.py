@@ -894,3 +894,31 @@ def test_distributed_takedown_no_collect_batch_equals_dict_and_stream(
         for col in cmp_cols:
             assert stream_out[eid][col] == want[eid][col], (eid, col)
     index.unpersist()
+
+
+def test_refresh_batch_leaves_caller_cache_alone(spark, tmp_path):
+    """Cache ownership of the shared refresh step (ADVICE r15): a batch
+    the CALLER already persisted (ingest_stream's `indexed`, still feeding
+    concurrent sibling stages when the refresh returns) must stay cached
+    after refresh_search_artifacts_batch; a batch that arrives uncached is
+    persisted for the refresh's own multi-action body and released."""
+    from pyspark import StorageLevel
+
+    from vector_search_question_answer_api_spark.streaming import ann_maintain
+
+    idx_path = str(tmp_path / "index")
+    pre = _with_ts_batch(_vecs(spark, range(8)), 1_000, 0).drop("_batch")
+    pre = pre.persist()
+    pre.count()
+    ann_maintain.refresh_search_artifacts_batch(pre, 0, path=idx_path)
+    assert pre.storageLevel != StorageLevel.NONE, (
+        "refresh unpersisted a caller-owned cache"
+    )
+    pre.unpersist()
+
+    cold = _with_ts_batch(_vecs(spark, range(8, 16)), 2_000, 1).drop("_batch")
+    ann_maintain.refresh_search_artifacts_batch(cold, 1, path=idx_path)
+    assert cold.storageLevel == StorageLevel.NONE, (
+        "refresh leaked its own persist"
+    )
+    assert IX.read_index_latest(spark, idx_path).count() == 16

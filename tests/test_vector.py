@@ -74,3 +74,32 @@ def test_normalize_then_dot_equals_cosine(vec_df):
     ).collect()
     for r in got:
         assert abs(r["d"] - r["s"]) < 1e-12
+
+
+def test_l2_normalize_hoisted_bit_identical_to_lambda_form(spark):
+    """r16 optimization pin: the hoisted-norm zip_with form must reproduce
+    the r15 transform-with-captured-norm form BIT-for-bit (the norm is the
+    same double, the per-element division the same op) — including the
+    zero-vector, null and empty edge cases."""
+    rows = [
+        (0, [1.5, -2.25, 3.0, 0.125]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, []),
+        (4, [1e-30, -1e30, 7.7, 0.3333333333333333]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+
+    def r15_form(a):
+        n = V.l2_norm(a)
+        return F.when(
+            n == 0.0, F.transform(a, lambda x: x.cast("double") * 0.0)
+        ).otherwise(F.transform(a, lambda x: x.cast("double") / n))
+
+    got = df.select(
+        "id",
+        V.l2_normalize(F.col("v")).alias("new"),
+        r15_form(F.col("v")).alias("old"),
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], r["id"]

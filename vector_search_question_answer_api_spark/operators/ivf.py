@@ -40,6 +40,7 @@ Two centroid sources:
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -98,28 +99,64 @@ def _cell_scores(vec: Column, centroids) -> Column:
     n_cells x dim, where the unrolled per-centroid form put thousands of
     literal nodes into the plan and cost seconds of analyzer/codegen time
     per query (measured 3.2s -> 0.8s at sf0.01, bit-identical values: both
-    forms sum left-to-right in float64)."""
-    cents_lit = V.nested_array_lit(centroids)
-    v = vec.cast("array<double>")
-    return F.transform(
-        cents_lit,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    forms sum left-to-right in float64).
+
+    r16 (optimization round): two hoists out of the per-centroid lambda,
+    values bit-identical (pinned in tests/test_ann.py):
+
+    - each centroid's ``||c||`` was recomputed per ROW per CENTROID by an
+      interpreted O(dim) aggregate; it is a property of the literal, so it
+      now rides precomputed next to the centroid (the python fold below is
+      the same left-to-right float64 sum + IEEE sqrt the JVM evaluated);
+    - the ``vec.cast("array<double>")`` was a captured child expression,
+      re-evaluated per centroid (Catalyst re-evaluates lambda captures per
+      element — the ``word_shingles_from_tokens`` pathology); ``zip_with``
+      against ``array_repeat(v, n_cells)`` evaluates the cast once per row.
+    """
+    n_cells = len(centroids)
+    structs = []
+    for c in centroids:
+        acc = 0.0
+        for y in c:
+            # the exact fold the r15 expression evaluated JVM-side:
+            # ((0.0 + y0*y0) + y1*y1) + ... in float64, then IEEE sqrt
+            acc += float(y) * float(y)
+        norm = math.sqrt(acc)
+        structs.append(
+            "named_struct('c',array("
+            + ",".join(f"{float(x)!r}D" for x in c)
+            + f"),'n',{norm!r}D)"
         )
-        / F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda y: y * y), F.lit(0.0), lambda a, x: a + x
-            )
-        ),
+    cents_lit = F.expr("array(" + ",".join(structs) + ")")
+    v = vec.cast("array<double>")
+    return F.zip_with(
+        cents_lit,
+        F.array_repeat(v, n_cells),
+        lambda s, vv: F.aggregate(
+            F.zip_with(vv, s["c"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / s["n"],
     )
 
 
 def assign_cell(vec: Column, centroids) -> Column:
     """0-based id of the best-scoring cell (ties -> lowest cell id, matching
     DuckDB ``list_indexof(scores, list_aggregate(scores, 'max'))``).
-    Map-only: evaluates n_cells dot products per row, no shuffle."""
-    scores = _cell_scores(vec, centroids)
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    Map-only: evaluates n_cells dot products per row, no shuffle.
+
+    r16: routed through the same struct-sort as :func:`probe_cells` — the
+    ``array_position(scores, array_max(scores))`` form referenced the
+    scores array TWICE, and higher-order functions are CodegenFallback, so
+    every row paid the n_cells x dim scoring twice.  Identical value: the
+    sort's (-score, cell) ascending head is the max score at the lowest
+    cell id, exactly the array_position tie rule.  A null vector maps to a
+    null cell exactly as before (array_position over null scores was null;
+    the sort form would otherwise return cell 0 for a tombstone row)."""
+    return F.when(vec.isNull(), F.lit(None).cast("int")).otherwise(
+        F.element_at(probe_cells(vec, centroids, 1), 1)
+    )
 
 
 def probe_cells(vec: Column, centroids, nprobe: int = DEFAULT_NPROBE) -> Column:

@@ -419,16 +419,23 @@ def append_postings_batch(
 # ------------------------------------------------------------- resolution
 
 
-def _log_latest_live(dl_log: DataFrame) -> DataFrame:
-    """(doc_id, _mx) — newest batch per doc over the doclens LOG, live
-    rows only (a doc whose newest row is a NULL-dl tombstone is absent).
-    Window input is log-sized by construction."""
+def _log_census(dl_log: DataFrame) -> DataFrame:
+    """(doc_id, _mx, dl) — each doc's NEWEST doclens-log row (``dl`` null =
+    that newest row is a tombstone).  Window input is log-sized by
+    construction.
+
+    r16 (guide §2.4): this one relation now serves all three resolution
+    consumers — the base anti-join side (every log-mentioned doc), the
+    postings latest-live join (``_mx`` of live docs), and the doclens
+    union side (live ``dl`` rows) — where r15 computed a separate window
+    + a separate distinct per consumer.  One window exchange, one
+    broadcast child, shared by the whole resolution plan (and cacheable
+    by ``bm25_topk_stored`` so the log is scanned once per query)."""
     w = Window.partitionBy("doc_id")
     return (
         dl_log.withColumn("_mx", F.max("_batch").over(w))
         .filter(F.col("_batch") == F.col("_mx"))
-        .filter(F.col("dl").isNotNull())
-        .select("doc_id", "_mx")
+        .select("doc_id", "_mx", "dl")
     )
 
 
@@ -443,44 +450,50 @@ def _resolved_parts(spark, path: str, up_to_batch: int | None = None):
     return base, post_dirs, dl_dirs
 
 
-def _resolve_doclens_frame(base_dl, dl_log):
+def _resolve_doclens_frame(base_dl, dl_log, census=None):
     """THE doclens resolution — base minus log-mentioned docs (broadcast
     anti-join; the base never shuffles) ∪ the log's latest live rows.
     Single source of truth: ``read_doclens`` serves it and
     ``compact_postings`` folds it, so the fold can never bake a different
     relation into the base than reads resolve (the r12 review's drift
-    concern)."""
+    concern).  ``census`` (optional) supplies a shared :func:`_log_census`
+    of ``dl_log`` so one cached/reused relation serves every resolution
+    consumer (r16, guide §2.4)."""
     if dl_log is None:
         return base_dl
-    w = Window.partitionBy("doc_id")
-    log_live = (
-        dl_log.withColumn("_mx", F.max("_batch").over(w))
-        .filter(F.col("_batch") == F.col("_mx"))
-        .filter(F.col("dl").isNotNull())
-        .select("doc_id", F.col("dl").cast("int").alias("dl"))
+    if census is None:
+        census = _log_census(dl_log)
+    log_live = census.filter(F.col("dl").isNotNull()).select(
+        "doc_id", F.col("dl").cast("int").alias("dl")
     )
     if base_dl is None:
         return log_live
-    log_docs = dl_log.select("doc_id").distinct()
+    # the census has exactly one row per log-mentioned doc (incl. docs
+    # whose newest row is a tombstone) — the same relation the r15
+    # ``dl_log.select("doc_id").distinct()`` anti-join side computed with
+    # its own exchange
     return base_dl.join(
-        F.broadcast(log_docs), "doc_id", "left_anti"
+        F.broadcast(census), "doc_id", "left_anti"
     ).unionByName(log_live)
 
 
-def _resolve_posts_frame(base_posts, log_posts, dl_log):
+def _resolve_posts_frame(base_posts, log_posts, dl_log, census=None):
     """THE postings resolution (see ``_resolve_doclens_frame``): base
     rows of log-mentioned docs leave via a broadcast anti-join; log
     postings keep only each doc's newest LIVE version (broadcast join
-    against the log-sized latest-live relation)."""
+    against the log-sized census, live rows selected in the join
+    condition)."""
     if dl_log is None:
         return base_posts
+    if census is None:
+        census = _log_census(dl_log)
     resolved_log = None
     if log_posts is not None:
-        latest_live = _log_latest_live(dl_log)
         resolved_log = log_posts.join(
-            F.broadcast(latest_live),
-            (log_posts["doc_id"] == latest_live["doc_id"])
-            & (log_posts["_batch"] == latest_live["_mx"]),
+            F.broadcast(census),
+            (log_posts["doc_id"] == census["doc_id"])
+            & (log_posts["_batch"] == census["_mx"])
+            & census["dl"].isNotNull(),
         ).select(
             log_posts["term"],
             log_posts["doc_id"],
@@ -489,17 +502,18 @@ def _resolve_posts_frame(base_posts, log_posts, dl_log):
         )
     if base_posts is None:
         return resolved_log
-    log_docs = dl_log.select("doc_id").distinct()
-    kept = base_posts.join(F.broadcast(log_docs), "doc_id", "left_anti")
+    kept = base_posts.join(F.broadcast(census), "doc_id", "left_anti")
     return kept if resolved_log is None else kept.unionByName(resolved_log)
 
 
 def read_doclens(
-    spark, path: str, up_to_batch: int | None = None
+    spark, path: str, up_to_batch: int | None = None, _census=None
 ) -> DataFrame:
     """Resolved (doc_id, dl) of live docs (``_resolve_doclens_frame``).
     ``up_to_batch`` bounds the log to a committed epoch (see
-    ``_bounded_log_dirs``)."""
+    ``_bounded_log_dirs``).  ``_census`` (internal) shares one cached
+    :func:`_log_census` across the several resolutions of one serving
+    call (``bm25_topk_stored``)."""
     read_postings_manifest(path)
     base, _post_dirs, dl_dirs = _resolved_parts(spark, path, up_to_batch)
     base_dl = (
@@ -510,7 +524,7 @@ def read_doclens(
         else None
     )
     dl_log = _read_log(spark, path, _DL_LOG, dl_dirs) if dl_dirs else None
-    return _resolve_doclens_frame(base_dl, dl_log)
+    return _resolve_doclens_frame(base_dl, dl_log, census=_census)
 
 
 def read_postings(
@@ -519,6 +533,7 @@ def read_postings(
     terms: list[str] | None = None,
     term_buckets: list[int] | None = None,
     up_to_batch: int | None = None,
+    _census=None,
 ) -> DataFrame:
     """Resolved (term, doc_id, tf, dl) postings of the LIVE corpus.
 
@@ -560,7 +575,7 @@ def read_postings(
         if post_dirs
         else None
     )
-    out = _resolve_posts_frame(base_posts, log_posts, dl_log)
+    out = _resolve_posts_frame(base_posts, log_posts, dl_log, census=_census)
     if out is None:
         raise FileNotFoundError(f"no postings store at {path}")
     return out
@@ -587,12 +602,14 @@ def term_bucket_of(spark, terms: list[str], n_buckets: int) -> list[int]:
 
 
 def corpus_stats(
-    spark, path: str, up_to_batch: int | None = None
+    spark, path: str, up_to_batch: int | None = None, _census=None
 ) -> DataFrame:
     """ONE row (n_docs, avgdl) over the live corpus — an aggregate of the
     resolved 2-column doclens relation (kept a DataFrame; never a driver
     collect)."""
-    return read_doclens(spark, path, up_to_batch=up_to_batch).agg(
+    return read_doclens(
+        spark, path, up_to_batch=up_to_batch, _census=_census
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
@@ -663,6 +680,20 @@ def bm25_topk_stored(
         persist_tracked,
     )
 
+    # ONE shared doclens-log census per query (r16, guide §2.4/§6): the
+    # postings resolution, the doclens resolution and the corpus stats all
+    # need the log's latest-row-per-doc relation; r15 re-scanned the dl
+    # log and re-ran its window in BOTH the cached-postings plan and the
+    # stats subtree (cache materialization and the outer plan cannot share
+    # exchanges).  The census is log-sized (bounded by the compaction
+    # cadence at any corpus size), so the tracked persist is safe; the log
+    # dirs are now listed and scanned once per call.
+    dl_dirs = _bounded_log_dirs(path, _DL_LOG, up_to_batch)
+    census = None
+    if dl_dirs:
+        census = persist_tracked(
+            _log_census(_read_log(spark, path, _DL_LOG, dl_dirs))
+        )
     postings = persist_tracked(
         read_postings(
             spark,
@@ -670,12 +701,13 @@ def bm25_topk_stored(
             terms=[r["term"] for r in pairs],
             term_buckets=[int(r["tb"]) for r in pairs],
             up_to_batch=up_to_batch,
+            _census=census,
         )
     )
     return score_postings_bm25(
         postings,
         qterms,
-        corpus_stats(spark, path, up_to_batch=up_to_batch),
+        corpus_stats(spark, path, up_to_batch=up_to_batch, _census=census),
         k=k,
         k1=k1,
         b=b,

@@ -140,7 +140,20 @@ def refresh_search_artifacts_batch(
     )
 
     spark = batch_df.sparkSession
-    batch_df = batch_df.persist()
+    # Cache ownership (ADVICE r15): when the caller already persisted the
+    # batch (ingest_stream's shared `indexed`, still being consumed by its
+    # concurrent vecmean/lsh stages when this function returns), leave the
+    # cache alone — persisting AND unpersisting here would evict it
+    # mid-batch and force those stages to recompute the embed UDF,
+    # defeating the documented single materialization (and, with a
+    # non-deterministic embedder, letting sibling stores diverge from the
+    # vectors this chain appended).  Only a batch that arrives uncached is
+    # persisted (it feeds several actions below) and released here.
+    from pyspark import StorageLevel
+
+    _owns_cache = batch_df.storageLevel == StorageLevel.NONE
+    if _owns_cache:
+        batch_df = batch_df.persist()
     try:
         # Old-cell evidence for cell-moving updates: when the graph store
         # carries its (doc_id, cell) membership SIDECAR, the refresh reads
@@ -231,4 +244,5 @@ def refresh_search_artifacts_batch(
         if prev_delta is not None:
             prev_delta.unpersist()
     finally:
-        batch_df.unpersist()
+        if _owns_cache:
+            batch_df.unpersist()
