@@ -722,10 +722,43 @@ def refresh_celled_hnsw_index(
                 "doc_id", "cell", F.lit("r").alias("_k"), _nochord
             )
         )
+    # r16 (guide §2.6 — fewer driver-synchronous jobs): the store's own
+    # per-cell (live, dead, blobs) stats ride the SAME census job as 's'
+    # rows instead of a second collect after it.  The metadata scan is
+    # column-pruned (the graph blobs are never read) and covers ALL
+    # cells — the dirty set isn't known yet — which only widens the
+    # driver dict by n_cells rows; classification reads the same values
+    # it read from the r13 two-job form ('c in stats' still means "the
+    # store holds blobs for this cell").
+    _nolong = F.lit(None).cast("long")
+    census = census.select(
+        "doc_id", "cell", "_k", "_chord",
+        _nolong.alias("_n"), _nolong.alias("_nd"),
+    )
+    want_stats = (
+        incremental and has_sidecar and cell_store_manifest(path) is not None
+    )
+    if want_stats:
+        cur = open_cell_table(spark, path)
+        if "n_dead" not in cur.columns:
+            cur = cur.withColumn("n_dead", F.lit(0).cast("long"))
+        census = census.unionByName(
+            cur.select(
+                _nolong.alias("doc_id"),
+                F.col("cell").cast("int").alias("cell"),
+                F.lit("s").alias("_k"),
+                F.lit(None).cast("double").alias("_chord"),
+                F.col("n").cast("long").alias("_n"),
+                F.coalesce(F.col("n_dead"), F.lit(0)).cast("long").alias(
+                    "_nd"
+                ),
+            )
+        )
     adds_per_cell: dict[int, int] = {}
     add_chord_per_cell: dict[int, float] = {}
     removals_per_cell: dict[int, int] = {}
     prev_cells: set[int] = set()
+    stats: dict[int, tuple[int, int, int]] = {}
     intrabatch_dups = False
     for r in (
         census.groupBy("cell", "_k")
@@ -733,6 +766,8 @@ def refresh_celled_hnsw_index(
             F.count("*").alias("cnt"),
             F.count_distinct("doc_id").alias("dcnt"),
             F.max("_chord").alias("chord"),
+            F.sum("_n").alias("sn"),
+            F.sum("_nd").alias("snd"),
         )
         .collect()
     ):
@@ -744,6 +779,8 @@ def refresh_celled_hnsw_index(
             add_chord_per_cell[c] = float(r["chord"] or 0.0)
         elif k == "r":
             removals_per_cell[c] = cnt
+        elif k == "s":
+            stats[c] = (int(r["sn"]), int(r["snd"]), cnt)
         else:
             prev_cells.add(c)
     dirty = sorted(
@@ -759,23 +796,8 @@ def refresh_celled_hnsw_index(
 
             cell_store_stamp_frontier(path, int(batch_id))
         return []
-    # --- incremental/rebuild classification (r13) ---
-    stats: dict[int, tuple[int, int, int]] = {}
-    if incremental and has_sidecar and cell_store_manifest(path) is not None:
-        cur = open_cell_table(spark, path)
-        if "n_dead" not in cur.columns:
-            cur = cur.withColumn("n_dead", F.lit(0).cast("long"))
-        stats = {
-            int(r["cell"]): (int(r["live"]), int(r["dead"]), int(r["blobs"]))
-            for r in cur.filter(F.col("cell").isin(dirty))
-            .groupBy("cell")
-            .agg(
-                F.sum("n").alias("live"),
-                F.sum(F.coalesce(F.col("n_dead"), F.lit(0))).alias("dead"),
-                F.count("*").alias("blobs"),
-            )
-            .collect()
-        }
+    # --- incremental/rebuild classification (r13; stats collected with
+    # the census above since r16) ---
     resolved_backend = _resolve_backend(backend)
     rebuild_cells: list[int] = []
     incr_cells: list[int] = []
@@ -946,7 +968,8 @@ def refresh_celled_hnsw_index(
         spark, path, graphs, dirty, batch_id=batch_id,
         _pre_publish_hook=_pre_publish_hook,
     )
-    if has_sidecar:
+
+    def _sidecar_refresh() -> None:
         # membership update LAST: a crash before this point replays with
         # the old mapping (old cell re-dirtied, refresh idempotent); after
         # it the graphs are already consistent and the replay converges
@@ -977,7 +1000,8 @@ def refresh_celled_hnsw_index(
                 )
             )
         cell_store_refresh(spark, ids_path, new_rows, dirty)
-    if old_radii is not None:
+
+    def _radii_tighten() -> None:
         # tighten LAST (see the widen-publish-tighten note above): the
         # dirty cells' exact radii come from the r column the graph tasks
         # just wrote (max over a cell's blobs); an emptied dirty cell has
@@ -1000,6 +1024,32 @@ def refresh_celled_hnsw_index(
             batch_id=radii_stamp,
             history=radii_hist,
         )
+
+    # r16 (guide §2.6): the membership-sidecar rewrite and the radii
+    # tighten both depend on the graph publish above but NOT on each
+    # other (disjoint artifacts: <path>/ids vs the radii doc; the tighten
+    # reads only the graphs store's metadata columns).  Run them as
+    # concurrent jobs.  Every crash interleaving was already possible
+    # under the sequential order or is its mirror image, and each is
+    # replay-safe on its own terms: a missing sidecar update re-dirties
+    # the old cells (idempotent re-mark/re-insert), a missing tighten
+    # leaves the widened-but-valid cover until the replay re-tightens,
+    # and a tighten WITHOUT the sidecar update is still exact for the
+    # published graphs (the radii cover the graphs' membership, which
+    # published first either way).
+    if has_sidecar and old_radii is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="graph-sidecar"
+        ) as pool:
+            fut = pool.submit(_sidecar_refresh)
+            _radii_tighten()
+            fut.result()
+    elif has_sidecar:
+        _sidecar_refresh()
+    elif old_radii is not None:
+        _radii_tighten()
     return dirty
 
 

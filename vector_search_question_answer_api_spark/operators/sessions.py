@@ -579,7 +579,21 @@ def _attach_candidates(
     scalars still carry the rank-1 hit and three rank-ordered ARRAYS
     (``cand_doc_ids``/``cand_dists``/``cand_vecs``) ride alongside for
     the fold's deletion fall-through (``_pick_candidate``) — one
-    per-event aggregation of k tiny rows, nothing corpus-sized."""
+    per-event aggregation of k tiny rows, nothing corpus-sized.
+
+    r16 (guide §2.3, narrower types): ``q_vec`` and ``cand_vec`` ride the
+    event_id attach join and the session fold shuffle as ``array<float>``
+    — the heaviest shuffled bytes of every replay tier, halved.  The
+    RETRIEVAL side is untouched (``with_vec``'s cached q_vec stays
+    float64, so every cand_dist and rank is bit-identical); the only
+    consumer of the narrowed vectors is the fold's topic-similarity gate
+    (``sim < topic_similarity_threshold``), whose operands the embedder
+    produced as float32 in the first place — ``q_vec``'s float64 payload
+    is the float32 embed re-normalized in double, so the cast costs at
+    most one rounding step (~1e-7 on a unit dot), five orders of
+    magnitude below the measured minimum |sim - threshold| margin on the
+    driver fixtures (tools/replay_gate_margin.py; replay outputs pinned
+    identical old-vs-new at every SF in tests/test_sessions.py)."""
     hits = top1.select(
         F.col("query_id").alias("event_id"),
         F.col("doc_id").alias("cand_doc_id"),
@@ -588,7 +602,7 @@ def _attach_candidates(
     hits_with_vec = hits.join(
         index.select(
             F.col("doc_id").alias("cand_doc_id"),
-            F.col("norm_embedding").cast("array<double>").alias("cand_vec"),
+            F.col("norm_embedding").cast("array<float>").alias("cand_vec"),
         ),
         "cand_doc_id",
         "left",
@@ -608,8 +622,11 @@ def _attach_candidates(
             "left",
         )
         struct_cols += ["cand_del", "cand_del_ts"]
+    narrowed = with_vec.withColumn(
+        "q_vec", F.col("q_vec").cast("array<float>")
+    )
     if int(n_candidates) <= 1:
-        return with_vec.join(hits_with_vec, "event_id", "left")
+        return narrowed.join(hits_with_vec, "event_id", "left")
     ranked = hits_with_vec.groupBy("event_id").agg(
         F.sort_array(
             F.collect_list(F.struct(*struct_cols))
@@ -632,7 +649,7 @@ def _attach_candidates(
             F.col("_c.cand_del_ts").alias("cand_del_tss"),
         ]
     arrays = ranked.select(*array_cols)
-    return with_vec.join(arrays, "event_id", "left")
+    return narrowed.join(arrays, "event_id", "left")
 
 
 def _tombstone_lookup(tombstones: DataFrame) -> DataFrame:
