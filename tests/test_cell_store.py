@@ -91,9 +91,28 @@ def _canon_graph_topk(df):
     distance, doc_id) keeps the full strength of the pin at its own
     precision."""
     by_q: dict = {}
+    engine_rank: dict = {}
     for r in df.collect():
         by_q.setdefault(int(r["query_id"]), []).append(
             (round(float(r["distance"]), 9), int(r["doc_id"]))
+        )
+        engine_rank[(int(r["query_id"]), int(r["doc_id"]))] = (
+            int(r["rank"]), float(r["distance"])
+        )
+    # ADVICE r15: re-deriving rank on both sides must not un-verify the
+    # engine's OWN rank column — assert each side's returned ranks are
+    # consistent with its (distance, doc_id) ascending order at full
+    # precision, so a rank-assignment regression that preserves distances
+    # cannot pass unseen.
+    for qid in by_q:
+        got = sorted(
+            ((d, doc, rk) for (q2, doc), (rk, d) in engine_rank.items()
+             if q2 == qid),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert [rk for _, _, rk in got] == list(range(1, len(got) + 1)), (
+            f"engine rank column inconsistent with (distance, doc_id) "
+            f"order for query {qid}: {got}"
         )
     return {
         (qid, i + 1): (doc, dist)

@@ -26,9 +26,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # count vs core count), not of the query — but the probe itself
 # (df.rdd.getNumPartitions()) materializes a JVM RDD from the analyzed
 # plan, a driver round-trip every load_table caller was paying on every
-# call.  Decision cached per (path, target); the file set under a
-# testdata/sf dir never changes within a process.
+# call.  Decision cached per (path, mtime, size, target) — the
+# mtime/size key legs (ADVICE r15) invalidate the memo when a tool
+# rewrites a table file in place, instead of serving a stale decision.
 _NEEDS_REPARTITION: dict = {}
+
+
+def _layout_key(path: str, target: int) -> tuple:
+    try:
+        st = os.stat(path)
+        return (path, int(st.st_mtime_ns), int(st.st_size), target)
+    except OSError:
+        return (path, None, None, target)
 
 
 def ensure_parallelism(
@@ -70,15 +79,29 @@ def ensure_parallelism(
     target = spark.sparkContext.defaultParallelism
     floor = max(2, target // 2)
     if path is not None:
-        needs = _NEEDS_REPARTITION.get((path, target))
+        memo_key = _layout_key(path, target)
+        needs = _NEEDS_REPARTITION.get(memo_key)
         if needs is None:
             needs = df.rdd.getNumPartitions() < floor
-            _NEEDS_REPARTITION[(path, target)] = needs
+            _NEEDS_REPARTITION[memo_key] = needs
         if not needs:
             return df
     elif df.rdd.getNumPartitions() >= floor:
         return df
     if key is not None:
+        # the hash key must stay a fixed-width numeric id (ADVICE r15):
+        # a string/compound first field would silently widen every
+        # parallelized scan — fail loudly so a future table schema is a
+        # deliberate decision here, not a quiet scan regression
+        ktype = df.schema[key].dataType
+        if not isinstance(
+            ktype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            raise TypeError(
+                f"ensure_parallelism: repartition key {key!r} has type "
+                f"{ktype.simpleString()} — expected a fixed-width integer "
+                "id (pass key=None for keyless round-robin instead)"
+            )
         return df.repartition(target, F.col(key))
     return df.repartition(target)
 
